@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity, TextOps}
+import graft.core.Tables
+import graft.ops.{AsOfJoin, Sessionize}
+
+/** Relational + LLM-data-pipeline query catalog (dedup, similarity, text
+  * analysis, windows/joins/set-ops). Same determinism rules as
+  * [[QueriesCdc]].
+  */
+object QueriesAnalytics {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  // ------------------------------------------------------------ relational
+
+  /** TPC-H Q1-shaped pricing summary (hash agg, map-side combine). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_discount") * 10000).cast("long")).as("disc_bps"))
+
+  /** TPC-H Q3-shaped join + top-k (broadcast dim, partial top-k, no global
+    * sort — Spark plans orderBy+limit as TakeOrderedAndProject).
+    */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = li(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** ROLLUP aggregation with grouping flags. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        grouping(col("l_returnflag")).cast("long").as("g1"),
+        grouping(col("l_linestatus")).cast("long").as("g2"))
+
+  /** Tumbling-window aggregation (batch form of the streaming window op). */
+  def windowEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Gap-based sessionization (30 min). */
+  def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", 30L * 60 * 1000)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("n_events"), col("first_event"))
+
+  /** As-of join: each purchase matched to the user's latest prior click. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").cast("string").as("click_event"))
+    AsOfJoin.asOf(purchases, clicks, key = "user_id", time = "ts", tie = "event_id",
+        payload = Seq("click_event"))
+      .select(col("user_id"), col("event_id"), col("value"), col("click_event"))
+  }
+
+  /** Top-k per group via ranked window. */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Set ops: INTERSECT + EXCEPT + UNION ALL over user activity. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val click = e.filter(col("event_type") === "click").select(col("user_id")).distinct()
+    val purchase = e.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    click.intersect(purchase).withColumn("tag", lit("both"))
+      .unionByName(click.except(purchase).withColumn("tag", lit("click_only")))
+  }
+
+  /** Anti join: orders with no lineitems. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"))
+      .join(li(s, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+
+  // ----------------------------------------------------------------- dedup
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir), "doc_id", col("text"), k = 8, numHashes = 8)
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshBuckets(
+      Dedup.lshBandKeys(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", col("text"), k = 8, numHashes = 8),
+        "doc_id", rowsPerBand = 4),
+      "doc_id")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", col("text"), bits = 16)
+
+  /** n-gram Jaccard over consecutive-id pairs (stands in for LSH candidate
+    * pairs, which are data-dependent and may be empty on this corpus).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = d.select(col("doc_id").as("doc_a"))
+      .join(d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b")), "doc_a")
+    Dedup.ngramJaccard(pairs, d, "doc_id", col("text"), k = 8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  def embedTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), qv, k = 10)
+  }
+
+  def embedLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"), dims = 64, numPlanes = 8)
+
+  // ------------------------------------------------------------------ text
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scores = TextOps.langScores(col("text"))
+    d.select(col("doc_id"),
+      scores("en").cast("long").as("en_score"),
+      scores("fr").cast("long").as("fr_score"),
+      scores("de").cast("long").as("de_score"),
+      scores("es").cast("long").as("es_score"),
+      TextOps.predictLang(col("text")).as("pred_lang"))
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualitySignals(docs(s, dir), col("text"))
+      .select(col("doc_id"), col("len_chars").cast("long").as("len_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("nonspace_chars").cast("long").as("nonspace_chars"),
+        col("mean_token_len"), col("stopword_ratio"))
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct_tok"))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Multimodal plumbing: opaque bytes + typed metadata (decode itself is
+    * stubbed in [[graft.analytics.Multimodal]] — no codec libs in-container).
+    */
+  def multimodalBytes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      sha2(col("text"), 256).as("sha"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_join_topk" -> q3JoinTopk _,
+    "q_rollup" -> rollupAgg _,
+    "q_window_events" -> windowEvents _,
+    "q_sessionize" -> sessionizeQ _,
+    "q_asof_join" -> asofJoin _,
+    "q_topk_per_group" -> topkPerGroup _,
+    "q_setops" -> setOps _,
+    "q_anti_join" -> antiJoin _,
+    "q_dedup_exact" -> dedupExact _,
+    "q_dedup_minhash" -> dedupMinhash _,
+    "q_minhash_lsh" -> minhashLsh _,
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_ngram_jaccard" -> ngramJaccard _,
+    "q_embed_topk" -> embedTopk _,
+    "q_embed_lsh" -> embedLsh _,
+    "q_text_langid" -> textLangid _,
+    "q_text_quality" -> textQuality _,
+    "q_text_tokens" -> textTokens _,
+    "q_text_fingerprint" -> textFingerprint _,
+    "q_multimodal_bytes" -> multimodalBytes _)
+}

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{RowKey, Tables}
+import graft.changelog.Changelog
+import graft.encode.{CommonFormatJson, SqlDml}
+import graft.filters.RowFilter
+import graft.snapshot.Snapshot
+
+/** CDC-parity query catalog: each query exercises one operator from
+  * SURVEY.md §2 over the driver fixtures, with a DuckDB oracle in
+  * [[SparkEntry.oracleSql]].
+  *
+  * Determinism rules shared with the oracles:
+  *  - double SUMs are computed over quantized integers (cents) — exact under
+  *    any aggregation order;
+  *  - timestamps leave the plan as epoch-millis BIGINT or DATE, never as
+  *    raw timestamp columns (writer-side tz-annotation differs between
+  *    engines);
+  *  - every derived integer column is BIGINT on both sides.
+  */
+object QueriesCdc {
+
+  private def lineitem(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** S1+F1: snapshot scan with pushed-down row filter + projection. */
+  def snapshotScan(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+
+  /** F1: RowFilter config compiled to a pushed predicate. */
+  def snapshotRowFilter(s: SparkSession, dir: String): DataFrame = {
+    val filters = Seq(
+      RowFilter("l_returnflag", "=", Seq("A", "N"), "OR"),
+      RowFilter("l_quantity", ">", Seq("45"), "AND"))
+    Snapshot.scan(lineitem(s, dir), filters,
+      keep = Seq("l_returnflag", "l_quantity"),
+      pkCols = Seq("l_orderkey", "l_linenumber"))
+  }
+
+  /** F2: projection with PK protection (PK retained even if not requested). */
+  def projectionPk(s: SparkSession, dir: String): DataFrame =
+    Snapshot.scan(
+      lineitem(s, dir).withColumn("ship_date", col("l_shipdate").cast("date")),
+      filters = Seq(RowFilter("l_shipdate", "<", Seq("1996-01-01 00:00:00"))),
+      keep = Seq("ship_date"),
+      pkCols = Seq("l_orderkey", "l_linenumber"))
+
+  private def opEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .withColumn("src_op",
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "click", "update")
+          .otherwise("delete"))
+
+  /** Changelog semantics: update => delete+insert pair (delete first). */
+  def changelogExpand(s: SparkSession, dir: String): DataFrame =
+    Changelog.expandUpdates(
+        opEvents(s, dir).select(col("event_id"), col("src_op").as("op"), col("user_id"), col("value")))
+      .select(col("event_id"), col("op"), col("half").cast("long").as("half"),
+        col("user_id"), col("value"))
+
+  /** F3: NoDeleteOnUpdate gating — updates keep only their insert half. */
+  def eventGate(s: SparkSession, dir: String): DataFrame = {
+    val src = opEvents(s, dir).select(
+      col("event_id"), col("src_op").as("op"), col("src_op").as("src_op"), col("user_id"))
+    Changelog.noDeleteOnUpdate(Changelog.expandUpdates(src), col("src_op"))
+      .select(col("event_id"), col("op"), col("user_id"))
+  }
+
+  /** F4: registration routing — broadcast left-semi join. */
+  def routeRegistered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val regs = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L).toDF("user_id")
+    Changelog.routeRegistered(
+      events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+      regs, "user_id")
+  }
+
+  /** O4: per-cluster monotone seqno (window, partitioned => scalable). */
+  def seqnoAssign(s: SparkSession, dir: String): DataFrame =
+    Changelog.assignSeqno(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", Seq(col("ts"), col("event_id")))
+      .select(col("event_id"), col("user_id"), col("seqno").cast("long").as("seqno"))
+
+  /** E7: length-prefixed row key (byte-parity with GetRowKey). */
+  def rowKeyQ(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      RowKey.rowKey(Seq(col("l_orderkey"), col("l_linenumber"))))
+
+  /** §1.3: partition key distribution (Kafka key-partitioning analogue). */
+  def partitionKeyQ(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(RowKey.partitionKey(col("l_orderkey"), 32).as("pkey"))
+      .groupBy("pkey").agg(count(lit(1)).as("n"))
+
+  /** E1: Common Format JSON encoding at the sink edge. */
+  def cfJson(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        CommonFormatJson.insertJson(
+          key = Seq(col("l_orderkey"), col("l_linenumber")),
+          seqNo = col("l_orderkey") * 10 + col("l_linenumber"),
+          timestamp = lit(0L),
+          fields = Seq(
+            "l_returnflag" -> col("l_returnflag"),
+            "l_linestatus" -> col("l_linestatus"))).as("cf_json"))
+
+  private val dmlCols = Seq(
+    ("l_orderkey", col("l_orderkey"), false),
+    ("l_linenumber", col("l_linenumber"), false),
+    ("l_returnflag", col("l_returnflag"), true))
+
+  /** E4: SQL DML generation (INSERT). */
+  def sqlDml(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        SqlDml.insertStmt("lineitem", col("l_orderkey") * 10 + col("l_linenumber"), dmlCols)
+          .as("stmt"))
+
+  /** E4: idempotent DML — last-writer-wins by seqno. */
+  def sqlDmlIdempotent(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        SqlDml.insertIdempotentStmt("lineitem",
+          col("l_orderkey") * 10 + col("l_linenumber"), dmlCols).as("stmt"))
+
+  /** E8: type normalization at the scan edge. */
+  def typeNorm(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty_int"),
+        col("l_orderkey").cast("string").as("ok_str"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        (col("l_linenumber") === 1).as("is_first"))
+
+  /** O10: fan-out — one event stream to N outputs. */
+  def fanout(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).filter(col("event_type") === "signup").select(col("event_id"))
+    base.withColumn("sink", lit("kafka"))
+      .unionByName(base.withColumn("sink", lit("file")))
+  }
+
+  /** O3: snapshot-then-stream handoff — snapshot state before the fence,
+    * changelog after, merged latest-wins by (tms, event_id).
+    */
+  def handoffMerge(s: SparkSession, dir: String): DataFrame = {
+    val fenceMs = 1705276800000L // 2024-01-15T00:00:00Z
+    val e = events(s, dir).select(col("event_id"), col("user_id"), col("value"),
+      unix_millis(col("ts")).as("tms"))
+    val snapshot = e.filter(col("tms") < fenceMs).withColumn("src", lit("snapshot"))
+    val log = e.filter(col("tms") >= fenceMs).withColumn("src", lit("log"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms").desc, col("event_id").desc)
+    snapshot.unionByName(log)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("last_value"), col("src"),
+        col("event_id").as("last_event"))
+  }
+
+  /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
+    * dims broadcast.
+    */
+  def stateJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_scan" -> snapshotScan _,
+    "q_snapshot_rowfilter" -> snapshotRowFilter _,
+    "q_projection_pk" -> projectionPk _,
+    "q_changelog_expand" -> changelogExpand _,
+    "q_event_gate" -> eventGate _,
+    "q_route_registered" -> routeRegistered _,
+    "q_seqno_assign" -> seqnoAssign _,
+    "q_row_key" -> rowKeyQ _,
+    "q_partition_key" -> partitionKeyQ _,
+    "q_cf_json" -> cfJson _,
+    "q_sql_dml" -> sqlDml _,
+    "q_sql_dml_idempotent" -> sqlDmlIdempotent _,
+    "q_type_norm" -> typeNorm _,
+    "q_fanout" -> fanout _,
+    "q_handoff_merge" -> handoffMerge _,
+    "q_state_join" -> stateJoin _)
+}

@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and aligned types (derived ints → BIGINT, double
+  * sums → integer cents, timestamps → epoch-ms BIGINT or DATE).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's spine — snapshot scan → row filter →
+    * projection → row-key → CF-JSON encode — on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import graft.core.{RowKey, Tables}
+    import graft.encode.CommonFormatJson
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        RowKey.rowKey(Seq(col("l_orderkey"), col("l_linenumber"))),
+        CommonFormatJson.insertJson(
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          col("l_orderkey") * 10 + col("l_linenumber"), lit(0L),
+          Seq("l_returnflag" -> col("l_returnflag"))).as("cf_json"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + analytics. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCdc.queries ++ QueriesAnalytics.queries
+
+  // ------------------------------------------------------------------------
+  // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
+  // with the Spark side — see QueriesCdc scaladoc.
+  // ------------------------------------------------------------------------
+
+  private val centsSum = "CAST(SUM(CAST(ROUND(%s) AS BIGINT)) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_snapshot_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
+
+    "q_snapshot_rowfilter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag = 'A' OR l_returnflag = 'N') AND (l_quantity > 45)""".stripMargin,
+
+    "q_projection_pk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q_changelog_expand" ->
+      """SELECT event_id, 'insert' AS op, CAST(1 AS BIGINT) AS half, user_id, value
+        |FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, 'delete', CAST(0 AS BIGINT), user_id, value
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, 'insert', CAST(1 AS BIGINT), user_id, value
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, 'delete', CAST(0 AS BIGINT), user_id, value
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_event_gate" ->
+      """SELECT event_id, 'insert' AS op, user_id
+        |FROM events WHERE event_type IN ('signup', 'click')
+        |UNION ALL
+        |SELECT event_id, 'delete', user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_route_registered" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (1,2,3,5,8,13,21,34)""".stripMargin,
+
+    "q_seqno_assign" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seqno
+        |FROM events""".stripMargin,
+
+    "q_row_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(LENGTH(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || CAST(l_orderkey AS VARCHAR)
+        |  || CAST(LENGTH(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
+        |  AS row_key
+        |FROM lineitem""".stripMargin,
+
+    "q_partition_key" ->
+      """SELECT l_orderkey % 32 AS pkey, COUNT(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_cf_json" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  '{"Type":"insert","Key":["' || CAST(l_orderkey AS VARCHAR) || '","'
+        |  || CAST(l_linenumber AS VARCHAR) || '"],"SeqNo":'
+        |  || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+        |  || ',"Timestamp":0,"Fields":[{"Name":"l_returnflag","Value":"' || l_returnflag
+        |  || '"},{"Name":"l_linestatus","Value":"' || l_linestatus || '"}]}' AS cf_json
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "q_sql_dml" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'INSERT INTO "lineitem" ("seqno","l_orderkey","l_linenumber","l_returnflag") VALUES ('
+        |  || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || ','
+        |  || CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR) || ','''
+        |  || REPLACE(l_returnflag, '''', '''''') || ''');' AS stmt
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "q_sql_dml_idempotent" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  'INSERT INTO "lineitem" ("seqno","l_orderkey","l_linenumber","l_returnflag") VALUES ('
+        |  || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || ','
+        |  || CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR) || ','''
+        |  || REPLACE(l_returnflag, '''', '''''') || ''')'
+        |  || ' ON DUPLICATE KEY UPDATE l_orderkey=IF(seqno<VALUES(seqno),VALUES(l_orderkey),l_orderkey), l_linenumber=IF(seqno<VALUES(seqno),VALUES(l_linenumber),l_linenumber), l_returnflag=IF(seqno<VALUES(seqno),VALUES(l_returnflag),l_returnflag);' AS stmt
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "q_type_norm" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS ok_str, CAST(l_shipdate AS DATE) AS ship_date,
+        |  (l_linenumber = 1) AS is_first
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "q_fanout" ->
+      """SELECT event_id, 'kafka' AS sink FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, 'file' FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "q_handoff_merge" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS tms,
+        |    CASE WHEN epoch_ms(ts) < 1705276800000 THEN 'snapshot' ELSE 'log' END AS src
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, value AS last_value, src, event_id AS last_event FROM r WHERE rn = 1""".stripMargin,
+
+    "q_state_join" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  ${centsSum.format("c_acctbal * 100")} AS bal_cents
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |  ${centsSum.format("l_quantity * 100")} AS qty_cents,
+         |  ${centsSum.format("l_extendedprice * 100")} AS price_cents,
+         |  ${centsSum.format("l_discount * 10000")} AS disc_bps
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      s"""SELECT l_orderkey,
+         |  ${centsSum.format("(l_extendedprice * (1 - l_discount)) * 100")} AS rev_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey ORDER BY rev_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |  ${centsSum.format("l_quantity * 100")} AS qty_cents,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g2
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_window_events" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type, COUNT(*) AS n,
+         |  ${centsSum.format("value * 100")} AS value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+        |l AS (SELECT *, LAG(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |t AS (SELECT user_id, event_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 1 AS side, value, CAST(NULL AS VARCHAR) AS click_event
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL, CAST(event_id AS VARCHAR)
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id, side, value,
+        |  last_value(click_event IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, side, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event
+        |  FROM u)
+        |SELECT user_id, event_id, value, click_event FROM c WHERE side = 1""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin,
+
+    "q_setops" ->
+      """SELECT user_id, 'both' AS tag FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |    FROM documents)),
+        |se AS (SELECT doc_id, CAST(s.g AS INT) AS seed, shingle FROM sh, generate_series(0, 7) s(g))
+        |SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || shingle)) AS minhash
+        |FROM se GROUP BY doc_id, seed""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |    FROM documents)),
+        |se AS (SELECT doc_id, CAST(s.g AS INT) AS seed, shingle FROM sh, generate_series(0, 7) s(g)),
+        |sig AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || shingle)) AS minhash
+        |        FROM se GROUP BY doc_id, seed),
+        |bk AS (SELECT doc_id, CASE WHEN seed < 4 THEN 0 ELSE 1 END AS band,
+        |         md5(string_agg(minhash, '' ORDER BY seed)) AS band_key
+        |       FROM sig GROUP BY doc_id, CASE WHEN seed < 4 THEN 0 ELSE 1 END)
+        |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM bk GROUP BY band, band_key""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tb AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM tok),
+        |wts AS (SELECT doc_id, bit,
+        |  CASE WHEN strpos('89abcdef', substr(h, CAST(bit AS INT) + 1, 1)) > 0 THEN 1 ELSE -1 END AS wt
+        |  FROM tb),
+        |sw AS (SELECT doc_id, bit, SUM(wt) AS sw FROM wts GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM sw GROUP BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+        |          FROM pairs p
+        |          JOIN sh sa ON sa.doc_id = p.doc_a
+        |          JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |          GROUP BY p.doc_a, p.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.inter, (na.n_sh + nb.n_sh - i.inter) AS uni,
+        |  CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(ROUND(CAST(q.qv[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |FROM embeddings e, q, generate_series(1, 64) g(i)
+        |WHERE e.vec_id <> 0
+        |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_lsh" ->
+      """WITH s AS (
+        |  SELECT vec_id, p.j,
+        |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
+        |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
+        |  FROM embeddings, generate_series(0, 7) p(j), generate_series(1, 64) g(i)),
+        |b AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM b GROUP BY vec_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' and ', ''))) / 5 AS BIGINT) AS en_score,
+        |  CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' la ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' et ', ''))) / 4 AS BIGINT) AS fr_score,
+        |  CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' die ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' und ', ''))) / 5 AS BIGINT) AS de_score,
+        |  CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' los ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score
+        |FROM p)
+        |SELECT doc_id, en_score, fr_score, de_score, es_score,
+        |  CASE WHEN en_score >= fr_score AND en_score >= de_score AND en_score >= es_score THEN 'en'
+        |       WHEN fr_score >= de_score AND fr_score >= es_score THEN 'fr'
+        |       WHEN de_score >= es_score THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |FROM sc""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
+        |  CAST(CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tok
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design: the query vector is broadcast (a 1-row cross join Spark
+  * plans as BroadcastNestedLoopJoin); scoring is a narrow `zip_with` +
+  * `aggregate` fold inside codegen; top-k is `orderBy + limit`, which Spark
+  * executes as per-partition partial top-k (TakeOrderedAndProject) — no
+  * global sort, no full shuffle. The LSH path buckets vectors by
+  * random-hyperplane signs so ANN probes touch one bucket instead of the
+  * full corpus: the 100 TB path.
+  *
+  * Dot products are computed over quantized integer components
+  * (round(x*1000)) — exact integer math, deterministic under any
+  * aggregation order, which FP sums are not.
+  */
+object Similarity {
+
+  /** Quantize a float/double array column to bigint (scale 1000). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k by quantized dot product against one query vector.
+    * `queryVec` must be a 1-row DataFrame with column `qv` (already
+    * quantized). Deterministic tie-break on id.
+    */
+  def bruteForceTopK(embeddings: DataFrame, id: Column, vec: Column,
+                     queryVec: DataFrame, k: Int): DataFrame =
+    embeddings
+      .crossJoin(broadcast(queryVec))
+      .select(id.as("vec_id"), dotQ(quantize(vec), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * +1/-1 from a fixed arithmetic pattern. Shared with the DuckDB oracle —
+    * must stay in exact integer arithmetic.
+    */
+  def hyperplane(j: Column, i: Column): Column =
+    when(((i * 31 + j * 17) % 7) < 3, 1L).otherwise(-1L)
+
+  /** Random-hyperplane LSH bucket id (numPlanes sign bits) per vector.
+    * Narrow per-row computation; downstream ANN groups by `bucket` so a
+    * probe only scans one bucket (and optionally neighbors at Hamming
+    * distance 1 for recall).
+    */
+  def lshBucket(embeddings: DataFrame, idCol: String, vec: Column,
+                dims: Int, numPlanes: Int): DataFrame = {
+    embeddings
+      .select(col(idCol), quantize(vec).as("_q"),
+        explode(sequence(lit(0), lit(numPlanes - 1))).as("j"))
+      .withColumn("sdot",
+        (1 to dims).map(i => hyperplane(col("j"), lit(i)) * element_at(col("_q"), i)).reduce(_ + _))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("sdot") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** ANN search: restrict brute force to the query vector's bucket. */
+  def annTopK(embeddings: DataFrame, idCol: String, vec: Column, dims: Int,
+              numPlanes: Int, queryVec: DataFrame, queryBucket: Long, k: Int): DataFrame = {
+    val buckets = lshBucket(embeddings, idCol, vec, dims, numPlanes)
+    val candidates = embeddings.join(buckets.filter(col("bucket") === queryBucket), idCol)
+    bruteForceTopK(candidates, col(idCol), vec, queryVec, k)
+  }
+
+  /** Exact cosine (double) for final re-ranking of a small candidate set. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+}
