@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** MySQL ⇄ Spark schema mapping (SURVEY §1.2).
+  *
+  * The reference infers schemas dynamically from `information_schema`
+  * (/root/reference/schema/table_schema.go:118-133) and scans values into
+  * Go driver types (/root/reference/util/util.go:223-245). This module is
+  * the Spark-side equivalent: a `TableSchema` of MySQL column specs mapped
+  * to a `StructType`, with PK/ordinal/source-type carried in field
+  * metadata so downstream operators (row-key extraction, PK-protected
+  * projection, sink DDL) don't need a side channel.
+  *
+  * Parity notes (intentional, documented divergences kept in metadata):
+  *  - `decimal`/`numeric` → DoubleType for output parity (the reference
+  *    lossily reads decimals as float64 — util/util.go:234); the true
+  *    DecimalType(p,s) is recorded in metadata as `improvedType`.
+  *  - `timestamp` → TimestampType (UTC session), `datetime` →
+  *    TimestampNTZType (the reference forces datetime to UTC —
+  *    encoder/json.go:176-200).
+  */
+object Schema {
+
+  final case class ColumnSchema(
+      name: String,
+      ordinal: Int,
+      isNullable: Boolean,
+      dataType: String, // MySQL data_type, lowercase, e.g. "bigint"
+      columnType: String = "", // full column_type, e.g. "tinyint(1)"
+      numericPrecision: Int = 0,
+      numericScale: Int = 0,
+      key: String = "") { // "PRI" for primary-key members
+    def isPrimaryKey: Boolean = key.equalsIgnoreCase("PRI")
+  }
+
+  final case class TableSchema(db: String, table: String, columns: Seq[ColumnSchema]) {
+    def primaryKey: Seq[ColumnSchema] =
+      columns.filter(_.isPrimaryKey).sortBy(_.ordinal)
+    /** Tables without a PK are refused (changelog/mysql.go:224-227). */
+    def hasPrimaryKey: Boolean = primaryKey.nonEmpty
+  }
+
+  /** MySQL data type → Spark type (util/util.go:223-245 semantics). */
+  def sparkType(c: ColumnSchema): DataType = c.dataType match {
+    case "tinyint" if c.columnType.startsWith("tinyint(1)") => BooleanType
+    case "int" | "integer" | "tinyint" | "smallint" | "mediumint" | "year" => IntegerType
+    case "bigint" | "bit" => LongType
+    case "float" => FloatType
+    case "double" | "decimal" | "numeric" => DoubleType // parity: decimals read as doubles
+    case "char" | "varchar" | "text" | "tinytext" | "mediumtext" | "longtext" |
+         "json" | "enum" | "set" | "date" | "time" => StringType
+    case "timestamp" => TimestampType
+    case "datetime" => TimestampNTZType
+    case "blob" | "tinyblob" | "mediumblob" | "longblob" | "binary" | "varbinary" => BinaryType
+    case other => throw new IllegalArgumentException(s"unsupported MySQL type: $other")
+  }
+
+  def toStructType(ts: TableSchema): StructType = StructType(
+    ts.columns.sortBy(_.ordinal).map { c =>
+      val mb = new MetadataBuilder()
+        .putString("mysqlType", c.dataType)
+        .putLong("ordinal", c.ordinal.toLong)
+        .putBoolean("isPrimaryKey", c.isPrimaryKey)
+      if (c.dataType == "decimal" || c.dataType == "numeric")
+        mb.putString("improvedType", s"decimal(${c.numericPrecision},${c.numericScale})")
+      StructField(c.name, sparkType(c), c.isNullable, mb.build())
+    })
+
+  /** Primary-key column names recoverable from a mapped StructType. */
+  def pkColumns(st: StructType): Seq[String] =
+    st.fields.filter(f => f.metadata.contains("isPrimaryKey") &&
+      f.metadata.getBoolean("isPrimaryKey")).map(_.name).toSeq
+
+  /** Spark type → sink DDL type (encoder/sql.go:197-213 shape). */
+  def sqlType(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+}

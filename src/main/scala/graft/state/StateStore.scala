@@ -1,0 +1,172 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Schema.TableSchema
+
+/** Control-plane state: registrations + versioned schemas + offsets.
+  *
+  * The reference keeps 7 MySQL tables (`state/manager.go:179-321`) because
+  * N worker processes coordinate through row locks. On Spark the driver is
+  * the single coordinator, so state collapses to a small durable store:
+  * registrations (which tables to ingest, where to), schema versions
+  * (gtid-fenced — state/state.go:404-475), and per-task positions
+  * (GTID/seqno high-watermarks; streaming offsets live in Spark
+  * checkpoints). Work distribution is Spark's scheduler — the reference's
+  * `GetTableTask FOR UPDATE SKIP LOCKED` leases (state/lock.go:31-169)
+  * have no Spark counterpart by design.
+  *
+  * Storage is a JSON-lines file per collection (tiny control data, not a
+  * data path); swap `StateBackend` for JDBC in a multi-driver deployment.
+  */
+object StateStore {
+
+  /** One ingestion task: (source table × output × format × version) —
+    * types.TableLoc, /root/reference/types/types.go:35-43.
+    */
+  final case class Registration(
+      service: String,
+      cluster: String,
+      db: String,
+      table: String,
+      input: String, // mysql | file | kafka
+      output: String, // kafka | file | hdfs | s3 | sql
+      outputFormat: String, // json | avro | msgpack | mysql | ansisql | *_idempotent
+      version: Int = 0,
+      params: Map[String, String] = Map.empty, // RowFilter / NoDeleteOnUpdate / schedule...
+      state: String = "unsynced") { // unsynced -> synced (state/state.go:633-654)
+    def key: String = s"$service/$cluster/$db/$table/$output/v$version"
+  }
+
+  /** gtid-fenced schema version (state/state.go:451-475: versioned replace
+    * guarded by schema_gtid compare).
+    */
+  final case class SchemaVersion(db: String, table: String, gtid: String,
+      schemaJson: String, at: Long)
+
+  /** Durable position: seqno high-watermark + GTID set per cluster
+    * (changelog/mysql.go:394-402 persistence; O4/O5).
+    */
+  final case class Position(cluster: String, seqno: Long, gtid: String)
+}
+
+/** Simple durable JSONL-backed store. All writes append + atomic-rename
+  * compact; reads are full scans (control data is tiny).
+  */
+class StateStore(dir: String) {
+  import StateStore._
+  Files.createDirectories(Paths.get(dir))
+
+  private def file(name: String) = Paths.get(dir, s"$name.jsonl")
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  // --- registrations -------------------------------------------------------
+
+  def register(r: Registration): Unit = synchronized {
+    val others = listRegistrations.filterNot(_.key == r.key)
+    writeRegistrations(others :+ r)
+  }
+
+  def deregister(key: String): Unit = synchronized {
+    writeRegistrations(listRegistrations.filterNot(_.key == key))
+  }
+
+  def markSynced(key: String): Unit = synchronized {
+    writeRegistrations(listRegistrations.map(r =>
+      if (r.key == key) r.copy(state = "synced") else r))
+  }
+
+  def listRegistrations: Seq[Registration] = synchronized {
+    val p = file("registrations")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(parseRegistration)
+  }
+
+  private def writeRegistrations(rs: Seq[Registration]): Unit = {
+    val tmp = Paths.get(dir, "registrations.tmp")
+    Files.write(tmp, rs.map(renderRegistration).mkString("\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, file("registrations"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def renderRegistration(r: Registration): String = {
+    val params = r.params.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    s"""{"service":"${esc(r.service)}","cluster":"${esc(r.cluster)}","db":"${esc(r.db)}",""" +
+      s""""table":"${esc(r.table)}","input":"${esc(r.input)}","output":"${esc(r.output)}",""" +
+      s""""outputFormat":"${esc(r.outputFormat)}","version":${r.version},""" +
+      s""""params":{$params},"state":"${esc(r.state)}"}"""
+  }
+
+  private def parseRegistration(line: String): Registration = {
+    def str(k: String): String = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(line)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+    }
+    def num(k: String): Int =
+      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
+    val params = """"params":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1))
+      .filter(_.nonEmpty)
+      .map(_.split(",(?=\")").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap).getOrElse(Map.empty[String, String])
+    Registration(str("service"), str("cluster"), str("db"), str("table"),
+      str("input"), str("output"), str("outputFormat"), num("version"), params, str("state"))
+  }
+
+  // --- schema versions -----------------------------------------------------
+
+  def pushSchema(db: String, table: String, gtid: String, schema: StructType): Unit =
+    synchronized {
+      val line = s"""{"db":"${esc(db)}","table":"${esc(table)}","gtid":"${esc(gtid)}",""" +
+        s""""at":${System.currentTimeMillis()},"schema":"${esc(schema.json)}"}"""
+      Files.write(file("schemas"), (line + "\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+  def currentSchema(db: String, table: String): Option[StructType] = synchronized {
+    val p = file("schemas")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .filter(l => l.contains(s""""db":"${esc(db)}"""") && l.contains(s""""table":"${esc(table)}""""))
+      .lastOption
+      .flatMap { l =>
+        """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(l).map(_.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+      }
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+  }
+
+  // --- positions (seqno / gtid high-watermarks) ----------------------------
+
+  def savePosition(cluster: String, seqno: Long, gtid: String): Unit = synchronized {
+    val line = s"""{"cluster":"${esc(cluster)}","seqno":$seqno,"gtid":"${esc(gtid)}"}"""
+    Files.write(file("positions"), (line + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Monotone restore: on restart the seqno is skipped forward past the
+    * last persisted watermark (changelog/mysql.go:415-417 semantics).
+    */
+  def lastPosition(cluster: String): Option[StateStore.Position] = synchronized {
+    val p = file("positions")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .filter(_.contains(s""""cluster":"${esc(cluster)}""""))
+      .lastOption.map { l =>
+        val seqno = """"seqno":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L)
+        val gtid = """"gtid":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+        StateStore.Position(cluster, seqno, gtid)
+      }
+  }
+}

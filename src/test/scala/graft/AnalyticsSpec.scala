@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextOps}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content with zero overlap nothing shared"),
+    (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, col("doc_id"), col("text")).collect()
+    assert(got.length == 3)
+    val dupGroup = got.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures: identical docs identical, near-dups share most") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"), k = 4, numHashes = 8)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("seed")).map(_.getAs[String]("minhash")).toSeq).toMap
+    assert(sig(1L) == sig(4L)) // exact dup -> identical signature
+    val shared12 = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    val shared13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(shared12 > shared13) // near-dup shares more minhashes than unrelated
+  }
+
+  test("LSH buckets put exact dups together") {
+    val buckets = Dedup.lshBuckets(Dedup.lshBandKeys(
+      Dedup.minhashSignatures(docs, "doc_id", col("text"), k = 4, numHashes = 8),
+      "doc_id", rowsPerBand = 4), "doc_id")
+    assert(buckets.filter(col("n_docs") >= 2).count() >= 1)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBandKeys(
+      Dedup.minhashSignatures(docs, "doc_id", col("text"), k = 4, numHashes = 8),
+      "doc_id", rowsPerBand = 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: exact dups equal, near-dups hamming-close") {
+    val sh = Dedup.simhash(docs, "doc_id", col("text"), bits = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
+  }
+
+  test("ngram jaccard: dup pair ~1.0, bounded in (0,1]") {
+    val pairs = Seq((1L, 4L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", col("text"), k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // close to query
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by dot product") {
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), qv, k = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh buckets separate opposite vectors, group aligned ones") {
+    val b = Similarity.lshBucket(vecs, "vec_id", col("embedding"), dims = 3, numPlanes = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) == b(1L)) // near-identical directions share a bucket
+    assert(b(0L) != b(3L)) // opposite direction differs
+  }
+
+  test("exact cosine agrees with ranking") {
+    val withQ = vecs.crossJoin(
+      vecs.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+    val cos = withQ.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q")).as("c"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("c")).toMap
+    assert(math.abs(cos(3L) + 1.0) < 1e-6)
+    assert(cos(1L) > cos(2L) && cos(2L) > cos(3L))
+  }
+}
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts and occurrences") {
+    val df = Seq(Tuple1("the cat and the hat")).toDF("t")
+    assert(df.select(TextOps.tokenCount(col("t"))).head().getInt(0) == 5)
+    assert(df.select(TextOps.occurrences(concat(lit(" "), col("t"), lit(" ")), " the "))
+      .head().getInt(0) == 2)
+  }
+
+  test("regex tokenizer splits words, numbers, punctuation") {
+    val toks = Seq(Tuple1("ab12, cd!")).toDF("t")
+      .select(TextOps.tokensRegex(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq("ab", "12", ",", "cd", "!"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+      .select(TextOps.fingerprint(col("a")).as("fa"), TextOps.fingerprint(col("b")).as("fb"))
+    val r = df.head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("langid prefers the language with most marker hits") {
+    val df = Seq(
+      ("the cat and a dog", "en"),
+      ("le chat et la chienne", "fr"),
+      ("der hund und die katze", "de"))
+      .toDF("t", "expect")
+      .select(TextOps.predictLang(col("t")).as("got"), col("expect"))
+    assert(df.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("media column wrap carries typed metadata") {
+    val df = Multimodal.asMediaColumn(
+      Seq((1L, "fake image bytes")).toDF("id", "payload"), "payload", "image")
+    val r = df.select(col("media"), col("media_meta.media_type"),
+      col("media_meta.n_bytes"), col("media_meta.sha")).head()
+    assert(new String(r.getAs[Array[Byte]](0)) == "fake image bytes")
+    assert(r.getString(1) == "image")
+    assert(r.getLong(2) == 16L)
+    assert(r.getString(3).length == 64)
+  }
+
+  test("feature extraction preserves partitioning and schema") {
+    val df = Multimodal.asMediaColumn(
+      (1 to 100).map(i => (i.toLong, s"payload-$i")).toDF("id", "payload").repartition(4),
+      "payload", "image")
+    val feats = Multimodal.extractFeatures(df)
+    assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle introduced
+    assert(feats.columns.toSet == Set("id", "payload", "media_meta", "width", "height", "byte_sum"))
+    assert(feats.count() == 100)
+    val r = feats.filter(col("id") === 1).head()
+    assert(r.getAs[Long]("byte_sum") > 0)
+  }
+}

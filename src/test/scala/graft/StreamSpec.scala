@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.stream.Streamer
+
+case class Cdc(op: String, ts: Long, id: Long, k: Long, v: String)
+
+class StreamerSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("changelog phase: updates expand, seqnos monotone across epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Cdc]
+    val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    stream.addData(
+      Cdc("insert", 1, 1, 100, "a"),
+      Cdc("update", 2, 2, 100, "b"),
+      Cdc("delete", 3, 3, 100, null))
+
+    val q = Streamer.changelogPhase(stream.toDF(), Seq("ts", "id"), ckpt,
+      (batch, _) => results += batch.cache())
+    q.awaitTermination()
+
+    val rows = results.flatMap(_.collect()).sortBy(_.getAs[Long]("seqno"))
+    // 1 insert + (delete+insert) + 1 delete = 4 physical events
+    assert(rows.map(r => (r.getAs[String]("op"), r.getAs[Long]("id"))).toSeq ==
+      Seq(("insert", 1L), ("delete", 2L), ("insert", 2L), ("delete", 3L)))
+    // delete-half of the update precedes its insert-half in seqno order
+    val seqnos = rows.map(_.getAs[Long]("seqno"))
+    assert(seqnos == seqnos.sorted && seqnos.distinct.length == seqnos.length)
+
+    // second batch: epoch increments keep seqnos monotone (restart-safe)
+    val stream2Results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    stream.addData(Cdc("insert", 4, 4, 101, "c"))
+    val q2 = Streamer.changelogPhase(stream.toDF(), Seq("ts", "id"), ckpt,
+      (batch, _) => stream2Results += batch.cache())
+    q2.awaitTermination()
+    val laterSeqnos = stream2Results.flatMap(_.collect()).map(_.getAs[Long]("seqno"))
+    assert(laterSeqnos.nonEmpty && laterSeqnos.min > seqnos.max)
+  }
+
+  test("snapshot + changelog merge resolves latest-by-seqno with tombstones") {
+    val snapshot = Streamer.snapshotPhase(
+      Seq((100L, "old"), (200L, "keep")).toDF("k", "v"))
+    val log = Seq(
+      ("insert", 100L, "new", 5L), // overwrites snapshot state
+      ("insert", 300L, "born", 6L),
+      ("delete", 300L, null, 7L)) // tombstone wins over its insert
+      .toDF("op", "k", "v", "seqno").withColumn("half", lit(1))
+    val merged = Streamer.resolveLatest(
+      snapshot.select("op", "k", "v", "seqno", "half").unionByName(log),
+      keyCols = Seq("k"), orderCols = Seq("seqno", "half"))
+    val got = merged.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(100L -> "new", 200L -> "keep"))
+  }
+}
+
+class FileSinkSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.pipes.FileSink
+
+  test("json sink writes _DONE manifest with per-file sha256 + record counts") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/out"
+    val df = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2)
+    val manifest = FileSink.write(df, dir, format = "json")
+    assert(manifest.nonEmpty)
+    assert(manifest.map(_.numRecs).sum == 100)
+    // verify a recorded hash against the file on disk
+    val m = manifest.head
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(dir, m.fileName))
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+    assert(h == m.hash)
+    // _DONE content parses as the reference's [{NumRecs,Hash,FileName}] array
+    val done = new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "_DONE")))
+    assert(done.startsWith("""[{"NumRecs":"""))
+    assert(done.contains(m.fileName))
+  }
+
+  test("gzip json sink still hashes the stored (compressed) files") {
+    val dir = Files.createTempDirectory("graft-sinkgz").toString + "/out"
+    val manifest = FileSink.write(
+      Seq((1L, "a")).toDF("k", "v"), dir, format = "json", gzip = true)
+    assert(manifest.exists(_.fileName.endsWith(".gz")))
+  }
+}
+
+class StateStoreSpec extends SparkSuite {
+  import graft.state.StateStore
+  import graft.state.StateStore.Registration
+
+  test("registration lifecycle: register -> sync -> deregister") {
+    val st = new StateStore(Files.createTempDirectory("graft-state").toString)
+    val r = Registration("svc", "cl1", "db1", "t1", "mysql", "kafka", "json",
+      params = Map("NoDeleteOnUpdate" -> "true"))
+    st.register(r)
+    assert(st.listRegistrations.map(_.key) == Seq(r.key))
+    assert(st.listRegistrations.head.state == "unsynced")
+    assert(st.listRegistrations.head.params("NoDeleteOnUpdate") == "true")
+    st.markSynced(r.key)
+    assert(st.listRegistrations.head.state == "synced")
+    // re-register same key replaces, not duplicates (ON DUPLICATE KEY semantics)
+    st.register(r.copy(outputFormat = "avro"))
+    assert(st.listRegistrations.size == 1)
+    assert(st.listRegistrations.head.outputFormat == "avro")
+    st.deregister(r.key)
+    assert(st.listRegistrations.isEmpty)
+  }
+
+  test("schema versions: latest wins, survives json round-trip") {
+    import org.apache.spark.sql.types._
+    val st = new StateStore(Files.createTempDirectory("graft-state2").toString)
+    val v1 = StructType(Seq(StructField("f1", LongType, nullable = false)))
+    val v2 = v1.add(StructField("f2", StringType))
+    st.pushSchema("db1", "t1", "gtid:1", v1)
+    st.pushSchema("db1", "t1", "gtid:2", v2)
+    assert(st.currentSchema("db1", "t1").contains(v2))
+    assert(st.currentSchema("db1", "nope").isEmpty)
+  }
+
+  test("positions: seqno high-watermark restores monotone") {
+    val st = new StateStore(Files.createTempDirectory("graft-state3").toString)
+    st.savePosition("cl1", 1000000L, "uuid:1-500")
+    st.savePosition("cl1", 2000000L, "uuid:1-900")
+    assert(st.lastPosition("cl1").map(_.seqno).contains(2000000L))
+    assert(st.lastPosition("cl1").map(_.gtid).contains("uuid:1-900"))
+    assert(st.lastPosition("other").isEmpty)
+  }
+}
