@@ -117,9 +117,8 @@ object QueriesAnalytics {
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.lshBuckets(
-      Dedup.lshBandKeys(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", col("text"), k = 8, numHashes = 8),
-        "doc_id", rowsPerBand = 4),
+      Dedup.lshBandKeys(docs(s, dir), "doc_id", col("text"), k = 8,
+        numHashes = 8, rowsPerBand = 4),
       "doc_id")
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -175,7 +174,8 @@ object QueriesAnalytics {
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct_tok"))
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    graft.core.Spread.byKey(docs(s, dir), col("doc_id")) // regex-heavy: spread single-file input
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
   /** Multimodal plumbing: opaque bytes + typed metadata (decode itself is
     * stubbed in [[graft.analytics.Multimodal]] — no codec libs in-container).

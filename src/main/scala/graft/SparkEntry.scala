@@ -39,6 +39,26 @@ object SparkEntry {
 
   private val centsSum = "CAST(SUM(CAST(ROUND(%s) AS BIGINT)) AS BIGINT)"
 
+  /** Shared CTE: one md5 per 8-char shingle, 8 hash functions as 4-char
+    * hex rotations, all mins in one grouped pass (mirrors
+    * Dedup.minhashWide).
+    */
+  private val minhashSigCte =
+    """WITH sh AS (
+      |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h FROM (
+      |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      |    FROM documents)),
+      |sig AS (SELECT doc_id,
+      |  MIN(h) AS m0,
+      |  MIN(substr(h, 5, 28) || substr(h, 1, 4)) AS m1,
+      |  MIN(substr(h, 9, 24) || substr(h, 1, 8)) AS m2,
+      |  MIN(substr(h, 13, 20) || substr(h, 1, 12)) AS m3,
+      |  MIN(substr(h, 17, 16) || substr(h, 1, 16)) AS m4,
+      |  MIN(substr(h, 21, 12) || substr(h, 1, 20)) AS m5,
+      |  MIN(substr(h, 25, 8) || substr(h, 1, 24)) AS m6,
+      |  MIN(substr(h, 29, 4) || substr(h, 1, 28)) AS m7
+      |FROM sh GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -222,27 +242,24 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q_dedup_minhash" ->
-      """WITH sh AS (
-        |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
-        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-        |    FROM documents)),
-        |se AS (SELECT doc_id, CAST(s.g AS INT) AS seed, shingle FROM sh, generate_series(0, 7) s(g))
-        |SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || shingle)) AS minhash
-        |FROM se GROUP BY doc_id, seed""".stripMargin,
+      (minhashSigCte +
+        """
+          |SELECT doc_id, 0 AS seed, m0 AS minhash FROM sig
+          |UNION ALL SELECT doc_id, 1, m1 FROM sig
+          |UNION ALL SELECT doc_id, 2, m2 FROM sig
+          |UNION ALL SELECT doc_id, 3, m3 FROM sig
+          |UNION ALL SELECT doc_id, 4, m4 FROM sig
+          |UNION ALL SELECT doc_id, 5, m5 FROM sig
+          |UNION ALL SELECT doc_id, 6, m6 FROM sig
+          |UNION ALL SELECT doc_id, 7, m7 FROM sig""".stripMargin),
 
     "q_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
-        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-        |    FROM documents)),
-        |se AS (SELECT doc_id, CAST(s.g AS INT) AS seed, shingle FROM sh, generate_series(0, 7) s(g)),
-        |sig AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || shingle)) AS minhash
-        |        FROM se GROUP BY doc_id, seed),
-        |bk AS (SELECT doc_id, CASE WHEN seed < 4 THEN 0 ELSE 1 END AS band,
-        |         md5(string_agg(minhash, '' ORDER BY seed)) AS band_key
-        |       FROM sig GROUP BY doc_id, CASE WHEN seed < 4 THEN 0 ELSE 1 END)
-        |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
-        |FROM bk GROUP BY band, band_key""".stripMargin,
+      (minhashSigCte +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig)
+          |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+          |FROM bk GROUP BY band, band_key""".stripMargin),
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Spread
+
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
   * Scale design (100 TB): every variant reduces a document to a small
@@ -26,38 +28,68 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Character k-shingles as (doc_id, shingle) rows. `sequence`+`explode`
-    * stays distributed; a doc of n chars yields n-k+1 rows.
+  /** Character k-shingles as (doc_id, shingle) rows. A doc of n chars
+    * yields n-k+1 rows; the input is hash-repartitioned on the doc id
+    * FIRST so the ~n× explode fan-out runs on every core even when the
+    * source is a single parquet file (and, at 100 TB, so skewed input
+    * files don't serialize the hash work).
     */
   def shingles(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame =
-    docs.select(col(idCol), text.as("_t"),
+    Spread.byKey(docs, col(idCol))
+      .select(col(idCol), text.as("_t"),
         explode(sequence(lit(1), greatest(length(text) - (k - 1), lit(1)))).as("pos"))
       .select(col(idCol), expr(s"substring(_t, pos, $k)").as("shingle"))
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signatures: for each seed s, min over shingles of
-    * md5(s || shingle). k independent hash functions via seed prefixing.
-    * Output: (id, seed, minhash) — one shuffle, map-side combined.
+  /** One-permutation-style hash family: hash function `s` orders shingles
+    * by the md5 hex string rotated left by 4*s characters. One md5 per
+    * shingle feeds all k functions (vs. k md5s), and the k mins compute in
+    * a SINGLE map-side-combined aggregation pass — at 100 TB this is one
+    * shuffle of (doc_id, m0..mk) partials, no k-times-exploded
+    * intermediate.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, text: Column,
-                        k: Int, numHashes: Int): DataFrame =
+  private def rot(h: Column, s: Int): Column =
+    if (s == 0) h
+    else concat(substring(h, 4 * s + 1, 32 - 4 * s), substring(h, 1, 4 * s))
+
+  /** Wide signatures: one row per doc, columns m0..m{numHashes-1}. */
+  def minhashWide(docs: DataFrame, idCol: String, text: Column,
+                  k: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 8, "rotation family uses 4-char steps over 32 hex chars")
+    val h = md5(col("shingle"))
+    val aggs = (0 until numHashes).map(s => min(rot(h, s)).as(s"m$s"))
     shingles(docs, idCol, text, k)
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed").cast("int").as("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), col("shingle")))).as("minhash"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.drop(1): _*)
+  }
+
+  /** Long-format signatures (id, seed, minhash) — the oracle-checked shape. */
+  def minhashSignatures(docs: DataFrame, idCol: String, text: Column,
+                        k: Int, numHashes: Int): DataFrame = {
+    val wide = minhashWide(docs, idCol, text, k, numHashes)
+    wide.select(col(idCol),
+        explode(array((0 until numHashes).map(s =>
+          struct(lit(s).as("seed"), col(s"m$s").as("minhash"))): _*)).as("e"))
+      .select(col(idCol), col("e.seed").as("seed"), col("e.minhash").as("minhash"))
+  }
 
   /** LSH banding: hash each document's per-band signature slice to a band
     * key; documents sharing a (band, band_key) bucket are near-dup
-    * candidates. `rowsPerBand` consecutive seeds form a band.
+    * candidates. `rowsPerBand` consecutive hash functions form a band.
+    * Computed straight off the wide signatures — no per-seed shuffle.
     */
-  def lshBandKeys(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        x => x.getField("minhash")), "")).as("band_key"))
+  def lshBandKeys(docs: DataFrame, idCol: String, text: Column, k: Int,
+                  numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val wide = minhashWide(docs, idCol, text, k, numHashes)
+    val numBands = numHashes / rowsPerBand
+    wide.select(col(idCol),
+        explode(array((0 until numBands).map { b =>
+          val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+          struct(lit(b).as("band"), md5(concat(slice: _*)).as("band_key"))
+        }: _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.band_key").as("band_key"))
+  }
 
   /** Candidate-pair buckets: bucket population per band key. Pairs are
     * (a, b) within a bucket with a < b; at scale emit pairs only for
@@ -83,7 +115,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, text: Column, bits: Int): DataFrame = {
     require(bits <= 16, "simhash uses one hex nibble per bit, md5 gives 32")
-    val tok = docs.select(col(idCol), explode(split(text, " ")).as("w"))
+    val tok = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), explode(split(text, " ")).as("w"))
       .withColumn("h", md5(col("w")))
       .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
       .withColumn("wt",
@@ -104,7 +137,10 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    text: Column, k: Int): DataFrame = {
-    val sh = shingles(docs, idCol, text, k).distinct()
+    // the distinct shingle set feeds three consumers (both join sides +
+    // set sizes) — materialize once instead of recomputing the
+    // explode+distinct three times
+    val sh = shingles(docs, idCol, text, k).distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val aSh = sh.select(col(idCol).as("_ja"), col("shingle").as("_sha"))
     val bSh = sh.select(col(idCol).as("_jb"), col("shingle").as("_shb"))

@@ -54,6 +54,7 @@ object Similarity {
   def lshBucket(embeddings: DataFrame, idCol: String, vec: Column,
                 dims: Int, numPlanes: Int): DataFrame = {
     embeddings
+      .transform(df => graft.core.Spread.byKey(df, col(idCol))) // spread the wide dot-product expressions
       .select(col(idCol), quantize(vec).as("_q"),
         explode(sequence(lit(0), lit(numPlanes - 1))).as("j"))
       .withColumn("sdot",

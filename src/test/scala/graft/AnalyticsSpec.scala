@@ -32,13 +32,11 @@ class DedupSpec extends SparkSuite {
   }
 
   test("LSH buckets put exact dups together") {
-    val buckets = Dedup.lshBuckets(Dedup.lshBandKeys(
-      Dedup.minhashSignatures(docs, "doc_id", col("text"), k = 4, numHashes = 8),
-      "doc_id", rowsPerBand = 4), "doc_id")
+    val bandKeys = Dedup.lshBandKeys(docs, "doc_id", col("text"), k = 4,
+      numHashes = 8, rowsPerBand = 4)
+    val buckets = Dedup.lshBuckets(bandKeys, "doc_id")
     assert(buckets.filter(col("n_docs") >= 2).count() >= 1)
-    val pairs = Dedup.lshCandidatePairs(Dedup.lshBandKeys(
-      Dedup.minhashSignatures(docs, "doc_id", col("text"), k = 4, numHashes = 8),
-      "doc_id", rowsPerBand = 4), "doc_id")
+    val pairs = Dedup.lshCandidatePairs(bandKeys, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
