@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity}
+import graft.core.{Spread, Tables}
+
+/** Third query batch: embedding near-dup, term statistics, pivots,
+  * percentiles. Same determinism conventions as [[QueriesCdc]].
+  */
+object QueriesExtra {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+
+  /** Embedding-cosine near-dup: candidate pairs from shared LSH bucket,
+    * scored by exact quantized-integer dot product. At 100 TB the
+    * self-join is per-bucket (bounded), never all-pairs.
+    */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"),
+      dims = 64, numPlanes = 8)
+    val q = emb(s, dir).select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .join(buckets, "vec_id")
+    val a = q.select(col("bucket"), col("vec_id").as("vec_a"), col("qv").as("qa"))
+    val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("qv").as("qb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Similarity.dotQ(col("qa"), col("qb")).as("dot"))
+      .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors
+  }
+
+  /** Term frequency: top terms by document frequency (tokenize → explode →
+    * two-level agg). Deterministic top-k via (count, term) ordering.
+    */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    Spread.byKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(20)
+
+  /** Word bigrams: adjacent-token pairs per doc, global counts, top 20. */
+  def bigrams(s: SparkSession, dir: String): DataFrame =
+    Spread.byKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("nxt", lead(col("w"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(concat(col("w"), lit(" "), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** Pivot: per-user event-type counts as conditional aggregations (the
+    * shuffle-once form of PIVOT).
+    */
+  def pivotUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+
+  /** Per-source document stats (integer-exact aggregates). */
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** Exact interpolated percentiles over integer cents (sort-based; at
+    * scale prefer approx_percentile — see q_approx_stats).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Sketch-based stats — the 100 TB path (HLL + KLL-style quantiles).
+    * Not DuckDB-expressible (different sketch algorithms) => rows-only
+    * check; the exact twins above are the correctness anchor.
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_neardup" -> embedNeardup _,
+    "q_term_freq" -> termFreq _,
+    "q_bigrams" -> bigrams _,
+    "q_pivot_users" -> pivotUsers _,
+    "q_doc_stats" -> docStats _,
+    "q_percentiles" -> percentiles _,
+    "q_approx_stats" -> approxStats _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_neardup" ->
+      """WITH s AS (
+        |  SELECT vec_id, p.j,
+        |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
+        |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
+        |  FROM embeddings, generate_series(0, 7) p(j), generate_series(1, 64) g(i)),
+        |bs AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM bs GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(ROUND(CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  CROSS JOIN generate_series(1, 64) g(i)
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT vec_a, vec_b, dot FROM dots WHERE dot > 20000""".stripMargin,
+
+    "q_term_freq" ->
+      """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS pos FROM ws),
+        |pairs AS (
+        |  SELECT w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] AS bigram FROM tok)
+        |SELECT bigram, COUNT(*) AS n FROM pairs
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_pivot_users" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_doc_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    // q_approx_stats: intentionally no oracle (sketches differ per engine)
+  )
+}
