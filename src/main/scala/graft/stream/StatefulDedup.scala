@@ -1,0 +1,46 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming dedup: emit each key's row only the first time it is
+  * seen, tracked with `flatMapGroupsWithState` (SURVEY §2.6 — the
+  * reference has no stateful streaming; this is the north-star extension
+  * point for exactly-once-per-key pipelines).
+  *
+  * State per key is a single Boolean with an idle timeout, so the state
+  * store holds one bit per distinct key seen within the retention window —
+  * the streaming analogue of exact dedup, bounded by timeout rather than
+  * corpus size.
+  */
+object StatefulDedup {
+
+  final case class Keyed(key: String, payload: String)
+
+  /** @param idleTimeoutMs state retention; <= 0 disables the timeout
+    *                      (unbounded state — fine for tests/small key
+    *                      spaces; production sets a retention window so a
+    *                      micro-batch keeps firing to expire idle keys)
+    */
+  def firstSeenOnly(spark: SparkSession, ds: Dataset[Keyed],
+                    idleTimeoutMs: Long = 3600 * 1000L): Dataset[Keyed] = {
+    import spark.implicits._
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](OutputMode.Append, timeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // key already emitted
+          } else {
+            state.update(true)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            rows.take(1) // first occurrence only, even within a batch
+          }
+      }
+  }
+}
