@@ -101,18 +101,22 @@ object QueriesCdc {
       .select(RowKey.partitionKey(col("l_orderkey"), 32).as("pkey"))
       .groupBy("pkey").agg(count(lit(1)).as("n"))
 
-  /** E1: Common Format JSON encoding at the sink edge. */
-  def cfJson(s: SparkSession, dir: String): DataFrame =
+  /** E1: Common Format JSON encoding at the sink edge (typed values,
+    * reference wire shape).
+    */
+  def cfJson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
     lineitem(s, dir)
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
         CommonFormatJson.insertJson(
-          key = Seq(col("l_orderkey"), col("l_linenumber")),
+          key = Seq(col("l_orderkey") -> LongType, col("l_linenumber") -> IntegerType),
           seqNo = col("l_orderkey") * 10 + col("l_linenumber"),
           timestamp = lit(0L),
           fields = Seq(
-            "l_returnflag" -> col("l_returnflag"),
-            "l_linestatus" -> col("l_linestatus"))).as("cf_json"))
+            ("l_returnflag", col("l_returnflag"), StringType),
+            ("l_linestatus", col("l_linestatus"), StringType))).as("cf_json"))
+  }
 
   private val dmlCols = Seq(
     ("l_orderkey", col("l_orderkey"), false),
@@ -127,13 +131,14 @@ object QueriesCdc {
         SqlDml.insertStmt("lineitem", col("l_orderkey") * 10 + col("l_linenumber"), dmlCols)
           .as("stmt"))
 
-  /** E4: idempotent DML — last-writer-wins by seqno. */
+  /** E4: idempotent DML — last-writer-wins by seqno, non-PK columns only. */
   def sqlDmlIdempotent(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .filter(col("l_orderkey") % 50 === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
         SqlDml.insertIdempotentStmt("lineitem",
-          col("l_orderkey") * 10 + col("l_linenumber"), dmlCols).as("stmt"))
+          col("l_orderkey") * 10 + col("l_linenumber"), dmlCols,
+          pkCols = Set("l_orderkey", "l_linenumber")).as("stmt"))
 
   /** E8: type normalization at the scan edge. */
   def typeNorm(s: SparkSession, dir: String): DataFrame =

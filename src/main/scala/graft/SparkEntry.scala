@@ -18,14 +18,15 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     import graft.core.{RowKey, Tables}
     import graft.encode.CommonFormatJson
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 10)
       .select(col("l_orderkey"), col("l_linenumber"),
         RowKey.rowKey(Seq(col("l_orderkey"), col("l_linenumber"))),
         CommonFormatJson.insertJson(
-          Seq(col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_orderkey") -> LongType, col("l_linenumber") -> IntegerType),
           col("l_orderkey") * 10 + col("l_linenumber"), lit(0L),
-          Seq("l_returnflag" -> col("l_returnflag"))).as("cf_json"))
+          Seq(("l_returnflag", col("l_returnflag"), StringType))).as("cf_json"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + analytics. */
@@ -113,8 +114,8 @@ object SparkEntry {
 
     "q_cf_json" ->
       """SELECT l_orderkey, l_linenumber,
-        |  '{"Type":"insert","Key":["' || CAST(l_orderkey AS VARCHAR) || '","'
-        |  || CAST(l_linenumber AS VARCHAR) || '"],"SeqNo":'
+        |  '{"Type":"insert","Key":[' || CAST(l_orderkey AS VARCHAR) || ','
+        |  || CAST(l_linenumber AS VARCHAR) || '],"SeqNo":'
         |  || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
         |  || ',"Timestamp":0,"Fields":[{"Name":"l_returnflag","Value":"' || l_returnflag
         |  || '"},{"Name":"l_linestatus","Value":"' || l_linestatus || '"}]}' AS cf_json
@@ -134,7 +135,7 @@ object SparkEntry {
         |  || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || ','
         |  || CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR) || ','''
         |  || REPLACE(l_returnflag, '''', '''''') || ''')'
-        |  || ' ON DUPLICATE KEY UPDATE l_orderkey=IF(seqno<VALUES(seqno),VALUES(l_orderkey),l_orderkey), l_linenumber=IF(seqno<VALUES(seqno),VALUES(l_linenumber),l_linenumber), l_returnflag=IF(seqno<VALUES(seqno),VALUES(l_returnflag),l_returnflag);' AS stmt
+        |  || ' ON DUPLICATE KEY UPDATE "l_returnflag"= IF(seqno < VALUES(seqno), VALUES("l_returnflag"),"l_returnflag"), seqno = IF(seqno < VALUES(seqno), VALUES(seqno), seqno);' AS stmt
         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
 
     "q_type_norm" ->

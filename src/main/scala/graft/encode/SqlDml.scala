@@ -3,33 +3,38 @@ package graft.encode
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** SQL DML encoders (`mysql`/`ansisql` + `_idempotent` variants).
+/** SQL DML encoders (`mysql`/`ansisql` + `_idempotent` variants) —
+  * byte-parity with the reference statement shapes.
   *
-  * Statement shapes from the reference (/root/reference/encoder/sql.go:34-314):
-  *  - INSERT INTO "t" ("seqno","c1",…) VALUES (v1,…);
-  *  - DELETE FROM "t" WHERE seqno=… AND pk=…;
-  *  - idempotent: … ON DUPLICATE KEY UPDATE c=IF(seqno<VALUES(seqno),
-  *    VALUES(c),c), … — last-writer-wins by seqno
-  *    (/root/reference/encoder/sql.go:133-148, :231-238).
-  *  - schema: CREATE TABLE "t" ("seqno" BIGINT NOT NULL, …,
-  *    UNIQUE KEY("seqno"), PRIMARY KEY (pks)); (:197-213)
+  * Golden strings (/root/reference/main_test.go:64-77, :100-110):
+  *   INSERT INTO "t" ("seqno","f1","f3","f4") VALUES (5,1,0,NULL);
+  *   DELETE FROM "t" WHERE "seqno"=5 AND "f1"=1;
+  *   idempotent suffix (non-PK columns only, last-writer-wins by seqno —
+  *   encoder/sql.go:133-148):
+  *     ON DUPLICATE KEY UPDATE "f3"= IF(seqno < VALUES(seqno),
+  *     VALUES("f3"),"f3"),…, seqno = IF(seqno < VALUES(seqno),
+  *     VALUES(seqno), seqno);
   *
-  * The generated statements are data (string columns) executed in
-  * `foreachBatch` via JDBC; on Delta-capable sinks the idempotent variant
-  * maps to `MERGE … WHEN MATCHED AND s.seqno > t.seqno THEN UPDATE`.
-  * String escaping doubles single quotes (util/mysql.go:24-96 semantics).
+  * The `mysql` dialect variant replaces double with backquote identifier
+  * quoting ("quotes replaced in the code" — main_test.go:83).
+  * Statements are data (string columns) executed in `foreachBatch` via
+  * JDBC; on Delta-capable sinks the idempotent variant maps to
+  * `MERGE … WHEN MATCHED AND s.seqno > t.seqno THEN UPDATE`.
   */
 object SqlDml {
 
-  /** Escape a string column for embedding in a single-quoted SQL literal. */
+  /** Escape a string for a single-quoted SQL literal (doubled quotes —
+    * util/mysql.go:24-96 semantics).
+    */
   def sqlQuote(c: Column): Column =
     concat(lit("'"), regexp_replace(c.cast("string"), "'", "''"), lit("'"))
 
-  /** Render a value for VALUES(): numeric columns pass through, strings get
-    * quoted. Caller says which.
+  /** Render a value for VALUES(): NULL literal, quoted string, or bare
+    * number/boolean.
     */
   def value(c: Column, quoted: Boolean): Column =
-    if (quoted) sqlQuote(c) else c.cast("string")
+    when(c.isNull, lit("NULL"))
+      .otherwise(if (quoted) sqlQuote(c) else c.cast("string"))
 
   private def colList(cols: Seq[String]): String =
     cols.map(c => "\"" + c + "\"").mkString(",")
@@ -45,30 +50,41 @@ object SqlDml {
   def insertStmt(table: String, seqno: Column, cols: Seq[(String, Column, Boolean)]): Column =
     concat(insertBody(table, seqno, cols), lit(";"))
 
-  /** DELETE statement keyed by seqno + PK (encoder/sql.go delete shape). */
+  /** DELETE keyed by seqno + PK (main_test.go:101 shape). */
   def deleteStmt(table: String, seqno: Column, pk: Seq[(String, Column, Boolean)]): Column = {
     val conds: Seq[Column] = pk.flatMap { case (n, c, q) =>
       Seq(lit(s""" AND "$n"="""), value(c, q))
     }
-    concat((lit(s"""DELETE FROM "$table" WHERE seqno=""") +: seqno.cast("string") +: conds) :+ lit(";"): _*)
+    concat((lit(s"""DELETE FROM "$table" WHERE "seqno"=""") +: seqno.cast("string") +: conds)
+      :+ lit(";"): _*)
   }
 
-  /** Idempotent suffix: last-writer-wins by seqno for every non-key column. */
-  def onDuplicateKeyUpdate(cols: Seq[String]): String =
-    " ON DUPLICATE KEY UPDATE " + cols.map(c =>
-      s"""$c=IF(seqno<VALUES(seqno),VALUES($c),$c)""").mkString(", ")
+  /** Idempotent suffix: last-writer-wins by seqno for every NON-KEY
+    * column, then the seqno column itself (main_test.go:73 golden).
+    */
+  def onDuplicateKeyUpdate(nonKeyCols: Seq[String]): String = {
+    val colClauses = nonKeyCols.map(c =>
+      s""""$c"= IF(seqno < VALUES(seqno), VALUES("$c"),"$c")""").mkString(",")
+    s" ON DUPLICATE KEY UPDATE $colClauses, seqno = IF(seqno < VALUES(seqno), VALUES(seqno), seqno);"
+  }
 
-  /** Idempotent INSERT: append the ON DUPLICATE KEY UPDATE clause. */
+  /** Idempotent INSERT: reference shape, updating non-PK columns only. */
   def insertIdempotentStmt(table: String, seqno: Column,
-                           cols: Seq[(String, Column, Boolean)]): Column =
+                           cols: Seq[(String, Column, Boolean)],
+                           pkCols: Set[String]): Column =
     concat(insertBody(table, seqno, cols),
-      lit(onDuplicateKeyUpdate(cols.map(_._1)) + ";"))
+      lit(onDuplicateKeyUpdate(cols.map(_._1).filterNot(pkCols.contains))))
 
-  /** Sink DDL from a (name, sqlType, notNull) column spec. */
+  /** Sink DDL from a (name, sqlType, notNull) column spec
+    * (main_test.go:345 shape).
+    */
   def createTableStmt(table: String, cols: Seq[(String, String, Boolean)], pk: Seq[String]): String = {
     val defs = ("\"seqno\" BIGINT NOT NULL" +: cols.map { case (n, t, nn) =>
       s""""$n" $t${if (nn) " NOT NULL" else ""}"""
     }).mkString(", ")
     s"""CREATE TABLE "$table" ($defs, UNIQUE KEY("seqno"), PRIMARY KEY (${pk.mkString(", ")}));"""
   }
+
+  /** ansisql -> mysql dialect: double quotes become backquotes. */
+  def toMySqlDialect(stmt: Column): Column = regexp_replace(stmt, "\"", "`")
 }

@@ -53,13 +53,5 @@ class Coordinator(spark: SparkSession, state: StateStore, outRoot: String) {
   }
 
   private def encodeCf(df: DataFrame, pkCols: Seq[String], payloadCols: Seq[String]): DataFrame =
-    df.select(CommonFormatJson.toJsonString(CommonFormatJson.event(
-        col("op"),
-        pkCols.map(col),
-        col("seqno"),
-        lit(0L),
-        payloadCols.map(c => c -> col(c))))
-      .as("value"))
-      .withColumn("key", lit(null).cast("string")) // CF value only; key column for Kafka pipes
-      .select("value")
+    df.select(CommonFormatJson.encodeRows(df, pkCols, payloadCols).as("value"))
 }

@@ -7,22 +7,41 @@ import graft.encode.{AvroCodec, CommonFormatJson, MsgPackCodec, SqlDml}
 
 class CfJsonSpec extends SparkSuite {
   import spark.implicits._
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-  test("CF JSON matches the reference wire shape") {
-    // shape from /root/reference/main_test.go:56-61 golden strings
-    val df = Seq((1L, "a")).toDF("f1", "f2").select(
-      CommonFormatJson.insertJson(Seq(col("f1")), lit(7L), lit(0L),
-        Seq("f1" -> col("f1"), "f2" -> col("f2"))).as("j"))
+  test("insert golden string — typed values, nulls (main_test.go:57)") {
+    // {"Type":"insert","Key":[1],"SeqNo":5,"Timestamp":0,
+    //  "Fields":[{"Name":"f1","Value":1},{"Name":"f3","Value":0},{"Name":"f4","Value":null}]}
+    val df = Seq((1L, 0, Option.empty[Int])).toDF("f1", "f3", "f4").select(
+      CommonFormatJson.insertJson(Seq(col("f1") -> LongType), lit(5L), lit(0L),
+        Seq(("f1", col("f1"), LongType), ("f3", col("f3"), IntegerType),
+          ("f4", col("f4"), IntegerType))).as("j"))
     assert(df.head().getString(0) ==
-      """{"Type":"insert","Key":["1"],"SeqNo":7,"Timestamp":0,"Fields":[{"Name":"f1","Value":"1"},{"Name":"f2","Value":"a"}]}""")
+      """{"Type":"insert","Key":[1],"SeqNo":5,"Timestamp":0,"Fields":[{"Name":"f1","Value":1},{"Name":"f3","Value":0},{"Name":"f4","Value":null}]}""")
   }
 
-  test("delete events carry key without payload fields") {
+  test("string values quoted and escaped (main_test.go:58)") {
+    val df = Seq((1L, "bbb1"), (2L, """q"uo\te""")).toDF("f1", "f2").select(
+      CommonFormatJson.insertJson(Seq(col("f1") -> LongType), lit(6L), lit(0L),
+        Seq(("f2", col("f2"), StringType))).as("j"))
+    val rows = df.collect().map(_.getString(0))
+    assert(rows(0) ==
+      """{"Type":"insert","Key":[1],"SeqNo":6,"Timestamp":0,"Fields":[{"Name":"f2","Value":"bbb1"}]}""")
+    assert(rows(1).contains("""{"Name":"f2","Value":"q\"uo\\te"}"""))
+  }
+
+  test("delete golden string: no Fields member (main_test.go:96)") {
     val df = Seq(Tuple1(3L)).toDF("f1").select(
-      CommonFormatJson.toJsonString(CommonFormatJson.event(
-        lit("delete"), Seq(col("f1")), lit(9L), lit(0L), Seq.empty)).as("j"))
+      CommonFormatJson.deleteJson(Seq(col("f1") -> LongType), lit(9L), lit(0L)).as("j"))
     assert(df.head().getString(0) ==
-      """{"Type":"delete","Key":["3"],"SeqNo":9,"Timestamp":0,"Fields":[]}""")
+      """{"Type":"delete","Key":[3],"SeqNo":9,"Timestamp":0}""")
+  }
+
+  test("schema event golden string (encoder_test.go:136 shape)") {
+    val got = CommonFormatJson.schemaEventJson(Seq("f1"), 1L, 0L,
+      Seq("f1" -> "bigint", "f2" -> "char(16)", "f17" -> "tinyint(1)"))
+    assert(got ==
+      """{"Type":"schema","Key":["f1"],"SeqNo":1,"Timestamp":0,"Fields":[{"Name":"f1","Value":"bigint"},{"Name":"f2","Value":"char(16)"},{"Name":"f17","Value":"tinyint(1)"}]}""")
   }
 }
 
@@ -34,20 +53,23 @@ class SqlDmlSpec extends SparkSuite {
     ("f3", col("f3"), false),
     ("f4", col("f4"), true))
 
-  test("INSERT matches the reference statement shape") {
-    // /root/reference/main_test.go:62-77 shape
-    val df = Seq((1L, 2L, "x")).toDF("f1", "f3", "f4")
+  test("INSERT golden string with NULL rendering (main_test.go:65)") {
+    // INSERT INTO "e2e_test_table1" ("seqno","f1","f3","f4") VALUES (5,1,0,NULL);
+    val df = Seq((1L, 0L, Option.empty[Int])).toDF("f1", "f3", "f4")
       .select(SqlDml.insertStmt("e2e_test_table1", lit(5L), cols).as("s"))
     assert(df.head().getString(0) ==
-      """INSERT INTO "e2e_test_table1" ("seqno","f1","f3","f4") VALUES (5,1,2,'x');""")
+      """INSERT INTO "e2e_test_table1" ("seqno","f1","f3","f4") VALUES (5,1,0,NULL);""")
   }
 
-  test("idempotent INSERT appends last-writer-wins clause") {
-    val df = Seq((1L, 2L, "x")).toDF("f1", "f3", "f4")
-      .select(SqlDml.insertIdempotentStmt("t", lit(5L), cols).as("s"))
-    val s = df.head().getString(0)
-    assert(s.contains("ON DUPLICATE KEY UPDATE f1=IF(seqno<VALUES(seqno),VALUES(f1),f1)"))
-    assert(s.endsWith(";"))
+  test("idempotent INSERT golden string (main_test.go:73)") {
+    val df = Seq((1L, 0L, Option.empty[Int])).toDF("f1", "f3", "f4")
+      .select(SqlDml.insertIdempotentStmt("e2e_test_table1", lit(5L), cols,
+        pkCols = Set("f1")).as("s"))
+    assert(df.head().getString(0) ==
+      """INSERT INTO "e2e_test_table1" ("seqno","f1","f3","f4") VALUES (5,1,0,NULL)""" +
+        """ ON DUPLICATE KEY UPDATE "f3"= IF(seqno < VALUES(seqno), VALUES("f3"),"f3"),""" +
+        """"f4"= IF(seqno < VALUES(seqno), VALUES("f4"),"f4"),""" +
+        """ seqno = IF(seqno < VALUES(seqno), VALUES(seqno), seqno);""")
   }
 
   test("string values escape embedded quotes") {
@@ -56,10 +78,19 @@ class SqlDmlSpec extends SparkSuite {
     assert(df.head().getString(0).contains("'it''s'"))
   }
 
-  test("DELETE keyed by seqno + pk") {
+  test("DELETE golden string (main_test.go:101)") {
     val df = Seq(Tuple1(9L)).toDF("f1")
-      .select(SqlDml.deleteStmt("t", lit(33L), Seq(("f1", col("f1"), false))).as("s"))
-    assert(df.head().getString(0) == """DELETE FROM "t" WHERE seqno=33 AND "f1"=9;""")
+      .select(SqlDml.deleteStmt("e2e_test_table1", lit(33L),
+        Seq(("f1", col("f1"), false))).as("s"))
+    assert(df.head().getString(0) ==
+      """DELETE FROM "e2e_test_table1" WHERE "seqno"=33 AND "f1"=9;""")
+  }
+
+  test("mysql dialect swaps identifier quoting") {
+    val df = Seq(Tuple1(9L)).toDF("f1")
+      .select(SqlDml.toMySqlDialect(SqlDml.deleteStmt("t", lit(1L),
+        Seq(("f1", col("f1"), false)))).as("s"))
+    assert(df.head().getString(0) == "DELETE FROM `t` WHERE `seqno`=1 AND `f1`=9;")
   }
 
   test("sink DDL shape: seqno unique key + PK") {
