@@ -23,8 +23,9 @@ object QueriesExtra {
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
     val buckets = Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"),
       dims = 64, numPlanes = 8)
+    // both sides of the self-join consume this — materialize once
     val q = emb(s, dir).select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-      .join(buckets, "vec_id")
+      .join(buckets, "vec_id").cache()
     val a = q.select(col("bucket"), col("vec_id").as("vec_a"), col("qv").as("qa"))
     val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("qv").as("qb"))
     a.join(b, Seq("bucket"))

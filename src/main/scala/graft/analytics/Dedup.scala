@@ -115,17 +115,21 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, text: Column, bits: Int): DataFrame = {
     require(bits <= 16, "simhash uses one hex nibble per bit, md5 gives 32")
+    // all `bits` weight sums in ONE map-side-combined pass over the token
+    // rows (no per-bit explode, no second shuffle): weight for bit b is +1
+    // when the high bit of md5 hex nibble b is set, else -1
     val tok = Spread.byKey(docs, col(idCol))
       .select(col(idCol), explode(split(text, " ")).as("w"))
-      .withColumn("h", md5(col("w")))
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .withColumn("wt",
-        when(instr(lit("89abcdef"), substring(col("h"), col("bit") + 1, lit(1))) > 0, 1).otherwise(-1))
-    tok.groupBy(col(idCol), col("bit"))
-      .agg(sum(col("wt")).as("sw"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("sw") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+      .select(col(idCol), md5(col("w")).as("h"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(instr(lit("89abcdef"), substring(col("h"), b + 1, 1)) > 0, 1)
+        .otherwise(-1)).as(s"sw$b")
+    }
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.drop(1): _*)
+      .select(col(idCol),
+        (0 until bits).map(b => when(col(s"sw$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -137,20 +141,23 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    text: Column, k: Int): DataFrame = {
-    // the distinct shingle set feeds three consumers (both join sides +
-    // set sizes) — materialize once instead of recomputing the
-    // explode+distinct three times
-    val sh = shingles(docs, idCol, text, k).distinct().cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val aSh = sh.select(col(idCol).as("_ja"), col("shingle").as("_sha"))
-    val bSh = sh.select(col(idCol).as("_jb"), col("shingle").as("_shb"))
+    // One shuffle total: collapse each doc's distinct shingles to an array
+    // (collect_set, map-side combined), broadcast-join the small pair list
+    // against it twice, and intersect per pair with `array_intersect` —
+    // a per-row hash op instead of a (doc, shingle)-keyed join per side.
+    // Arrays are bounded by document length; candidate pairs per doc are
+    // bounded by LSH upstream, so rows stay small at 100 TB.
+    val docSets = shingles(docs, idCol, text, k)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("ss"))
     val inter = pairs
-      .join(aSh, col("doc_a") === col("_ja"))
-      .join(bSh, col("doc_b") === col("_jb") && col("_sha") === col("_shb"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(docSets.select(col(idCol).as("doc_a"), col("ss").as("ss_a")), "doc_a")
+      .join(docSets.select(col(idCol).as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("inter"),
+        size(col("ss_a")).cast("long").as("n_a"), size(col("ss_b")).cast("long").as("n_b"))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("inter") > 0) // parity with join-based formulation
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
