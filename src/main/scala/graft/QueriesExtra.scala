@@ -99,7 +99,21 @@ object QueriesExtra {
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
         count(lit(1)).as("n"))
 
+  /** Full corpus-cleaning composition: length gate -> language gate ->
+    * fingerprint dedup -> stats. One Catalyst plan, one shuffle.
+    */
+  def corpusClean(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.CorpusPipeline.clean(docs(s, dir),
+      minLen = 100, maxLen = 500, langs = Set("en"))
+
+  /** Deterministic hash sampling: reproducible 1/8 split by content md5. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.CorpusPipeline.hashSample(Seq("0", "1"))(docs(s, dir))
+      .select(col("doc_id"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_clean" -> corpusClean _,
+    "q_sample_hash" -> sampleHash _,
     "q_embed_neardup" -> embedNeardup _,
     "q_term_freq" -> termFreq _,
     "q_bigrams" -> bigrams _,
@@ -109,6 +123,34 @@ object QueriesExtra {
     "q_approx_stats" -> approxStats _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_clean" ->
+      """WITH g AS (SELECT * FROM documents WHERE length(text) BETWEEN 100 AND 500),
+        |p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM g),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' and ', ''))) / 5 AS BIGINT) AS en_score,
+        |  CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' la ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' et ', ''))) / 4 AS BIGINT) AS fr_score,
+        |  CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' die ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' und ', ''))) / 5 AS BIGINT) AS de_score,
+        |  CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' los ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT) AS es_score
+        |FROM p),
+        |e AS (SELECT g.* FROM g JOIN sc ON sc.doc_id = g.doc_id
+        |      WHERE en_score >= fr_score AND en_score >= de_score AND en_score >= es_score),
+        |k AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp, MIN(doc_id) AS keep
+        |      FROM e GROUP BY 1)
+        |SELECT e.doc_id, e.lang, e.source, CAST(length(e.text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+        |FROM e JOIN k ON e.doc_id = k.keep""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
     "q_embed_neardup" ->
       """WITH s AS (
         |  SELECT vec_id, p.j,

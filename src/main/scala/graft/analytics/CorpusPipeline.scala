@@ -1,0 +1,56 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composable corpus-cleaning pipeline: the end-to-end shape of a
+  * training-data preparation job — length/quality gate → language gate →
+  * normalize-fingerprint dedup → deterministic sampling.
+  *
+  * Every stage is a DataFrame → DataFrame transformer, so the whole
+  * pipeline is ONE Catalyst plan: gates push down to the scan, the dedup
+  * is the only shuffle (on the fingerprint), and sampling is a narrow
+  * hash filter. At 100 TB that plan reads each document exactly once.
+  */
+object CorpusPipeline {
+
+  /** Keep documents within a character-length band (cheap first gate —
+    * pushed to the parquet scan).
+    */
+  def lengthGate(min: Int, max: Int)(df: DataFrame): DataFrame =
+    df.filter(length(col("text")).between(min, max))
+
+  /** Keep documents whose predicted language is in the allow-list. */
+  def langGate(langs: Set[String])(df: DataFrame): DataFrame =
+    df.filter(TextOps.predictLang(col("text")).isin(langs.toSeq: _*))
+
+  /** Normalize-fingerprint dedup: keep the smallest doc_id per
+    * whitespace/case-normalized fingerprint.
+    */
+  def fingerprintDedup(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+    df.withColumn("_fp", TextOps.fingerprint(col("text")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Deterministic 1-in-2^bits sampling by content hash — reproducible
+    * across runs/engines, no RNG state, splits uniformly at any scale.
+    * Keeps docs whose first md5 hex char falls in the first 16/2^bits
+    * values.
+    */
+  def hashSample(hexChars: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(substring(md5(col("text")), 1, 1).isin(hexChars: _*))
+
+  /** The full cleaning pipeline with output stats. */
+  def clean(docs: DataFrame, minLen: Int, maxLen: Int,
+            langs: Set[String]): DataFrame =
+    docs.transform(lengthGate(minLen, maxLen))
+      .transform(langGate(langs))
+      .transform(fingerprintDedup)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+}
