@@ -44,13 +44,20 @@ object CorpusPipeline {
   def hashSample(hexChars: Seq[String])(df: DataFrame): DataFrame =
     df.filter(substring(md5(col("text")), 1, 1).isin(hexChars: _*))
 
-  /** The full cleaning pipeline with output stats. */
+  /** The full cleaning pipeline with output stats. Stats and fingerprint
+    * are computed BEFORE the dedup window so only (ids, fp, stats) — not
+    * raw text — go through the single shuffle.
+    */
   def clean(docs: DataFrame, minLen: Int, maxLen: Int,
-            langs: Set[String]): DataFrame =
-    docs.transform(lengthGate(minLen, maxLen))
-      .transform(langGate(langs))
-      .transform(fingerprintDedup)
+            langs: Set[String]): DataFrame = {
+    val gated = docs.transform(lengthGate(minLen, maxLen)).transform(langGate(langs))
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len_chars"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("_fp"))
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+    gated.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
 }
