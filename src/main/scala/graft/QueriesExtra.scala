@@ -45,14 +45,17 @@ object QueriesExtra {
       .orderBy(col("tf").desc, col("term"))
       .limit(20)
 
-  /** Word bigrams: adjacent-token pairs per doc, global counts, top 20. */
+  /** Word bigrams: adjacent-token pairs built narrowly from the token
+    * array (no per-doc window shuffle), then one count shuffle.
+    */
   def bigrams(s: SparkSession, dir: String): DataFrame =
     Spread.byKey(docs(s, dir), col("doc_id"))
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("nxt", lead(col("w"), 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("nxt").isNotNull)
-      .groupBy(concat(col("w"), lit(" "), col("nxt")).as("bigram"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(explode(when(size(col("ws")) > 1,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
