@@ -114,9 +114,20 @@ object QueriesExtra {
     graft.analytics.CorpusPipeline.hashSample(Seq("0", "1"))(docs(s, dir))
       .select(col("doc_id"), col("source"))
 
+  /** Multimodal feature extraction through the real mapPartitions batch
+    * path (stub decode); the oracle recomputes the stub's dimension
+    * formulas from octet_length, so the distributed plumbing itself is
+    * what gets hash-checked.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Multimodal.extractFeatures(
+        graft.analytics.Multimodal.asMediaColumn(docs(s, dir), "text", "image"))
+      .select(col("doc_id"), col("width"), col("height"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,
     "q_sample_hash" -> sampleHash _,
+    "q_multimodal_features" -> multimodalFeatures _,
     "q_embed_neardup" -> embedNeardup _,
     "q_term_freq" -> termFreq _,
     "q_bigrams" -> bigrams _,
@@ -154,6 +165,12 @@ object QueriesExtra {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
     "q_embed_neardup" ->
       """WITH s AS (
         |  SELECT vec_id, p.j,

@@ -50,6 +50,63 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic fake — a real implementation decodes,
+    * scales, re-encodes. The contract (bytes in → bytes out + new dims)
+    * and the distributed call shape are what downstream code depends on.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    if (bytes == null) Array.emptyByteArray
+    else {
+      // keep a deterministic, size-proportional sketch of the payload
+      val n = math.max(1, math.min(bytes.length, (w.toLong * h / 64).toInt))
+      java.util.Arrays.copyOf(bytes, n)
+    }
+
+  /** STUB frame sampling: split a "video" payload into `n` evenly-spaced
+    * fake frames (byte slices). Real impl: container demux + keyframe
+    * index. Emitted as one row per frame — downstream image ops apply
+    * unchanged.
+    */
+  def frameSampleStub(bytes: Array[Byte], n: Int): Seq[(Int, Array[Byte])] =
+    if (bytes == null || bytes.isEmpty || n <= 0) Seq.empty
+    else {
+      val stride = math.max(1, bytes.length / n)
+      (0 until math.min(n, bytes.length)).map { i =>
+        val start = i * stride
+        (i, java.util.Arrays.copyOfRange(bytes, start,
+          math.min(start + stride, bytes.length)))
+      }
+    }
+
+  /** Distributed resize over media blobs (narrow, per-partition batches). */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex("media")
+    implicit val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val resized = resizeStub(row.getAs[Array[Byte]](mediaIdx), w, h)
+        Row.fromSeq(row.toSeq.updated(mediaIdx, resized))
+      }
+    }(enc)
+  }
+
+  /** Distributed frame sampling: one output row per sampled frame, media
+    * column replaced by the frame bytes plus a `frame_idx` column. Fan-out
+    * is bounded by `n` — partition sizing accounts for the multiplier.
+    */
+  def frameSample(df: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(StructField("frame_idx", IntegerType)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        frameSampleStub(row.getAs[Array[Byte]](mediaIdx), n).map { case (i, frame) =>
+          Row.fromSeq(row.toSeq.updated(mediaIdx, frame) :+ i)
+        }
+      }
+    }(enc)
+  }
+
   /** Distributed feature extraction over media blobs: mapPartitions with
     * per-partition batch processing (the Scala analogue of `mapInPandas` —
     * one iterator per partition, amortized setup).

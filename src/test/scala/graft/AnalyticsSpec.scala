@@ -143,6 +143,23 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getString(3).length == 64)
   }
 
+  test("resize and frame-sample plumbing: schema, fan-out, determinism") {
+    val df = Multimodal.asMediaColumn(
+      Seq((1L, "0123456789abcdef" * 8)).toDF("id", "payload"), "payload", "video")
+    val resized = Multimodal.resize(df, 32, 32)
+    assert(resized.schema == df.schema) // shape-preserving
+    val rb = resized.select(col("media")).head().getAs[Array[Byte]](0)
+    assert(rb.length == 16 && rb.toSeq == "0123456789abcdef".getBytes.toSeq)
+
+    val frames = Multimodal.frameSample(df, 4)
+    assert(frames.columns.contains("frame_idx"))
+    val rows = frames.select(col("frame_idx"), col("media")).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getAs[Array[Byte]](1).length).sum == 128) // frames tile the payload
+    // frames feed the image ops unchanged
+    assert(Multimodal.extractFeatures(frames).count() == 4)
+  }
+
   test("feature extraction preserves partitioning and schema") {
     val df = Multimodal.asMediaColumn(
       (1 to 100).map(i => (i.toLong, s"payload-$i")).toDF("id", "payload").repartition(4),
