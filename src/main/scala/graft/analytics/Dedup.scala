@@ -57,9 +57,12 @@ object Dedup {
   def minhashWide(docs: DataFrame, idCol: String, text: Column,
                   k: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 8, "rotation family uses 4-char steps over 32 hex chars")
-    val h = md5(col("shingle"))
-    val aggs = (0 until numHashes).map(s => min(rot(h, s)).as(s"m$s"))
+    // project the md5 BEFORE the agg: aggregate expressions get no common-
+    // subexpression elimination, so min(rot(md5(x), s)) would run the md5
+    // once per hash function instead of once per shingle
+    val aggs = (0 until numHashes).map(s => min(rot(col("h"), s)).as(s"m$s"))
     shingles(docs, idCol, text, k)
+      .select(col(idCol), md5(col("shingle")).as("h"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.drop(1): _*)
   }
