@@ -150,9 +150,11 @@ object Dedup {
     // a per-row hash op instead of a (doc, shingle)-keyed join per side.
     // Arrays are bounded by document length; candidate pairs per doc are
     // bounded by LSH upstream, so rows stay small at 100 TB.
+    // shuffle 8-byte hashes, not shingle strings (64-bit collisions are
+    // ~1e-8 at billions of shingles — acceptable for near-dup detection)
     val docSets = shingles(docs, idCol, text, k)
       .groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("ss"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
     val inter = pairs
       .join(docSets.select(col(idCol).as("doc_a"), col("ss").as("ss_a")), "doc_a")
       .join(docSets.select(col(idCol).as("doc_b"), col("ss").as("ss_b")), "doc_b")

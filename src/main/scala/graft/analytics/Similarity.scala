@@ -53,15 +53,19 @@ object Similarity {
     */
   def lshBucket(embeddings: DataFrame, idCol: String, vec: Column,
                 dims: Int, numPlanes: Int): DataFrame = {
+    // fully narrow: every plane's sign bit computes in the same row — no
+    // per-plane explode, no shuffle at all. Codegen splits the wide
+    // expression into sub-methods; the per-row cost is dims*numPlanes
+    // multiply-adds either way, but zero exchange at any scale.
+    val bucket = (0 until numPlanes).map { j =>
+      val sdot = (1 to dims).map(i =>
+        hyperplane(lit(j), lit(i)) * element_at(col("_q"), i)).reduce(_ + _)
+      when(sdot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
     embeddings
-      .transform(df => graft.core.Spread.byKey(df, col(idCol))) // spread the wide dot-product expressions
-      .select(col(idCol), quantize(vec).as("_q"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("j"))
-      .withColumn("sdot",
-        (1 to dims).map(i => hyperplane(col("j"), lit(i)) * element_at(col("_q"), i)).reduce(_ + _))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("sdot") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("bucket"))
+      .transform(df => graft.core.Spread.byKey(df, col(idCol))) // spread single-file input
+      .select(col(idCol), quantize(vec).as("_q"))
+      .select(col(idCol), bucket.as("bucket"))
   }
 
   /** ANN search: restrict brute force to the query vector's bucket. */
