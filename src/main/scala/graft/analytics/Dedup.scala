@@ -102,9 +102,19 @@ object Dedup {
     bandKeys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
 
+  /** @param maxBucket pair-expansion skew cap: buckets above this
+    *                   population are dropped from pair generation (a hot
+    *                   bucket IS a near-dup cluster — handle it as a
+    *                   cluster via `lshBuckets`, not as O(n²) pairs)
+    */
   def lshCandidatePairs(bandKeys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val a = bandKeys.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-    val b = bandKeys.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    val small = bandKeys
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val a = small.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val b = small.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
