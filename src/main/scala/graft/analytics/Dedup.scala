@@ -67,10 +67,27 @@ object Dedup {
       .agg(aggs.head, aggs.drop(1): _*)
   }
 
+  /** Native-expression signatures: the whole document signature in one
+    * `MinHashSignature` evaluation — no shingle explode, no aggregation
+    * shuffle; bit-identical to [[minhashWide]] and the DuckDB oracle.
+    * The two-step select is deliberate: CollapseProject keeps the
+    * expensive signature expression single-evaluated because it is
+    * referenced numHashes times.
+    */
+  def minhashWideNative(docs: DataFrame, idCol: String, text: Column,
+                        k: Int, numHashes: Int): DataFrame = {
+    implicit val spark = docs.sparkSession
+    Spread.byKey(docs, col(idCol))
+      .select(col(idCol),
+        graft.functions.MinHashSignature.signature(text, k, numHashes).as("_sig"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(s => element_at(col("_sig"), s + 1).as(s"m$s")): _*)
+  }
+
   /** Long-format signatures (id, seed, minhash) — the oracle-checked shape. */
   def minhashSignatures(docs: DataFrame, idCol: String, text: Column,
                         k: Int, numHashes: Int): DataFrame = {
-    val wide = minhashWide(docs, idCol, text, k, numHashes)
+    val wide = minhashWideNative(docs, idCol, text, k, numHashes)
     wide.select(col(idCol),
         explode(array((0 until numHashes).map(s =>
           struct(lit(s).as("seed"), col(s"m$s").as("minhash"))): _*)).as("e"))
@@ -84,7 +101,7 @@ object Dedup {
     */
   def lshBandKeys(docs: DataFrame, idCol: String, text: Column, k: Int,
                   numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val wide = minhashWide(docs, idCol, text, k, numHashes)
+    val wide = minhashWideNative(docs, idCol, text, k, numHashes)
     val numBands = numHashes / rowsPerBand
     wide.select(col(idCol),
         explode(array((0 until numBands).map { b =>
