@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.encode.SqlDml
+import graft.pipes.JdbcSink
+
+/** End-to-end SQL sink test against embedded Derby (ansisql dialect —
+  * double-quoted identifiers, no MySQL upsert extension).
+  */
+class JdbcSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { c.createStatement().executeUpdate(sql) } finally c.close()
+  }
+
+  test("generated INSERT/DELETE statements execute against a real database") {
+    exec("""CREATE TABLE "sink_t1" ("seqno" BIGINT NOT NULL, "f1" BIGINT, "f4" VARCHAR(100))""")
+
+    val rows = Seq((1L, "a"), (2L, "it's"), (3L, null)).toDF("f1", "f4")
+    val stmts = rows.select(SqlDml.insertStmt("sink_t1", col("f1") * 10,
+      Seq(("f1", col("f1"), false), ("f4", col("f4"), true))).as("stmt"))
+    JdbcSink.executeBatch(stmts, "stmt", url)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "\"sink_t1\"").load()
+    assert(back.count() == 3)
+    val got = back.collect().map(r =>
+      (r.getAs[Long]("seqno"), r.getAs[Long]("f1"), r.getAs[String]("f4"))).toSet
+    assert(got == Set((10L, 1L, "a"), (20L, 2L, "it's"), (30L, 3L, null)))
+
+    // delete half of an update pair removes by (seqno, pk)
+    val del = Seq(Tuple1(2L)).toDF("f1")
+      .select(SqlDml.deleteStmt("sink_t1", lit(20L), Seq(("f1", col("f1"), false))).as("stmt"))
+    JdbcSink.executeBatch(del, "stmt", url)
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"sink_t1\"").load().count() == 2)
+  }
+
+  test("streaming micro-batches land transactionally") {
+    exec("""CREATE TABLE "sink_t2" ("seqno" BIGINT NOT NULL, "v" VARCHAR(50))""")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    stream.addData((1L, "x"), (2L, "y"))
+    val stmts = stream.toDF().toDF("k", "v")
+      .select(SqlDml.insertStmt("sink_t2", col("k"),
+        Seq(("v", col("v"), true))).as("stmt"))
+    val q = JdbcSink.streamTo(stmts, "stmt", url,
+      java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt").toString)
+    q.awaitTermination()
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "\"sink_t2\"").load().count() == 2)
+  }
+}
