@@ -87,4 +87,21 @@ object SqlDml {
 
   /** ansisql -> mysql dialect: double quotes become backquotes. */
   def toMySqlDialect(stmt: Column): Column = regexp_replace(stmt, "\"", "`")
+
+  /** Idempotent upsert as ANSI MERGE (the Delta/Postgres/Derby path —
+    * `ON DUPLICATE KEY` is MySQL-only): stage the micro-batch, then
+    * last-writer-wins by seqno. Mirrors
+    * `MERGE … WHEN MATCHED AND s.seqno > t.seqno THEN UPDATE`.
+    */
+  def mergeIdempotentStmt(table: String, staging: String,
+                          cols: Seq[String], pkCols: Seq[String]): String = {
+    val nonKey = cols.filterNot(pkCols.contains)
+    val on = pkCols.map(c => s"""t."$c" = s."$c"""").mkString(" AND ")
+    val sets = (nonKey.map(c => s""""$c" = s."$c"""") :+ """"seqno" = s."seqno"""").mkString(", ")
+    val insCols = colList("seqno" +: cols)
+    val insVals = ("seqno" +: cols).map(c => s"""s."$c"""").mkString(",")
+    s"""MERGE INTO "$table" t USING "$staging" s ON $on""" +
+      s""" WHEN MATCHED AND s."seqno" > t."seqno" THEN UPDATE SET $sets""" +
+      s""" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"""
+  }
 }

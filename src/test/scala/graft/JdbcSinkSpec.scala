@@ -43,6 +43,32 @@ class JdbcSinkSpec extends SparkSuite {
       .option("dbtable", "\"sink_t1\"").load().count() == 2)
   }
 
+  test("MERGE idempotent upsert: last-writer-wins by seqno, executed for real") {
+    exec("""CREATE TABLE "tgt" ("seqno" BIGINT NOT NULL, "f1" BIGINT, "v" VARCHAR(20))""")
+    exec("""CREATE TABLE "stage" ("seqno" BIGINT NOT NULL, "f1" BIGINT, "v" VARCHAR(20))""")
+    val merge = SqlDml.mergeIdempotentStmt("tgt", "stage", Seq("f1", "v"), Seq("f1"))
+
+    def stageAndMerge(seqno: Long, v: String): Unit = {
+      exec("""DELETE FROM "stage"""")
+      exec(s"""INSERT INTO "stage" VALUES ($seqno, 1, '$v')""")
+      exec(merge)
+    }
+    def current(): (Long, String) = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("""SELECT "seqno", "v" FROM "tgt"""")
+        rs.next(); (rs.getLong(1), rs.getString(2))
+      } finally c.close()
+    }
+
+    stageAndMerge(10, "first")
+    assert(current() == ((10L, "first"))) // NOT MATCHED -> insert
+    stageAndMerge(5, "stale")
+    assert(current() == ((10L, "first"))) // lower seqno loses
+    stageAndMerge(20, "newer")
+    assert(current() == ((20L, "newer"))) // higher seqno wins
+  }
+
   test("streaming micro-batches land transactionally") {
     exec("""CREATE TABLE "sink_t2" ("seqno" BIGINT NOT NULL, "v" VARCHAR(50))""")
     implicit val sqlCtx = spark.sqlContext
