@@ -84,11 +84,15 @@ class FileSinkSpec extends SparkSuite {
     assert(done.contains(m.fileName))
   }
 
-  test("gzip json sink still hashes the stored (compressed) files") {
+  test("gzip json sink hashes stored files and round-trips through the reader") {
     val dir = Files.createTempDirectory("graft-sinkgz").toString + "/out"
     val manifest = FileSink.write(
-      Seq((1L, "a")).toDF("k", "v"), dir, format = "json", gzip = true)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, format = "json", gzip = true)
     assert(manifest.exists(_.fileName.endsWith(".gz")))
+    // S4: the file consumer decompresses natively
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.filter(back("k") === 1).head().getAs[String]("v") == "a")
   }
 }
 
