@@ -31,7 +31,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 + analytics. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries
+    QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
+      QueriesQuality.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -60,7 +61,8 @@ object SparkEntry {
       |  MIN(substr(h, 29, 4) || substr(h, 1, 28)) AS m7
       |FROM sh GROUP BY doc_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = QueriesExtra.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
