@@ -42,8 +42,8 @@ object CfDecode {
     */
   def fixType(value: Column, dt: DataType): Column = dt match {
     case BinaryType => unbase64(value)
-    case TimestampType | TimestampNTZType =>
-      to_timestamp(value, "yyyy-MM-dd'T'HH:mm:ss'Z'").cast(dt)
+    // timestamps: Spark's cast parses ISO-8601 incl. 'Z' and any
+    // fractional-second width (the RFC3339Nano trimming on encode)
     case _ => value.cast(dt)
   }
 

@@ -40,8 +40,13 @@ object CommonFormatJson {
       case StringType => concat(lit("\""), jsonEscape(c), lit("\""))
       case BinaryType => concat(lit("\""), base64(c), lit("\"")) // encoder/json.go:170-175
       case TimestampType | TimestampNTZType =>
-        // RFC3339-style; the reference marshals time.Time (encoder/json.go:176-200)
-        concat(lit("\""), date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\""))
+        // RFC3339Nano like Go's json.Marshal(time.Time): fractional seconds
+        // rendered without trailing zeros, omitted entirely when zero
+        // (encoder/json.go:176-200 keeps time.Time values; Go marshals them
+        // as RFC3339Nano)
+        val full = date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        val trimmed = regexp_replace(regexp_replace(full, "0+$", ""), "\\.$", "")
+        concat(lit("\""), trimmed, lit("Z\""))
       case org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.NumericType =>
         c.cast("string")
       case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))

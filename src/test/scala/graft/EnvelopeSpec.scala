@@ -63,6 +63,26 @@ class CfDecodeSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("f1"))) // no Fields on deletes
   }
 
+  test("timestamps render RFC3339Nano (no trailing zeros) and round-trip") {
+    import graft.encode.CommonFormatJson
+    val src = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:09:58.778549"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00.5"))
+      .toDF("ts").withColumn("op", lit("insert")).withColumn("seqno", lit(1L))
+    val payload = StructType(Seq(StructField("ts", TimestampType)))
+    val encoded = src.select(col("ts"),
+      CommonFormatJson.encodeRows(src, Seq("seqno"), Seq("ts")).as("j"))
+    val strs = encoded.select(col("j")).collect().map(_.getString(0))
+    assert(strs(0).contains(""""Value":"2024-01-01T00:09:58.778549Z""""))
+    assert(strs(1).contains(""""Value":"2024-01-01T00:00:00Z""""))
+    assert(strs(2).contains(""""Value":"2024-01-01T12:00:00.5Z""""))
+    // decode restores the original instants
+    val decoded = encoded.select(col("ts"),
+      CfDecode.decodeRows(col("j"), payload).last.as("ts2"))
+    assert(decoded.filter(col("ts") =!= col("ts2")).count() == 0)
+  }
+
   test("binary fixup: base64 back to bytes") {
     val src = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
       .withColumn("op", lit("insert")).withColumn("seqno", lit(1L))
