@@ -39,6 +39,8 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.lshCandidatePairs(bandKeys, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
+    // skew cap: buckets above the population cap generate no pairs
+    assert(Dedup.lshCandidatePairs(bandKeys, "doc_id", maxBucket = 1).count() == 0)
   }
 
   test("simhash: exact dups equal, near-dups hamming-close") {
@@ -82,6 +84,18 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
     assert(b(0L) == b(1L)) // near-identical directions share a bucket
     assert(b(0L) != b(3L)) // opposite direction differs
+  }
+
+  test("ANN probe searches only the query's bucket") {
+    val buckets = Similarity.lshBucket(vecs, "vec_id", col("embedding"), dims = 3, numPlanes = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    val got = Similarity.annTopK(vecs, "vec_id", col("embedding"), dims = 3,
+        numPlanes = 8, qv, queryBucket = buckets(0L), k = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.contains(1L)) // shares the query's bucket
+    assert(!got.contains(3L)) // opposite vector is in another bucket
   }
 
   test("exact cosine agrees with ranking") {
