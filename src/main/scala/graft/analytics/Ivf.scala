@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path beside random-hyperplane LSH ([[Similarity]]).
+  *
+  * Faiss-style shape: train coarse centroids on a bounded SAMPLE
+  * (driver-side Lloyd iterations — training data is capped, so this is
+  * O(sample × k × iters) regardless of corpus size), then assign every
+  * vector to its nearest centroid in a distributed narrow pass; a probe
+  * scans only the `nprobe` cells nearest the query instead of the corpus.
+  * At 100 TB: cells are the partition/bucketing key, assignment is scan
+  * work, and recall/latency trades via nprobe.
+  *
+  * Deterministic by construction: sample = first N by id, init = first k
+  * sampled vectors, fixed iteration count — no RNG.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+
+    def nearestCells(v: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.indices.sortBy { j =>
+        val c = centroids(j)
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        d
+      }.take(nprobe)
+  }
+
+  private def toDoubles(r: Row, idx: Int): Array[Double] =
+    r.getSeq[Float](idx).map(_.toDouble).toArray
+
+  /** Train coarse centroids on the first `sampleN` vectors (by id order). */
+  def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 10, sampleN: Int = 10000): Model = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect().map(toDoubles(_, 0))
+    require(sample.length >= k, s"need >= $k sample vectors")
+    val dims = sample.head.length
+    var centroids = sample.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      val m = Model(centroids)
+      sample.foreach { v =>
+        val c = m.nearest(v)
+        counts(c) += 1
+        var i = 0
+        while (i < dims) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { j =>
+        if (counts(j) == 0) centroids(j) // keep empty cells stable
+        else { val s = sums(j); var i = 0; while (i < dims) { s(i) /= counts(j); i += 1 }; s }
+      }
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** Distributed cell assignment: narrow mapPartitions, centroids shipped
+    * in the task closure (k × dims doubles — kilobytes).
+    */
+  def assign(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val outSchema = StructType(emb.schema.fields :+ StructField("cell", IntegerType))
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    emb.mapPartitions { it =>
+      it.map(r => Row.fromSeq(r.toSeq :+ model.nearest(toDoubles(r, vecIdx))))
+    }(enc)
+  }
+
+  /** Probe: brute-force quantized-dot top-k restricted to the query's
+    * `nprobe` nearest cells.
+    */
+  def probe(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+            query: Array[Double], nprobe: Int, k: Int): DataFrame = {
+    val cells = model.nearestCells(query, nprobe)
+    val assigned = assign(emb, idCol, vecCol, model)
+      .filter(col("cell").isin(cells: _*))
+    val qQuant = query.map(x => math.round(x * 1000))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qDf = Seq(Tuple1(qQuant)).toDF("qv")
+    Similarity.bruteForceTopK(assigned, col(idCol), col(vecCol), qDf, k)
+  }
+}

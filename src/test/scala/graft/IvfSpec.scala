@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Ivf, Similarity}
+import graft.core.Tables
+
+class IvfSpec extends SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 5)
+
+  private lazy val queryVec: Array[Double] =
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  private def bruteTop(k: Int): Seq[Long] = {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), qv, k)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+  }
+
+  test("cells partition the corpus; assignment is deterministic") {
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", model)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.length > 1 && cells.length <= 8)
+    val again = Ivf.assign(emb, "vec_id", "embedding", model)
+    assert(assigned.select("vec_id", "cell").exceptAll(again.select("vec_id", "cell")).isEmpty)
+  }
+
+  test("full-probe IVF equals brute force; partial probe recalls most") {
+    val exact = bruteTop(10)
+    val full = Ivf.probe(emb, "vec_id", "embedding", model, queryVec, nprobe = 8, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == exact) // probing every cell = exhaustive search
+
+    val partial = Ivf.probe(emb, "vec_id", "embedding", model, queryVec, nprobe = 3, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.count(partial.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low") // nprobe trades recall
+  }
+}
