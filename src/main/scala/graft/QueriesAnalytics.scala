@@ -122,7 +122,7 @@ object QueriesAnalytics {
       "doc_id")
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(s, dir), "doc_id", col("text"), bits = 16)
+    Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16)
 
   /** n-gram Jaccard over consecutive-id pairs (stands in for LSH candidate
     * pairs, which are data-dependent and may be empty on this corpus).

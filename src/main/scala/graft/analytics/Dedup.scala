@@ -143,6 +143,15 @@ object Dedup {
     * the high bit of hex nibble b is set else -1; signature bit = sign of
     * the summed weight. Hamming-close signatures => near-dups.
     */
+  /** Native-expression SimHash: whole signature per row, no explode, no
+    * shuffle (bit-identical to [[simhash]] — SimHashNativeSpec).
+    */
+  def simhashNative(docs: DataFrame, idCol: String, text: Column, bits: Int): DataFrame = {
+    implicit val spark = docs.sparkSession
+    Spread.byKey(docs, col(idCol))
+      .select(col(idCol), graft.functions.SimHash.column(text, bits).as("simhash"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, text: Column, bits: Int): DataFrame = {
     require(bits <= 16, "simhash uses one hex nibble per bit, md5 gives 32")
     // all `bits` weight sums in ONE map-side-combined pass over the token
