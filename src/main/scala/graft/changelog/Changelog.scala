@@ -27,8 +27,19 @@ object Changelog {
     * physical event written to the sink) and `half` (0 = delete half,
     * 1 = insert half) so the delete-before-insert order of an update pair
     * is explicit data, not implicit row order.
+    *
+    * The reference builds the delete half of an update from the BEFORE
+    * image (Rows[i]) and the insert half from the AFTER image (Rows[i+1])
+    * — changelog/mysql.go:530-538 — so a PK-changing update deletes the
+    * OLD key. `beforeImage` maps payload column -> its before-image column
+    * (e.g. "id" -> "before_id"); for the delete half of an update those
+    * columns are replaced with their before-image values, and the
+    * before-image columns are dropped from the output. When `beforeImage`
+    * is empty the caller asserts PK columns are immutable for this stream
+    * (the delete half then carries the after-image key, which is equal).
     */
-  def expandUpdates(df: DataFrame, opCol: String = "op"): DataFrame = {
+  def expandUpdates(df: DataFrame, opCol: String = "op",
+                    beforeImage: Map[String, String] = Map.empty): DataFrame = {
     val halves = when(col(opCol) === "update",
         array(
           struct(lit("delete").as("op2"), lit(0).as("half")),
@@ -37,10 +48,16 @@ object Changelog {
         array(struct(lit("delete").as("op2"), lit(0).as("half"))))
       .otherwise(
         array(struct(lit("insert").as("op2"), lit(1).as("half"))))
-    df.withColumn("_h", explode(halves))
+    val expanded = df.withColumn("_h", explode(halves))
+      .withColumn("_src_op", col(opCol))
       .withColumn(opCol, col("_h.op2"))
       .withColumn("half", col("_h.half"))
-      .drop("_h")
+    val substituted = beforeImage.foldLeft(expanded) { case (d, (c, beforeC)) =>
+      d.withColumn(c,
+        when(col("_src_op") === "update" && col("half") === 0, col(beforeC))
+          .otherwise(col(c)))
+    }
+    substituted.drop("_h" +: "_src_op" +: beforeImage.values.toSeq: _*)
   }
 
   /** NoDeleteOnUpdate: updates contribute only their insert half; true

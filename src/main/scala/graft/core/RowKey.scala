@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * Semantics from the reference's `GetRowKey`
   * (/root/reference/encoder/encoder.go:101-116): each PK value is rendered
-  * as a string and prefixed with the decimal length of that string, e.g.
-  * PK (1, 22) -> "11" + "222" read as len("1")+"1", len("22")+"22" =
+  * as a string and prefixed with the decimal UTF-8 BYTE length of that
+  * string (Go `len()` counts bytes, not characters — 'é' has prefix 2),
+  * e.g. PK (1, 22) -> "11" + "222" read as len("1")+"1", len("22")+"22" =
   * "11222". Kafka partitions by this key (/root/reference/pipe/kafka.go:627),
   * so the expression must be deterministic and cheap — it stays inside
   * whole-stage codegen because it is pure builtin functions.
@@ -20,7 +21,7 @@ object RowKey {
   def rowKey(pkCols: Seq[Column]): Column = {
     val parts = pkCols.flatMap { c =>
       val s = c.cast("string")
-      Seq(length(s).cast("string"), s)
+      Seq(octet_length(s).cast("string"), s)
     }
     concat(parts: _*).as("row_key")
   }

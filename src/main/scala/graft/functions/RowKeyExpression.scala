@@ -10,9 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression for the length-prefixed row key (E7).
   *
   * Semantics: for PK values (v1..vn), emit
-  * `len(str(v1)) + str(v1) + … + len(str(vn)) + str(vn)` — byte-parity
-  * with the reference's `GetRowKey`
-  * (/root/reference/encoder/encoder.go:101-116).
+  * `len(str(v1)) + str(v1) + … + len(str(vn)) + str(vn)` where len is the
+  * UTF-8 BYTE length (Go `len()`) — byte-parity with the reference's
+  * `GetRowKey` (/root/reference/encoder/encoder.go:101-116).
   *
   * Exists alongside the composed-builtins version (`graft.core.RowKey`) as
   * the (b)-tier extension path: a single generated-code expression
@@ -43,8 +43,8 @@ case class RowKeyExpression(children: Seq[Expression]) extends Expression {
     while (i < children.length) {
       val v = children(i).eval(input)
       if (v == null) return null
-      val s = v.asInstanceOf[UTF8String].toString
-      sb.append(s.length).append(s)
+      val u = v.asInstanceOf[UTF8String]
+      sb.append(u.numBytes).append(u.toString)
       i += 1
     }
     UTF8String.fromString(sb.toString)
@@ -59,8 +59,7 @@ case class RowKeyExpression(children: Seq[Expression]) extends Expression {
         if (${cg.isNull}) {
           ${ev.isNull} = true;
         } else if (!${ev.isNull}) {
-          String s = ${cg.value}.toString();
-          $sb.append(s.length()).append(s);
+          $sb.append(${cg.value}.numBytes()).append(${cg.value}.toString());
         }
       """
     }

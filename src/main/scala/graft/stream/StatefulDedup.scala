@@ -35,6 +35,10 @@ object StatefulDedup {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
+            // GroupState cancels the previously-set timeout on every
+            // invocation — re-arm it or the key's state lives forever
+            // (also gives sliding idle-timeout semantics)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
             Iterator.empty // key already emitted
           } else {
             state.update(true)

@@ -78,4 +78,15 @@ class CdcRoundTripSpec extends SparkSuite {
     assert(tableRows("src") ==
       Set((1L, "v1"), (2L, "v2-new"), (3L, "v3"), (5L, "v5"), (6L, "v6")))
   }
+
+  test("PK-changing update deletes the OLD key via before-image") {
+    // Reference: delete half from Rows[i] (before image), insert half from
+    // Rows[i+1] (after image) — changelog/mysql.go:530-538.
+    val events = Seq(("update", 20L, "moved", 2L)).toDF("op", "k", "v", "before_k")
+    val expanded = Changelog.expandUpdates(events, beforeImage = Map("k" -> "before_k"))
+    assert(!expanded.columns.contains("before_k"))
+    val out = expanded.select(col("op"), col("half"), col("k"))
+      .as[(String, Int, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(("delete", 0, 2L), ("insert", 1, 20L)))
+  }
 }

@@ -21,6 +21,16 @@ class RowKeySpec extends SparkSuite {
     assert(df.head().getString(0) == "512345")
   }
 
+  test("non-ASCII PK values are prefixed with UTF-8 BYTE length (Go len())") {
+    // 'é' is 1 char but 2 UTF-8 bytes — reference encoder/encoder.go:108
+    val df = Seq(Tuple1("é")).toDF("f1").select(RowKey.rowKey(Seq(col("f1"))))
+    assert(df.head().getString(0) == "2é")
+    graft.functions.RowKeyExpression.register(spark)
+    val native = Seq(Tuple1("café")).toDF("f1")
+      .selectExpr("graft_row_key(f1) as rk")
+    assert(native.head().getString(0) == "5café")
+  }
+
   test("partition key is non-negative and stable") {
     val df = Seq(-5L, 0L, 31L, 32L, 33L).toDF("k")
       .select(RowKey.partitionKey(col("k"), 32).as("p"))

@@ -88,9 +88,20 @@ class SqlDmlSpec extends SparkSuite {
 
   test("mysql dialect swaps identifier quoting") {
     val df = Seq(Tuple1(9L)).toDF("f1")
-      .select(SqlDml.toMySqlDialect(SqlDml.deleteStmt("t", lit(1L),
-        Seq(("f1", col("f1"), false)))).as("s"))
+      .select(SqlDml.deleteStmt("t", lit(1L),
+        Seq(("f1", col("f1"), false)), identQuote = "`").as("s"))
     assert(df.head().getString(0) == "DELETE FROM `t` WHERE `seqno`=1 AND `f1`=9;")
+  }
+
+  test("mysql dialect never rewrites quote chars inside data values") {
+    // A data value containing double quotes must survive dialect rendering
+    // untouched (reference quotes identifiers at build time, never data —
+    // encoder/sql.go quotedIdent).
+    val df = Seq(Tuple1("""say "hi" and `bye`""")).toDF("f4")
+      .select(SqlDml.insertStmt("t", lit(1L), Seq(("f4", col("f4"), true)),
+        identQuote = "`").as("s"))
+    assert(df.head().getString(0) ==
+      "INSERT INTO `t` (`seqno`,`f4`) VALUES (1,'say \"hi\" and `bye`');")
   }
 
   test("sink DDL shape: seqno unique key + PK") {

@@ -89,6 +89,14 @@ class FileSinkSpec extends SparkSuite {
     val manifest = FileSink.write(
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, format = "json", gzip = true)
     assert(manifest.exists(_.fileName.endsWith(".gz")))
+    // NumRecs counts DECOMPRESSED records, not compressed-byte newlines
+    assert(manifest.map(_.numRecs).sum == 2)
+    // hash is over the stored (compressed) bytes
+    val m = manifest.find(_.fileName.endsWith(".gz")).get
+    val stored = Files.readAllBytes(java.nio.file.Paths.get(dir, m.fileName))
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(stored)
+      .map("%02x".format(_)).mkString
+    assert(h == m.hash)
     // S4: the file consumer decompresses natively
     val back = spark.read.json(dir)
     assert(back.count() == 2)
