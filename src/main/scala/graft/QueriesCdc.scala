@@ -174,6 +174,68 @@ object QueriesCdc {
         col("event_id").as("last_event"))
   }
 
+  /** S2 native path: events replayed as a binlog fixture through the
+    * DataSource-V2 streaming source with GTID-set offsets
+    * ([[graft.sources.BinlogMicroBatchStream]]), demuxed downstream.
+    *
+    * The fixture derivation is SQL-expressible so DuckDB can oracle the
+    * round-trip: 4 source-server UUIDs keyed by user_id%4, per-UUID
+    * sequential GNOs, op from event_type. The binlog file itself is
+    * written by executors (single ordered partition — a binlog IS one
+    * ordered stream per cluster); the stream then runs in several
+    * micro-batches (maxEventsPerTrigger) so GTID offsets advance the way
+    * they would in production, and the memory-sink result is returned as
+    * a batch DataFrame.
+    */
+  def changelogNative(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(
+        col("event_id").as("seq"),
+        concat(lit("00000000-0000-0000-0000-00000000000"),
+          (col("user_id") % 4).cast("string")).as("uuid"),
+        row_number().over(
+          Window.partitionBy(col("user_id") % 4).orderBy(col("event_id")))
+          .cast("long").as("gno"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "click", "update")
+          .otherwise("delete").as("op"),
+        lit("graft").as("db"),
+        lit("events").as("tbl"),
+        unix_millis(col("ts")).as("ts"),
+        to_json(struct(
+          col("event_id"),
+          col("user_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("payload"))
+    val fixtureDir = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_native_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    base
+      .select(to_json(struct(col("seq"), col("uuid"), col("gno"), col("op"),
+        col("db"), col("tbl"), col("ts"), col("payload"))).as("value"))
+      .repartition(1).sortWithinPartitions(get_json_object(col("value"), "$.seq").cast("long"))
+      .write.mode("overwrite").text(fixtureDir)
+    val part = new java.io.File(fixtureDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .map(_.getAbsolutePath).min
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-native-ckpt").toString
+    val q = s.readStream.format("graft-binlog")
+      .option("path", part)
+      .option("maxEventsPerTrigger", 1024)
+      .load()
+      .writeStream.format("memory").queryName("graft_changelog_native")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_changelog_native")
+      .select(
+        col("seq").as("event_id"),
+        col("gtid_uuid"),
+        col("gno"),
+        col("op"),
+        get_json_object(col("payload"), "$.user_id").cast("long").as("user_id"),
+        get_json_object(col("payload"), "$.value_cents").cast("long").as("value_cents"))
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -204,5 +266,6 @@ object QueriesCdc {
     "q_type_norm" -> typeNorm _,
     "q_fanout" -> fanout _,
     "q_handoff_merge" -> handoffMerge _,
+    "q_changelog_native" -> changelogNative _,
     "q_state_join" -> stateJoin _)
 }

@@ -159,6 +159,17 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, event_id DESC) AS rn FROM u)
         |SELECT user_id, value AS last_value, src, event_id AS last_event FROM r WHERE rn = 1""".stripMargin,
 
+    "q_changelog_native" ->
+      """SELECT event_id,
+        |  '00000000-0000-0000-0000-00000000000' || CAST(user_id % 4 AS VARCHAR) AS gtid_uuid,
+        |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS gno,
+        |  CASE event_type WHEN 'signup' THEN 'insert'
+        |                  WHEN 'click' THEN 'update'
+        |                  ELSE 'delete' END AS op,
+        |  user_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
+
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
          |  ${centsSum.format("c_acctbal * 100")} AS bal_cents

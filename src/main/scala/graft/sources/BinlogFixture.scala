@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** File-backed binlog event log — the replayable stand-in for the MySQL
+  * replication socket.
+  *
+  * One JSON line per row event, carrying the transaction's GTID
+  * (uuid + gno), the demuxed operation, and before/after images — the
+  * shape `handleRowsEventLow` produces from a raw RowsEvent
+  * (/root/reference/changelog/mysql.go:508-544). A production deployment
+  * would swap the file tail for the replication protocol; everything
+  * downstream (GTID-set offsets, demux, restart) is identical, which is
+  * the point of fixture-replayable sources.
+  */
+object BinlogFixture {
+
+  /** One row event inside a transaction identified by (uuid, gno).
+    * `op` ∈ insert | update | delete | ddl; `before` is the before-image
+    * JSON for updates (null otherwise); `payload` is the after-image JSON,
+    * or the query text for ddl.
+    */
+  final case class Event(seq: Long, uuid: String, gno: Long, op: String,
+                         db: String, tbl: String, ts: Long,
+                         before: String, payload: String)
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(e: Event): String = {
+    val n = mapper.createObjectNode()
+    n.put("seq", e.seq); n.put("uuid", e.uuid); n.put("gno", e.gno)
+    n.put("op", e.op); n.put("db", e.db); n.put("tbl", e.tbl); n.put("ts", e.ts)
+    if (e.before == null) n.putNull("before") else n.put("before", e.before)
+    n.put("payload", e.payload)
+    mapper.writeValueAsString(n)
+  }
+
+  def fromJson(line: String): Event = {
+    val n = mapper.readTree(line)
+    // `before` may be absent entirely (to_json drops null struct fields)
+    val before = n.get("before")
+    Event(n.get("seq").asLong, n.get("uuid").asText, n.get("gno").asLong,
+      n.get("op").asText, n.get("db").asText, n.get("tbl").asText,
+      n.get("ts").asLong,
+      if (before == null || before.isNull) null else before.asText,
+      n.get("payload").asText)
+  }
+
+  /** Write a fixture log (single file, events in binlog order). */
+  def write(path: String, events: Seq[Event],
+            conf: Configuration = new Configuration()): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try events.foreach { e => out.write((toJson(e) + "\n").getBytes(StandardCharsets.UTF_8)) }
+    finally out.close()
+  }
+
+  /** Read the full fixture log in order. */
+  def read(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    val buf = ArrayBuffer.empty[Event]
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) buf += fromJson(line)
+        line = in.readLine()
+      }
+    } finally in.close()
+    buf.toVector
+  }
+
+  /** Transaction index: (uuid, gno) per line, in log order — all the
+    * driver needs for offset planning (it never materializes payloads).
+    */
+  def readIndex(path: String, conf: Configuration = new Configuration()): Vector[(String, Long)] =
+    read(path, conf).map(e => (e.uuid, e.gno))
+}
