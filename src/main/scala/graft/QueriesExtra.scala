@@ -16,20 +16,22 @@ object QueriesExtra {
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
 
-  /** Embedding-cosine near-dup: candidate pairs from shared LSH bucket,
-    * scored by exact quantized-integer dot product. At 100 TB the
-    * self-join is per-bucket (bounded), never all-pairs.
+  /** Embedding-cosine near-dup: candidate pairs from shared BANDED LSH
+    * buckets (16 hyperplanes as 2 independent 8-bit band keys — the
+    * MinHash-LSH banding trade), scored by exact quantized-integer dot
+    * product. Scale guards: a bucket-population cap identical to
+    * `Dedup.lshCandidatePairs` bounds pair expansion to maxBucket²/2 per
+    * bucket (a hot bucket is a near-dup CLUSTER, not O(n²) pairs), and
+    * nothing is cached — the plan stays one-pass.
     */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val buckets = Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"),
-      dims = 64, numPlanes = 8)
-    // both sides of the self-join consume this — materialize once
+    val buckets = Similarity.lshBandBuckets(emb(s, dir), "vec_id", col("embedding"),
+      dims = 64, planesPerBand = 8, numBands = 2)
+    val pairs = Similarity.neardupCandidatePairs(buckets, "vec_id", maxBucket = 100)
     val q = emb(s, dir).select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-      .join(buckets, "vec_id").cache()
-    val a = q.select(col("bucket"), col("vec_id").as("vec_a"), col("qv").as("qa"))
-    val b = q.select(col("bucket"), col("vec_id").as("vec_b"), col("qv").as("qb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    pairs
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), Similarity.dotQ(col("qa"), col("qb")).as("dot"))
       .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors
   }
@@ -176,20 +178,26 @@ object QueriesExtra {
         |  SELECT vec_id, p.j,
         |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
         |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
-        |  FROM embeddings, generate_series(0, 7) p(j), generate_series(1, 64) g(i)),
+        |  FROM embeddings, generate_series(0, 15) p(j), generate_series(1, 64) g(i)),
         |bs AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
-        |bk AS (SELECT vec_id,
-        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM bs GROUP BY vec_id),
+        |bk AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INT)) ELSE 0 END) AS BIGINT) AS band_key
+        |  FROM bs GROUP BY vec_id, CAST(j // 8 AS INT)),
+        |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a
+        |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+        |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  SELECT cand.vec_a, cand.vec_b,
         |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
         |           * CAST(ROUND(CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  FROM cand
+        |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
         |  CROSS JOIN generate_series(1, 64) g(i)
-        |  GROUP BY a.vec_id, b.vec_id)
+        |  GROUP BY cand.vec_a, cand.vec_b)
         |SELECT vec_a, vec_b, dot FROM dots WHERE dot > 20000""".stripMargin,
 
     "q_term_freq" ->

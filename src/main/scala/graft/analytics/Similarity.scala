@@ -68,6 +68,52 @@ object Similarity {
       .select(col(idCol), bucket.as("bucket"))
   }
 
+  /** Banded random-hyperplane buckets for near-dup candidate generation:
+    * `numBands` independent `planesPerBand`-bit sign signatures per vector
+    * (global plane index j = band*planesPerBand + r). Two vectors are
+    * candidates iff they share ANY (band, band_key) bucket — the MinHash-LSH
+    * banding trade: more bands = higher recall, narrower band keys = smaller
+    * buckets. Fully narrow (one wide codegen'd expression, zero exchange);
+    * the only shuffle downstream is the band-key groupBy.
+    */
+  def lshBandBuckets(embeddings: DataFrame, idCol: String, vec: Column,
+                     dims: Int, planesPerBand: Int, numBands: Int): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      val key = (0 until planesPerBand).map { r =>
+        val j = b * planesPerBand + r
+        val sdot = (1 to dims).map(i =>
+          hyperplane(lit(j), lit(i)) * element_at(col("_q"), i)).reduce(_ + _)
+        when(sdot > 0, lit(1L << r)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    embeddings
+      .transform(df => graft.core.Spread.byKey(df, col(idCol)))
+      .select(col(idCol), quantize(vec).as("_q"))
+      .select(col(idCol), explode(array(bands: _*)).as("_e"))
+      .select(col(idCol), col("_e.band").as("band"), col("_e.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from shared band buckets, with the same
+    * bucket-population skew cap as [[Dedup.lshCandidatePairs]]: a bucket
+    * holding more than `maxBucket` vectors is a near-dup CLUSTER — surface
+    * it via the bucket listing, never as O(n²) pairs. Bounds the worst-case
+    * pair expansion to maxBucket²/2 per bucket at any corpus size.
+    */
+  def neardupCandidatePairs(bandBuckets: DataFrame, idCol: String,
+                            maxBucket: Int): DataFrame = {
+    val small = bandBuckets
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val a = small.select(col("band"), col("band_key"), col(idCol).as("vec_a"))
+    val b = small.select(col("band"), col("band_key"), col(idCol).as("vec_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
   /** ANN search: restrict brute force to the query vector's bucket. */
   def annTopK(embeddings: DataFrame, idCol: String, vec: Column, dims: Int,
               numPlanes: Int, queryVec: DataFrame, queryBucket: Long, k: Int): DataFrame = {

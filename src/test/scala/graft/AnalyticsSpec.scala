@@ -98,6 +98,38 @@ class SimilaritySpec extends SparkSuite {
     assert(!got.contains(3L)) // opposite vector is in another bucket
   }
 
+  test("banded buckets: dup vectors share every band, opposite share none") {
+    val b = Similarity.lshBandBuckets(vecs, "vec_id", col("embedding"),
+        dims = 3, planesPerBand = 4, numBands = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("band")) ->
+        r.getAs[Long]("band_key")).toMap
+    assert(b((0L, 0)) == b((1L, 0)) && b((0L, 1)) == b((1L, 1)))
+    assert(b((0L, 0)) != b((3L, 0)) && b((0L, 1)) != b((3L, 1)))
+  }
+
+  test("neardup pair expansion stays bounded under a 90%-hot-bucket input") {
+    // 90 identical vectors (one hot bucket per band) + 10 spread ones;
+    // with maxBucket=10 the hot cluster must yield ZERO pairs — it is a
+    // cluster, not O(n²) pairs — so the pair count is bounded by the
+    // small buckets alone.
+    val hot = (0L until 90L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))
+    val rest = (90L until 100L).map(i =>
+      (i, Array(-1.0f + 0.01f * i, 1.0f - 0.02f * i, -0.5f + 0.01f * i)))
+    val df = (hot ++ rest).toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBandBuckets(df, "vec_id", col("embedding"),
+      dims = 3, planesPerBand = 8, numBands = 2)
+    val pairs = Similarity.neardupCandidatePairs(buckets, "vec_id", maxBucket = 10)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val hotPairs = pairs.count { case (a, b) => a < 90L && b < 90L }
+    assert(hotPairs == 0, s"hot-bucket pairs leaked: $hotPairs")
+    // 10 small-bucket vectors can form at most C(10,2)=45 pairs
+    assert(pairs.length <= 45, s"pair expansion unbounded: ${pairs.length}")
+    // uncapped control: the same input explodes to >= C(90,2) pairs
+    val uncapped = Similarity.neardupCandidatePairs(buckets, "vec_id",
+      maxBucket = Int.MaxValue).count()
+    assert(uncapped >= 90L * 89L / 2)
+  }
+
   test("exact cosine agrees with ranking") {
     val withQ = vecs.crossJoin(
       vecs.filter(col("vec_id") === 0).select(col("embedding").as("q")))
