@@ -51,14 +51,21 @@ object JdbcSnapshot {
     */
   def estimateRows(src: JdbcSource): Try[Long] = Try {
     Using.resource(DriverManager.getConnection(src.url, src.user, src.password)) { conn =>
-      Using.resource(conn.createStatement()) { st =>
-        val rs = st.executeQuery(
-          "SELECT table_rows FROM information_schema.tables " +
-            s"WHERE table_schema = '${src.db}' AND table_name = '${src.table}'")
+      Using.resource(conn.prepareStatement(
+        "SELECT table_rows FROM information_schema.tables " +
+          "WHERE table_schema = ? AND table_name = ?")) { st =>
+        st.setString(1, src.db); st.setString(2, src.table)
+        val rs = st.executeQuery()
         if (rs.next()) rs.getLong(1) else 0L
       }
     }
   }
+
+  /** Backtick-quote an identifier (MySQL style; `` ` `` doubled). Control
+    * -plane values come from the state store, but never splice unquoted.
+    */
+  private[snapshot] def quoteId(id: String): String =
+    "`" + id.replace("`", "``") + "`"
 
   /** Partitioned snapshot scan. `pkCol` must be numeric (the common case;
     * string PKs fall back to a single partition).
@@ -70,8 +77,9 @@ object JdbcSnapshot {
     // FORCE INDEX goes through the dbtable subquery (JDBC options cannot
     // express hints; snapshot/snapshot.go:102-109 ForceIndex config)
     val rel = src.forceIndex match {
-      case Some(idx) => s"(SELECT * FROM ${src.db}.${src.table} FORCE INDEX ($idx)) AS t"
-      case None => s"${src.db}.${src.table}"
+      case Some(idx) =>
+        s"(SELECT * FROM ${quoteId(src.db)}.${quoteId(src.table)} FORCE INDEX (${quoteId(idx)})) AS t"
+      case None => s"${quoteId(src.db)}.${quoteId(src.table)}"
     }
     val df = spark.read.format("jdbc")
       .option("url", src.url)

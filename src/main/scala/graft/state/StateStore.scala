@@ -3,6 +3,8 @@ package graft.state
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.spark.sql.types.StructType
 
 import graft.core.Schema.TableSchema
@@ -62,11 +64,9 @@ class StateStore(dir: String) {
 
   private def file(name: String) = Paths.get(dir, s"$name.jsonl")
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
+  // Real JSON reader/writer (one line per record): params can carry row
+  // filters with quotes/commas/newlines — regex splitting mis-parses those.
+  private val mapper = new ObjectMapper()
 
   // --- registrations -------------------------------------------------------
 
@@ -100,37 +100,36 @@ class StateStore(dir: String) {
   }
 
   private def renderRegistration(r: Registration): String = {
-    val params = r.params.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-    s"""{"service":"${esc(r.service)}","cluster":"${esc(r.cluster)}","db":"${esc(r.db)}",""" +
-      s""""table":"${esc(r.table)}","input":"${esc(r.input)}","output":"${esc(r.output)}",""" +
-      s""""outputFormat":"${esc(r.outputFormat)}","version":${r.version},""" +
-      s""""params":{$params},"state":"${esc(r.state)}"}"""
+    val n = mapper.createObjectNode()
+    n.put("service", r.service); n.put("cluster", r.cluster)
+    n.put("db", r.db); n.put("table", r.table)
+    n.put("input", r.input); n.put("output", r.output)
+    n.put("outputFormat", r.outputFormat); n.put("version", r.version)
+    val p = n.putObject("params")
+    r.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    n.put("state", r.state)
+    mapper.writeValueAsString(n)
   }
 
   private def parseRegistration(line: String): Registration = {
-    def str(k: String): String = {
-      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(line)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
-    }
-    def num(k: String): Int =
-      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-    val params = """"params":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1))
-      .filter(_.nonEmpty)
-      .map(_.split(",(?=\")").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.stripPrefix("\"").stripSuffix("\"")
-      }.toMap).getOrElse(Map.empty[String, String])
+    val n = mapper.readTree(line)
+    def str(k: String): String = { val v = n.get(k); if (v == null) "" else v.asText }
+    val params = Option(n.get("params")).map { p =>
+      p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
     Registration(str("service"), str("cluster"), str("db"), str("table"),
-      str("input"), str("output"), str("outputFormat"), num("version"), params, str("state"))
+      str("input"), str("output"), str("outputFormat"),
+      Option(n.get("version")).map(_.asInt).getOrElse(0), params, str("state"))
   }
 
   // --- schema versions -----------------------------------------------------
 
   def pushSchema(db: String, table: String, gtid: String, schema: StructType): Unit =
     synchronized {
-      val line = s"""{"db":"${esc(db)}","table":"${esc(table)}","gtid":"${esc(gtid)}",""" +
-        s""""at":${System.currentTimeMillis()},"schema":"${esc(schema.json)}"}"""
-      Files.write(file("schemas"), (line + "\n").getBytes,
+      val n = mapper.createObjectNode()
+      n.put("db", db); n.put("table", table); n.put("gtid", gtid)
+      n.put("at", System.currentTimeMillis()); n.put("schema", schema.json)
+      Files.write(file("schemas"), (mapper.writeValueAsString(n) + "\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
 
@@ -138,20 +137,19 @@ class StateStore(dir: String) {
     val p = file("schemas")
     if (!Files.exists(p)) None
     else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-      .filter(l => l.contains(s""""db":"${esc(db)}"""") && l.contains(s""""table":"${esc(table)}""""))
+      .map(mapper.readTree)
+      .filter(n => n.get("db").asText == db && n.get("table").asText == table)
       .lastOption
-      .flatMap { l =>
-        """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(l).map(_.group(1)
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
-      }
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      .map(n => org.apache.spark.sql.types.DataType
+        .fromJson(n.get("schema").asText).asInstanceOf[StructType])
   }
 
   // --- positions (seqno / gtid high-watermarks) ----------------------------
 
   def savePosition(cluster: String, seqno: Long, gtid: String): Unit = synchronized {
-    val line = s"""{"cluster":"${esc(cluster)}","seqno":$seqno,"gtid":"${esc(gtid)}"}"""
-    Files.write(file("positions"), (line + "\n").getBytes,
+    val n = mapper.createObjectNode()
+    n.put("cluster", cluster); n.put("seqno", seqno); n.put("gtid", gtid)
+    Files.write(file("positions"), (mapper.writeValueAsString(n) + "\n").getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
@@ -162,11 +160,9 @@ class StateStore(dir: String) {
     val p = file("positions")
     if (!Files.exists(p)) None
     else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-      .filter(_.contains(s""""cluster":"${esc(cluster)}""""))
-      .lastOption.map { l =>
-        val seqno = """"seqno":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L)
-        val gtid = """"gtid":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
-        StateStore.Position(cluster, seqno, gtid)
-      }
+      .map(mapper.readTree)
+      .filter(_.get("cluster").asText == cluster)
+      .lastOption.map(n => StateStore.Position(cluster,
+        n.get("seqno").asLong, n.get("gtid").asText))
   }
 }

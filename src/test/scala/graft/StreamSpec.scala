@@ -126,6 +126,23 @@ class StateStoreSpec extends SparkSuite {
     assert(st.listRegistrations.isEmpty)
   }
 
+  test("params with quotes, commas, colons and newlines round-trip intact") {
+    // a RowFilter param is arbitrary SQL — the store must be a real JSON
+    // reader, not a regex splitter
+    val st = new StateStore(Files.createTempDirectory("graft-state4").toString)
+    val hostile = Map(
+      "RowFilter" -> """c_name LIKE "O'Brien, \"Jr\"" AND c_id IN (1,2)""",
+      "note" -> "line1\nline2\ttabbed",
+      "k:v,weird\"key" -> "{\"nested\":\"json\"}")
+    val r = Registration("svc", "cl1", "db1", "t1", "mysql", "file", "json",
+      params = hostile)
+    st.register(r)
+    assert(st.listRegistrations.head.params == hostile)
+    // gtid/cluster strings with quotes survive the positions log too
+    st.savePosition("""cl"1""", 5L, """uuid:1-3,uu"id2:7""")
+    assert(st.lastPosition("""cl"1""").map(_.gtid).contains("""uuid:1-3,uu"id2:7"""))
+  }
+
   test("schema versions: latest wins, survives json round-trip") {
     import org.apache.spark.sql.types._
     val st = new StateStore(Files.createTempDirectory("graft-state2").toString)
