@@ -236,6 +236,48 @@ object QueriesCdc {
         get_json_object(col("payload"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** K1+S3 round-trip: events produced into the loopback Kafka-shaped
+    * pipe (keyed by user_id, partitioner = pmod so DuckDB can mirror it),
+    * then consumed back through the `graft-kafka` DataSource-V2 streaming
+    * source in several micro-batches. Per-partition offsets are
+    * deterministic — the producer orders by event_id, so
+    * offset = row_number() over (partition order by event_id) - 1 —
+    * making the whole pipe contract (partition assignment, offset
+    * sequencing, payload integrity) hash-checkable against the oracle.
+    */
+  def kafkaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val base = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id").as("ord"),
+        col("user_id").cast("string").as("key"),
+        col("user_id"),
+        to_json(struct(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
+    val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_topic_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // fresh topic per run (produce appends by contract)
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(topicDir), true)
+    graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
+      partitionCol = Some(pmod(col("user_id"), lit(nParts))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-rt-ckpt").toString
+    val q = s.readStream.format("graft-kafka")
+      .option("path", topicDir)
+      .option("maxOffsetsPerTrigger", 4096)
+      .load()
+      .writeStream.format("memory").queryName("graft_kafka_roundtrip")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_kafka_roundtrip")
+      .select(col("partition").cast("long").as("partition"), col("offset"),
+        col("key").cast("long").as("user_id"),
+        get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -267,5 +309,6 @@ object QueriesCdc {
     "q_fanout" -> fanout _,
     "q_handoff_merge" -> handoffMerge _,
     "q_changelog_native" -> changelogNative _,
+    "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_state_join" -> stateJoin _)
 }

@@ -170,6 +170,13 @@ object SparkEntry {
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
 
+    "q_kafka_roundtrip" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,
+        |  user_id, event_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
+
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
          |  ${centsSum.format("c_acctbal * 100")} AS bal_cents

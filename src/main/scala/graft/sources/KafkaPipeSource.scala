@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipes.LoopbackPipe
+
+/** Streaming consumer over the loopback Kafka-shaped pipe (S3): a
+  * DataSource-V2 `MicroBatchStream` whose offset is the per-partition
+  * offset map — exactly the `kafka_offsets` shape the reference persists
+  * (/root/reference/pipe/kafka.go:152-156,188-211).
+  *
+  * Unlike the binlog source (one ordered stream), a topic has N
+  * independent partitions: `planInputPartitions` emits one input split per
+  * topic-partition, so consumption parallelism == partition count, the
+  * same scaling rule as Kafka itself. Admission control spreads
+  * `maxOffsetsPerTrigger` across partitions proportionally to their
+  * backlog (Spark's Kafka source behavior).
+  */
+object KafkaPipeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false)))
+}
+
+class KafkaPipeSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KafkaPipeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KafkaPipeTable(properties.asScala.toMap)
+}
+
+class KafkaPipeTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val path = props.getOrElse("path",
+    throw new IllegalArgumentException("graft-kafka requires a path option (topic dir)"))
+  override def name(): String = s"graft-kafka($path)"
+  override def schema(): StructType = KafkaPipeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaPipeScan(path, options.asScala.toMap)
+    }
+}
+
+class KafkaPipeScan(path: String, options: Map[String, String]) extends Scan {
+  override def readSchema(): StructType = KafkaPipeSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaPipeMicroBatchStream(path, options.get("maxoffsetspertrigger").map(_.toLong))
+}
+
+/** Offset = per-partition next-offset map `{"offsets":{"0":5,"1":3}}`. */
+case class PartitionOffsets(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = {
+    val m = PartitionOffsets.mapper
+    val root = m.createObjectNode()
+    val o = root.putObject("offsets")
+    offsets.toSeq.sortBy(_._1).foreach { case (p, v) => o.put(p.toString, v) }
+    m.writeValueAsString(root)
+  }
+}
+
+object PartitionOffsets {
+  private val mapper = new ObjectMapper()
+  def fromJson(json: String): PartitionOffsets = {
+    val n = mapper.readTree(json).get("offsets")
+    val it = n.properties().iterator()
+    val b = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey.toInt -> e.getValue.asLong) }
+    PartitionOffsets(b.result())
+  }
+}
+
+class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def listEnds(): Map[Int, Long] = LoopbackPipe.endOffsets(path, new Configuration())
+
+  // Trigger.AvailableNow snapshot of the log's end, fixed at prepare time
+  private var availableEnds: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = { availableEnds = Some(listEnds()) }
+
+  override def initialOffset(): Offset = PartitionOffsets(Map.empty)
+
+  override def deserializeOffset(json: String): Offset = PartitionOffsets.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[PartitionOffsets].offsets.withDefaultValue(0L)
+    val ends = availableEnds.getOrElse(listEnds())
+    val backlog = ends.map { case (p, e) => p -> math.max(0L, e - startMap(p)) }
+    val total = backlog.values.sum
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => Long.MaxValue
+    }
+    val next =
+      if (total <= cap) ends
+      else {
+        // proportional allocation, at least 1 from each non-empty backlog
+        var remaining = cap
+        backlog.toSeq.sortBy(_._1).map { case (p, b) =>
+          val share = math.min(b, math.max(if (b > 0) 1L else 0L, cap * b / total))
+          val take = math.min(share, remaining)
+          remaining -= take
+          p -> (startMap(p) + take)
+        }.toMap
+      }
+    PartitionOffsets(next.map { case (p, e) => p -> math.max(e, startMap(p)) })
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PartitionOffsets].offsets.withDefaultValue(0L)
+    val e = end.asInstanceOf[PartitionOffsets].offsets
+    e.toSeq.sortBy(_._1).collect {
+      case (p, until) if until > s(p) => KafkaPipeInputPartition(path, p, s(p), until)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new KafkaPipeReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class KafkaPipeInputPartition(path: String, partition: Int, from: Long, until: Long)
+    extends InputPartition
+
+class KafkaPipeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KafkaPipeInputPartition]
+    new KafkaPipePartitionReader(p)
+  }
+}
+
+class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val it = LoopbackPipe.readPartition(p.path, p.partition, p.from, p.until,
+    new Configuration())
+  private var current: LoopbackPipe.Record = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val r = current
+    new GenericInternalRow(Array[Any](
+      r.partition, r.offset,
+      if (r.key == null) null else UTF8String.fromString(r.key),
+      UTF8String.fromString(r.value), r.ts))
+  }
+
+  override def close(): Unit = ()
+}
