@@ -6,10 +6,15 @@ import java.io.ByteArrayOutputStream
   *
   * No msgpack library ships in-container, so this implements the subset of
   * the public MessagePack spec (https://msgpack.org) the CF event needs:
-  * fixmap/map16, fixstr/str8/str16, nil, bool, int64, fixarray/array16,
-  * bin8/16/32, float64. The reference generates its codec with `msgp`
-  * (/root/reference/types/format.go:23) and field names match the Go
-  * struct: Type, Key, SeqNo, Timestamp, Fields.
+  * fixmap/map16, fixstr/str8/str16, nil, bool, minimal-size ints,
+  * fixarray/array16, bin8/16/32, float32/float64. The reference generates
+  * its codec with the public tinylib `msgp` generator
+  * (/root/reference/types/format.go:23); byte parity follows that
+  * generator's wire rules — struct = fixmap of field names, signed ints
+  * minimal-size with positives skipping int8 (`WriteInt64`), `SeqNo` as
+  * uint64 (`WriteUint64` → 0xcc/0xcd/0xce/0xcf), float32 as 0xca —
+  * asserted by the golden-byte fixtures in EncodeSpec. Field names match
+  * the Go struct: Type, Key, SeqNo, Timestamp, Fields.
   */
 object MsgPackCodec {
 
@@ -43,14 +48,47 @@ object MsgPackCodec {
 
     def packBoolean(v: Boolean): Packer = { out.write(if (v) 0xc3 else 0xc2); this }
 
+    private def writeBE(v: Long, nBytes: Int): Unit = {
+      var i = (nBytes - 1) * 8
+      while (i >= 0) { out.write(((v >> i) & 0xff).toInt); i -= 8 }
+    }
+
+    /** Minimal-size SIGNED int — byte-for-byte the public tinylib/msgp
+      * `WriteInt64` (the codec `//go:generate msgp` emits for int64
+      * struct fields, /root/reference/types/format.go:23): positives use
+      * fixint then int16/int32/int64 (never int8); negatives walk
+      * fixint/int8/int16/int32/int64.
+      */
     def packLong(v: Long): Packer = {
-      if (v >= 0 && v < 128) out.write(v.toInt)
-      else if (v < 0 && v >= -32) out.write(0xe0 | (v.toInt & 0x1f))
-      else { // int64 for simplicity beyond fixint
-        out.write(0xd3)
-        var i = 56
-        while (i >= 0) { out.write(((v >> i) & 0xff).toInt); i -= 8 }
+      if (v >= 0) {
+        if (v <= 127) out.write(v.toInt)
+        else if (v <= Short.MaxValue) { out.write(0xd1); writeBE(v, 2) }
+        else if (v <= Int.MaxValue) { out.write(0xd2); writeBE(v, 4) }
+        else { out.write(0xd3); writeBE(v, 8) }
+      } else {
+        if (v >= -32) out.write(0xe0 | (v.toInt & 0x1f))
+        else if (v >= Byte.MinValue) { out.write(0xd0); writeBE(v, 1) }
+        else if (v >= Short.MinValue) { out.write(0xd1); writeBE(v, 2) }
+        else if (v >= Int.MinValue) { out.write(0xd2); writeBE(v, 4) }
+        else { out.write(0xd3); writeBE(v, 8) }
       }
+      this
+    }
+
+    /** Minimal-size UNSIGNED int (`WriteUint64` — SeqNo is uint64). */
+    def packUnsigned(v: Long): Packer = {
+      require(v >= 0, "uint64 fixture values are limited to Long range here")
+      if (v <= 127) out.write(v.toInt)
+      else if (v <= 0xffL) { out.write(0xcc); writeBE(v, 1) }
+      else if (v <= 0xffffL) { out.write(0xcd); writeBE(v, 2) }
+      else if (v <= 0xffffffffL) { out.write(0xce); writeBE(v, 4) }
+      else { out.write(0xcf); writeBE(v, 8) }
+      this
+    }
+
+    def packFloat(v: Float): Packer = {
+      out.write(0xca)
+      writeBE(java.lang.Float.floatToIntBits(v).toLong & 0xffffffffL, 4)
       this
     }
 
@@ -81,7 +119,7 @@ object MsgPackCodec {
       case l: Long => packLong(l)
       case b: Boolean => packBoolean(b)
       case d: Double => packDouble(d)
-      case f: Float => packDouble(f.toDouble)
+      case f: Float => packFloat(f) // float32 wire type, like msgp AppendIntf
       case b: Array[Byte] => packBinary(b)
       case other => packString(other.toString)
     }
@@ -97,7 +135,7 @@ object MsgPackCodec {
     p.packString("Type").packString(opType)
     p.packString("Key").packArrayHeader(key.length)
     key.foreach(p.packValue)
-    p.packString("SeqNo").packLong(seqNo)
+    p.packString("SeqNo").packUnsigned(seqNo) // SeqNo is uint64 in the Go struct
     p.packString("Timestamp").packLong(timestamp)
     p.packString("Fields")
     fields match {
@@ -129,11 +167,35 @@ object MsgPackCodec {
       case 0xc3 => (true, 1)
       case 0xc4 => val n = b(off + 1) & 0xff; (b.slice(off + 2, off + 2 + n), 2 + n)
       case 0xc5 => val n = ((b(off + 1) & 0xff) << 8) | (b(off + 2) & 0xff); (b.slice(off + 3, off + 3 + n), 3 + n)
+      case 0xca =>
+        var bits = 0
+        var i = 0
+        while (i < 4) { bits = (bits << 8) | (b(off + 1 + i) & 0xff); i += 1 }
+        (java.lang.Float.intBitsToFloat(bits), 5)
       case 0xcb =>
         var bits = 0L
         var i = 0
         while (i < 8) { bits = (bits << 8) | (b(off + 1 + i) & 0xffL); i += 1 }
         (java.lang.Double.longBitsToDouble(bits), 9)
+      case 0xcc => ((b(off + 1) & 0xffL), 2)
+      case 0xcd => (((b(off + 1) & 0xffL) << 8) | (b(off + 2) & 0xffL), 3)
+      case 0xce =>
+        var v = 0L
+        var i = 0
+        while (i < 4) { v = (v << 8) | (b(off + 1 + i) & 0xffL); i += 1 }
+        (v, 5)
+      case 0xcf =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(off + 1 + i) & 0xffL); i += 1 }
+        (v, 9)
+      case 0xd0 => (b(off + 1).toLong, 2)
+      case 0xd1 => (((b(off + 1).toLong) << 8) | (b(off + 2) & 0xffL), 3)
+      case 0xd2 =>
+        var v = b(off + 1).toLong
+        var i = 1
+        while (i < 4) { v = (v << 8) | (b(off + 1 + i) & 0xffL); i += 1 }
+        (v, 5)
       case 0xd3 =>
         var v = 0L
         var i = 0

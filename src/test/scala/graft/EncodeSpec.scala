@@ -144,6 +144,96 @@ class MsgPackSpec extends SparkSuite {
       assert(m("Key").asInstanceOf[Seq[Any]].head == v, s"value $v")
     }
   }
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("golden bytes: basic insert (testBasicResult[0], msgp wire rules)") {
+    // types.CommonFormatEvent{Type:"insert", Key:[int64(1)], SeqNo:1,
+    // Timestamp:0, Fields:&[{f1,int64(1)}]} — encoder_test.go:56; bytes
+    // hand-derived from the public tinylib/msgp generated-marshaler rules
+    // (fixmap(5) of named fields, minimal-size ints).
+    val bytes = MsgPackCodec.encodeEvent("insert", Seq(1L), 1L, 0L,
+      Some(Seq("f1" -> 1L)))
+    assert(hex(bytes) ==
+      "85" + // fixmap(5)
+      "a454797065" + "a6696e73657274" + // "Type":"insert"
+      "a34b6579" + "9101" + // "Key":[1]
+      "a55365714e6f" + "01" + // "SeqNo":1 (uint, pos fixint)
+      "a954696d657374616d70" + "00" + // "Timestamp":0
+      "a64669656c6473" + "91" + // "Fields": 1-elem array
+      "82" + "a44e616d65" + "a26631" + "a556616c7565" + "01") // {Name:f1,Value:1}
+  }
+
+  test("golden bytes: delete with nil Fields (testBasicResult[2])") {
+    // {Type:"delete", Key:[int64(2)], SeqNo:3, Timestamp:0, Fields:nil}
+    val bytes = MsgPackCodec.encodeEvent("delete", Seq(2L), 3L, 0L, None)
+    assert(hex(bytes) ==
+      "85a454797065a664656c657465a34b65799102a55365714e6f03" +
+      "a954696d657374616d7000a64669656c6473c0")
+  }
+
+  test("golden bytes: all-datatypes t2 row field values (msgp minimal sizes)") {
+    // Value wire types from testAllDataTypesResult[0] (encoder_test.go:93),
+    // minus time.Time (CF normalization renders datetimes as strings here):
+    // int16/int32 positives never use int8 (msgp WriteInt64), uint SeqNo
+    // uses 0xcc/0xcd..., float32 is 0xca, []byte is bin8, bool, nil.
+    val bytes = MsgPackCodec.encodeEvent("insert", Seq(1L), 300L, 300L,
+      Some(Seq(
+        "f1" -> 1L,
+        "f2" -> "asdf",
+        "f8" -> 2017L,
+        "f9" -> (1L << 54),
+        "f10" -> "abc".getBytes("UTF-8"),
+        "f11" -> 8765L,
+        "f12" -> 1111f,
+        "f13" -> 2222.67d,
+        "f17" -> true,
+        "f18" -> """{"one":"two"}""",
+        "f2n" -> null)))
+    val f13bits = "%016x".format(java.lang.Double.doubleToLongBits(2222.67d))
+    assert(hex(bytes) ==
+      "85" +
+      "a454797065a6696e73657274" +
+      "a34b65799101" +
+      "a55365714e6f" + "cd012c" + // SeqNo 300 = uint16
+      "a954696d657374616d70" + "d1012c" + // Timestamp 300 = int16
+      "a64669656c64739b" + // 11 fields
+      "82a44e616d65a26631a556616c756501" + // f1: 1
+      "82a44e616d65a26632a556616c7565a461736466" + // f2: "asdf"
+      "82a44e616d65a26638a556616c7565d107e1" + // f8: 2017 int16
+      "82a44e616d65a26639a556616c7565d30040000000000000" + // f9: 1<<54 int64
+      "82a44e616d65a3663130a556616c7565c403616263" + // f10: bin8 "abc"
+      "82a44e616d65a3663131a556616c7565d1223d" + // f11: 8765 int16
+      "82a44e616d65a3663132a556616c7565ca448ae000" + // f12: float32 1111
+      "82a44e616d65a3663133a556616c7565cb" + f13bits + // f13: double
+      "82a44e616d65a3663137a556616c7565c3" + // f17: true
+      "82a44e616d65a3663138a556616c7565ad7b226f6e65223a2274776f227d" + // f18 json str
+      "82a44e616d65a366326ea556616c7565c0") // null
+    // decode round-trip of the same buffer
+    val (decoded, n) = MsgPackCodec.decode(bytes)
+    assert(n == bytes.length)
+    val m = decoded.asInstanceOf[Map[Any, Any]]
+    assert(m("SeqNo") == 300L && m("Timestamp") == 300L)
+    val fields = m("Fields").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
+    assert(fields.find(_("Name") == "f12").get("Value") == 1111f)
+    assert(fields.find(_("Name") == "f9").get("Value") == (1L << 54))
+    assert(java.util.Arrays.equals(
+      fields.find(_("Name") == "f10").get("Value").asInstanceOf[Array[Byte]],
+      "abc".getBytes("UTF-8")))
+  }
+
+  test("unsigned SeqNo boundaries use uint wire types") {
+    def seqNoByte(seq: Long): String = {
+      val b = MsgPackCodec.encodeEvent("insert", Seq(1L), seq, 0L, None)
+      val h = hex(b)
+      h.substring(h.indexOf("a55365714e6f") + "a55365714e6f".length,
+        h.indexOf("a954696d657374616d70"))
+    }
+    assert(seqNoByte(127L) == "7f") // positive fixint
+    assert(seqNoByte(200L) == "ccc8") // uint8
+    assert(seqNoByte(65535L) == "cdffff") // uint16
+    assert(seqNoByte(1L << 32) == "cf0000000100000000") // uint64
+  }
 }
 
 class AvroCodecSpec extends SparkSuite {
