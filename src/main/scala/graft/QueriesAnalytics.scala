@@ -148,6 +148,23 @@ object QueriesAnalytics {
   def embedLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"), dims = 64, numPlanes = 8)
 
+  /** IVF ANN probe (rows-only check — no DuckDB IVF): train coarse
+    * centroids deterministically (fixed sample/init/iterations, no RNG),
+    * round-trip the model through its serialized form (what a production
+    * job persists), then probe the 4 cells nearest the query for top-20.
+    * Scale: training sample is bounded, assignment is a narrow scan pass,
+    * probe touches nprobe/k of the corpus.
+    */
+  def ivfProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val trained = graft.analytics.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 5)
+    val model = graft.analytics.Ivf.Model.parse(trained.serialize) // persist/restore path
+    val queryVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.analytics.Ivf.probe(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      model, queryVec, nprobe = 4, k = 20)
+  }
+
   // ------------------------------------------------------------------ text
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +219,7 @@ object QueriesAnalytics {
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
+    "q_ivf_probe" -> ivfProbe _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,

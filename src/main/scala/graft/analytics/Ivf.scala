@@ -44,6 +44,42 @@ object Ivf {
         while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
         d
       }.take(nprobe)
+
+    /** Deterministic serialized form: centroid components as 64-bit IEEE
+      * hex strings (bit-exact round-trip; the trained model is driver
+      * state that must persist/restore without drift).
+      */
+    def serialize: String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("k", centroids.length)
+      root.put("dims", if (centroids.isEmpty) 0 else centroids.head.length)
+      val cs = root.putArray("centroids")
+      centroids.foreach { c =>
+        val row = cs.addArray()
+        c.foreach(x => row.add(java.lang.Long.toHexString(
+          java.lang.Double.doubleToRawLongBits(x))))
+      }
+      mapper.writeValueAsString(root)
+    }
+  }
+
+  object Model {
+    /** Parse [[Model.serialize]] output (bit-exact doubles via their
+      * 64-bit hex form — decimal rendering would drift).
+      */
+    def parse(s: String): Model = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(s)
+      val cs = root.get("centroids")
+      Model(Array.tabulate(cs.size()) { j =>
+        val row = cs.get(j)
+        Array.tabulate(row.size()) { i =>
+          java.lang.Double.longBitsToDouble(
+            java.lang.Long.parseUnsignedLong(row.get(i).asText, 16))
+        }
+      })
+    }
   }
 
   private def toDoubles(r: Row, idx: Int): Array[Double] =

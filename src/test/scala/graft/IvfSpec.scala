@@ -30,6 +30,20 @@ class IvfSpec extends SparkSuite {
     assert(assigned.select("vec_id", "cell").exceptAll(again.select("vec_id", "cell")).isEmpty)
   }
 
+  test("model serialization round-trips bit-exact and probes identically") {
+    val restored = Ivf.Model.parse(model.serialize)
+    assert(restored.centroids.length == model.centroids.length)
+    model.centroids.zip(restored.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b)) // bit-exact doubles
+    }
+    assert(restored.serialize == model.serialize)
+    val viaModel = Ivf.probe(emb, "vec_id", "embedding", model, queryVec, 3, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val viaRestored = Ivf.probe(emb, "vec_id", "embedding", restored, queryVec, 3, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(viaModel == viaRestored)
+  }
+
   test("full-probe IVF equals brute force; partial probe recalls most") {
     val exact = bruteTop(10)
     val full = Ivf.probe(emb, "vec_id", "embedding", model, queryVec, nprobe = 8, k = 10)
