@@ -82,8 +82,11 @@ object QueriesExtra {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
-  /** Exact interpolated percentiles over integer cents (sort-based; at
-    * scale prefer approx_percentile — see q_approx_stats).
+  /** Exact interpolated percentiles over integer cents — the sf0.01 ORACLE
+    * ANCHOR only. `percentile` buffers every group value on one executor,
+    * which is an OOM at 100 TB; the documented scale path is the sketch
+    * twin [[approxStats]] (`approx_percentile`), whose rank-error bound is
+    * pinned to this exact form by ApproxStatsSpec.
     */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     li(s, dir)
@@ -94,9 +97,12 @@ object QueriesExtra {
         expr("percentile(cents, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
-  /** Sketch-based stats — the 100 TB path (HLL + KLL-style quantiles).
-    * Not DuckDB-expressible (different sketch algorithms) => rows-only
-    * check; the exact twins above are the correctness anchor.
+  /** Sketch-based stats — THE 100 TB path (HLL++ distinct counts +
+    * Greenwald-Khanna quantiles, both mergeable partial aggregates: fixed
+    * memory per group regardless of group size). Not DuckDB-expressible
+    * (different sketch algorithms) => rows-only check; the exact twins
+    * above are the correctness anchor, and ApproxStatsSpec asserts the
+    * sketch estimates stay within their published error bounds of them.
     */
   def approxStats(s: SparkSession, dir: String): DataFrame =
     li(s, dir).groupBy(col("l_returnflag"))
