@@ -217,9 +217,14 @@ object QueriesCdc {
       .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
       .map(_.getAbsolutePath).min
     val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-native-ckpt").toString
+    // ~4 micro-batches at ANY scale factor: still exercises GTID offset
+    // advancement across batches without paying per-batch planning
+    // overhead 60x at larger SFs (micro-batch count, not size, is what
+    // the restart contract needs)
+    val nEvents = base.count()
     val q = s.readStream.format("graft-binlog")
       .option("path", part)
-      .option("maxEventsPerTrigger", 1024)
+      .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
       .load()
       .writeStream.format("memory").queryName("graft_changelog_native")
       .option("checkpointLocation", ckpt)
@@ -259,12 +264,13 @@ object QueriesCdc {
     // fresh topic per run (produce appends by contract)
     org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(topicDir), true)
-    graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
+    val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
       partitionCol = Some(pmod(col("user_id"), lit(nParts))))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-rt-ckpt").toString
+    // ~4 micro-batches at any SF (see changelogNative)
     val q = s.readStream.format("graft-kafka")
       .option("path", topicDir)
-      .option("maxOffsetsPerTrigger", 4096)
+      .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
       .load()
       .writeStream.format("memory").queryName("graft_kafka_roundtrip")
       .option("checkpointLocation", ckpt)
