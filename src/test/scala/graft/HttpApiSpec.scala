@@ -1,0 +1,93 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.server.{Api, HttpApi}
+import graft.state.StateStore
+
+/** End-to-end REST surface (§2.7): the reference's /health /table /schema
+  * /cluster endpoints (server/server.go:37-43) over a live HTTP listener.
+  */
+class HttpApiSpec extends SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def withServer(f: Int => Unit): Unit = {
+    val state = new StateStore(Files.createTempDirectory("graft-http").toString)
+    val http = new HttpApi(new Api(state), state)
+    val port = http.start()
+    try f(port) finally http.stop()
+  }
+
+  test("health endpoint answers") {
+    withServer { port =>
+      val r = get(port, "/health")
+      assert(r.statusCode() == 200 && r.body().contains("OK"))
+    }
+  }
+
+  test("table add/list/del lifecycle over HTTP") {
+    withServer { port =>
+      val add = post(port, "/table",
+        """{"cmd":"add","service":"svc","cluster":"cl1","db":"db1","table":"t1",
+          |"input":"mysql","output":"kafka","outputFormat":"json",
+          |"params":{"NoDeleteOnUpdate":"true"}}""".stripMargin)
+      assert(add.statusCode() == 200, add.body())
+
+      val bad = post(port, "/table",
+        """{"cmd":"add","service":"s","cluster":"c","db":"d","table":"t",
+          |"input":"mysql","output":"kafka","outputFormat":"nonsense"}""".stripMargin)
+      assert(bad.statusCode() == 400)
+
+      val list = get(port, "/table?service=svc")
+      assert(list.statusCode() == 200)
+      assert(list.body().contains("\"db\":\"db1\"") && list.body().contains("json"))
+
+      val del = post(port, "/table", """{"cmd":"del","key":"svc/cl1/db1/t1/kafka/v0"}""")
+      assert(del.statusCode() == 200, del.body())
+      assert(!get(port, "/table").body().contains("db1"))
+      val delAgain = post(port, "/table", """{"cmd":"del","key":"svc/cl1/db1/t1/kafka/v0"}""")
+      assert(delAgain.statusCode() == 404)
+    }
+  }
+
+  test("schema register + fetch round-trips a StructType") {
+    withServer { port =>
+      val schema = StructType(Seq(
+        StructField("f1", LongType, nullable = false),
+        StructField("f2", StringType)))
+      val reg = post(port, "/schema",
+        s"""{"db":"db1","table":"t1","gtid":"uuid:1-5","schema":${schema.json}}""")
+      assert(reg.statusCode() == 200, reg.body())
+      val got = get(port, "/schema?db=db1&table=t1")
+      assert(got.statusCode() == 200)
+      assert(DataType.fromJson(got.body()) == schema)
+      assert(get(port, "/schema?db=db1&table=nope").statusCode() == 404)
+    }
+  }
+
+  test("cluster position save + fetch") {
+    withServer { port =>
+      assert(get(port, "/cluster?cluster=cl1").statusCode() == 404)
+      val save = post(port, "/cluster", """{"cluster":"cl1","seqno":42,"gtid":"uuid:1-9"}""")
+      assert(save.statusCode() == 200)
+      val got = get(port, "/cluster?cluster=cl1")
+      assert(got.statusCode() == 200)
+      assert(got.body().contains("\"seqno\":42") && got.body().contains("uuid:1-9"))
+    }
+  }
+}
