@@ -69,3 +69,46 @@ class WatchdogSpec extends SparkSuite {
     } finally spark.streams.removeListener(wd)
   }
 }
+
+class ClusterLimiterSpec extends SparkSuite {
+  import graft.stream.ClusterLimiter
+
+  test("caps concurrent tasks per cluster, clusters independent") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val limiter = new ClusterLimiter(2)
+    val maxSeen = new AtomicInteger()
+    val cl2Ran = new AtomicInteger()
+    val tasks = (1 to 6).map { _ =>
+      Future {
+        limiter.withSlot(spark, "cl1") {
+          val now = limiter.running("cl1")
+          maxSeen.updateAndGet(m => math.max(m, now))
+          // while cl1 is saturated, cl2 still gets a slot immediately
+          limiter.withSlot(spark, "cl2") { cl2Ran.incrementAndGet() }
+          Thread.sleep(50)
+          spark.range(10).count() // a real job inside the slot
+        }
+      }
+    }
+    Await.result(Future.sequence(tasks), 60.seconds)
+    assert(maxSeen.get() <= 2, s"cap breached: ${maxSeen.get()}")
+    assert(maxSeen.get() == 2) // parallelism actually happened
+    assert(cl2Ran.get() == 6)
+    assert(limiter.running("cl1") == 0 && limiter.running("cl2") == 0)
+  }
+
+  test("scheduler pool property set inside the slot, restored after") {
+    val limiter = new ClusterLimiter(1)
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "outer")
+    limiter.withSlot(spark, "clX") {
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "cluster-clX")
+    }
+    assert(sc.getLocalProperty("spark.scheduler.pool") == "outer")
+    sc.setLocalProperty("spark.scheduler.pool", null)
+  }
+}
