@@ -15,8 +15,10 @@ import graft.state.StateStore
   * For each unsynced registration: run the snapshot phase (batch), then the
   * changelog phase (Structured Streaming), encode to the registered output
   * format, write through the pipe, mark synced. Task leases (O2) are not
-  * needed — one driver owns all queries; `ClusterConcurrency` (O11) maps to
-  * running snapshot jobs in the default FIFO scheduler or a capped pool.
+  * needed — one driver owns all queries; `ClusterConcurrency` (O11) is
+  * [[ClusterLimiter]]: wrap `runTask` in `limiter.withSlot(spark, cluster)`
+  * to cap concurrent tasks per source cluster and tag their jobs into a
+  * per-cluster FAIR pool.
   */
 class Coordinator(spark: SparkSession, state: StateStore, outRoot: String) {
 
