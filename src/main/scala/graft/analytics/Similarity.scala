@@ -41,7 +41,9 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * +1/-1 from a fixed arithmetic pattern. Shared with the DuckDB oracle —
-    * must stay in exact integer arithmetic.
+    * must stay in exact integer arithmetic. The bucket builders below bake
+    * this formula into array-literal sign matrices (compact codegen); this
+    * Column form documents the contract and serves ad-hoc use.
     */
   def hyperplane(j: Column, i: Column): Column =
     when(((i * 31 + j * 17) % 7) < 3, 1L).otherwise(-1L)
@@ -54,14 +56,19 @@ object Similarity {
   def lshBucket(embeddings: DataFrame, idCol: String, vec: Column,
                 dims: Int, numPlanes: Int): DataFrame = {
     // fully narrow: every plane's sign bit computes in the same row — no
-    // per-plane explode, no shuffle at all. Codegen splits the wide
-    // expression into sub-methods; the per-row cost is dims*numPlanes
-    // multiply-adds either way, but zero exchange at any scale.
-    val bucket = (0 until numPlanes).map { j =>
-      val sdot = (1 to dims).map(i =>
-        hyperplane(lit(j), lit(i)) * element_at(col("_q"), i)).reduce(_ + _)
-      when(sdot > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    // per-plane explode, no shuffle at all. Sign matrix as an array
+    // literal + runtime aggregate loop (compact codegen — see
+    // lshBandBuckets); per-row cost is dims*numPlanes multiply-adds,
+    // zero exchange at any scale.
+    val signs: Column = typedLit((0 until numPlanes).map { j =>
+      (1 to dims).map(i => if (((i * 31 + j * 17) % 7) < 3) 1L else -1L)
+    })
+    val weights: Column = typedLit((0 until numPlanes).map(j => 1L << j))
+    val bucket = aggregate(
+      zip_with(signs, weights, (s, w) =>
+        when(aggregate(zip_with(s, col("_q"), (a, x) => a * x), lit(0L), _ + _) > 0,
+          w).otherwise(0L)),
+      lit(0L), _ + _)
     embeddings
       .transform(df => graft.core.Spread.byKey(df, col(idCol))) // spread single-file input
       .select(col(idCol), quantize(vec).as("_q"))
@@ -78,13 +85,21 @@ object Similarity {
     */
   def lshBandBuckets(embeddings: DataFrame, idCol: String, vec: Column,
                      dims: Int, planesPerBand: Int, numBands: Int): DataFrame = {
+    // Sign matrices as ARRAY LITERALS + runtime aggregate loops instead of
+    // an unrolled dims×planes expression tree: identical arithmetic, but
+    // codegen compiles a short loop rather than thousands of add nodes
+    // (Janino compile time was the dominant cost of this query).
     val bands = (0 until numBands).map { b =>
-      val key = (0 until planesPerBand).map { r =>
+      val signs: Column = typedLit((0 until planesPerBand).map { r =>
         val j = b * planesPerBand + r
-        val sdot = (1 to dims).map(i =>
-          hyperplane(lit(j), lit(i)) * element_at(col("_q"), i)).reduce(_ + _)
-        when(sdot > 0, lit(1L << r)).otherwise(0L)
-      }.reduce(_ + _)
+        (1 to dims).map(i => if (((i * 31 + j * 17) % 7) < 3) 1L else -1L)
+      })
+      val weights: Column = typedLit((0 until planesPerBand).map(r => 1L << r))
+      val key = aggregate(
+        zip_with(signs, weights, (s, w) =>
+          when(aggregate(zip_with(s, col("_q"), (a, x) => a * x), lit(0L), _ + _) > 0,
+            w).otherwise(0L)),
+        lit(0L), _ + _)
       struct(lit(b).as("band"), key.as("band_key"))
     }
     embeddings

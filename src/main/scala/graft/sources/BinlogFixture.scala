@@ -64,6 +64,28 @@ object BinlogFixture {
     finally out.close()
   }
 
+  /** JVM-wide parse cache keyed by (len, mtime): a production binlog
+    * reader holds a forward-only cursor and never re-parses history; the
+    * fixture equivalent is parsing each log version once per process, not
+    * once per micro-batch. One entry per path (latest version wins).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Vector[Event])]()
+
+  def readCached(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val (len, mtime) = (st.getLen, st.getModificationTime)
+    val hit = cache.get(path)
+    if (hit != null && hit._1 == len && hit._2 == mtime) hit._3
+    else {
+      val events = read(path, conf)
+      cache.put(path, (len, mtime, events))
+      events
+    }
+  }
+
   /** Read the full fixture log in order. */
   def read(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
     val p = new HPath(path)
@@ -84,5 +106,5 @@ object BinlogFixture {
     * driver needs for offset planning (it never materializes payloads).
     */
   def readIndex(path: String, conf: Configuration = new Configuration()): Vector[(String, Long)] =
-    read(path, conf).map(e => (e.uuid, e.gno))
+    readCached(path, conf).map(e => (e.uuid, e.gno))
 }

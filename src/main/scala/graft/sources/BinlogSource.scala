@@ -176,7 +176,7 @@ class BinlogReaderFactory extends PartitionReaderFactory {
 class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet)
     extends PartitionReader[InternalRow] {
 
-  private val it = BinlogFixture.read(path).iterator
+  private val it = BinlogFixture.readCached(path).iterator
     .filter(e => end.contains(e.uuid, e.gno) && !start.contains(e.uuid, e.gno))
   private var current: BinlogFixture.Event = _
 
