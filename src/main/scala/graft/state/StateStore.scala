@@ -133,6 +133,21 @@ class StateStore(dir: String) {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
 
+  /** GTID fence: has a schema version for this table already been pushed
+    * under `gtid`? (state/state.go:451-475 — versioned replace guarded by
+    * schema_gtid compare; a replayed DDL event must be a no-op.)
+    */
+  def schemaApplied(db: String, table: String, gtid: String): Boolean = synchronized {
+    val p = file("schemas")
+    Files.exists(p) && Files.readAllLines(p).asScala.exists { l =>
+      l.nonEmpty && {
+        val n = mapper.readTree(l)
+        n.get("db").asText == db && n.get("table").asText == table &&
+          n.get("gtid").asText == gtid
+      }
+    }
+  }
+
   def currentSchema(db: String, table: String): Option[StructType] = synchronized {
     val p = file("schemas")
     if (!Files.exists(p)) None

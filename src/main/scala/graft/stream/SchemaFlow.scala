@@ -26,14 +26,23 @@ object SchemaFlow {
   final case class SchemaChanged(next: TableSchema, schemaEventJson: String) extends Outcome
   final case class NeedsRepull(reason: String) extends Outcome
   case object NotSchemaRelated extends Outcome
+  /** Replayed DDL (its GTID is already fenced in the state store) — no-op. */
+  case object AlreadyApplied extends Outcome
 
   /** Handle one QUERY event against the current schema. On success the new
     * version is pushed to the state store keyed by the event GTID and the
-    * wire-format schema event is returned for the sink.
+    * wire-format schema event is returned for the sink. A DDL whose GTID
+    * is already recorded is a replay (an aborted micro-batch re-delivers
+    * it after a restart) and returns [[AlreadyApplied]] — the reference's
+    * schema_gtid compare (state/state.go:451-475).
     */
   def onQueryEvent(state: StateStore, current: TableSchema, sql: String,
                    gtid: String, seqNo: Long): Outcome =
     Ddl.classify(sql) match {
+      case Ddl.AlterTable(db, table, _)
+          if db.forall(_ == current.db) && table == current.table &&
+            state.schemaApplied(current.db, table, gtid) =>
+        AlreadyApplied
       case Ddl.AlterTable(db, table, rest)
           if db.forall(_ == current.db) && table == current.table =>
         AlterSchema.mutate(current, rest) match {
