@@ -41,12 +41,22 @@ object Schema {
     def hasPrimaryKey: Boolean = primaryKey.nonEmpty
   }
 
-  /** MySQL data type → Spark type (util/util.go:223-245 semantics). */
-  def sparkType(c: ColumnSchema): DataType = c.dataType match {
+  /** MySQL data type → Spark type (util/util.go:223-245 semantics).
+    *
+    * `exactDecimals = false` (default) reproduces the reference's lossy
+    * float64 read of decimals (util/util.go:234) for output parity;
+    * `true` is the improved mode mapping to `DecimalType(p, s)` — exact
+    * money arithmetic end-to-end, at the cost of diverging from reference
+    * wire output.
+    */
+  def sparkType(c: ColumnSchema, exactDecimals: Boolean = false): DataType = c.dataType match {
     case "tinyint" if c.columnType.startsWith("tinyint(1)") => BooleanType
     case "int" | "integer" | "tinyint" | "smallint" | "mediumint" | "year" => IntegerType
     case "bigint" | "bit" => LongType
     case "float" => FloatType
+    case "decimal" | "numeric" if exactDecimals =>
+      DecimalType(math.max(1, math.min(38, c.numericPrecision)),
+        math.max(0, math.min(37, c.numericScale)))
     case "double" | "decimal" | "numeric" => DoubleType // parity: decimals read as doubles
     case "char" | "varchar" | "text" | "tinytext" | "mediumtext" | "longtext" |
          "json" | "enum" | "set" | "date" | "time" => StringType
@@ -56,7 +66,7 @@ object Schema {
     case other => throw new IllegalArgumentException(s"unsupported MySQL type: $other")
   }
 
-  def toStructType(ts: TableSchema): StructType = StructType(
+  def toStructType(ts: TableSchema, exactDecimals: Boolean = false): StructType = StructType(
     ts.columns.sortBy(_.ordinal).map { c =>
       val mb = new MetadataBuilder()
         .putString("mysqlType", c.dataType)
@@ -64,7 +74,7 @@ object Schema {
         .putBoolean("isPrimaryKey", c.isPrimaryKey)
       if (c.dataType == "decimal" || c.dataType == "numeric")
         mb.putString("improvedType", s"decimal(${c.numericPrecision},${c.numericScale})")
-      StructField(c.name, sparkType(c), c.isNullable, mb.build())
+      StructField(c.name, sparkType(c, exactDecimals), c.isNullable, mb.build())
     })
 
   /** Primary-key column names recoverable from a mapped StructType. */
@@ -79,6 +89,7 @@ object Schema {
     case LongType => "BIGINT"
     case FloatType => "FLOAT"
     case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case TimestampType | TimestampNTZType => "TIMESTAMP"
     case BinaryType => "BLOB"
     case _ => "TEXT"

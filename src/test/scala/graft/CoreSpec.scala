@@ -71,6 +71,22 @@ class SchemaSpec extends SparkSuite {
     assert(dt("f18") == StringType)
   }
 
+  test("exact-decimal mode maps decimal(p,s) end-to-end; default stays double") {
+    val money = TableSchema("db1", "m", Seq(
+      ColumnSchema("id", 1, isNullable = false, "bigint", key = "PRI"),
+      ColumnSchema("amount", 2, isNullable = true, "decimal",
+        numericPrecision = 12, numericScale = 2)))
+    // default: reference parity (lossy double), true type in metadata
+    assert(toStructType(money)("amount").dataType == DoubleType)
+    // improved mode: exact DecimalType, and the sink DDL keeps precision
+    val exact = toStructType(money, exactDecimals = true)
+    assert(exact("amount").dataType == DecimalType(12, 2))
+    assert(sqlType(exact("amount").dataType) == "DECIMAL(12,2)")
+    // exact decimal arithmetic does not drift: classic 0.1+0.2 case
+    val df = spark.sql("SELECT CAST(0.1 AS DECIMAL(12,2)) + CAST(0.2 AS DECIMAL(12,2)) AS s")
+    assert(df.head().getDecimal(0).compareTo(new java.math.BigDecimal("0.30")) == 0)
+  }
+
   test("PK columns recoverable from metadata; PK-less tables detected") {
     assert(pkColumns(toStructType(t2)) == Seq("f1"))
     assert(t2.hasPrimaryKey)
