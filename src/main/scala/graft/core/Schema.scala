@@ -77,6 +77,31 @@ object Schema {
       StructField(c.name, sparkType(c, exactDecimals), c.isNullable, mb.build())
     })
 
+  /** Rebuild the MySQL-side TableSchema from a mapped StructType (the
+    * metadata carries mysqlType/ordinal/PK; decimal precision+scale from
+    * `improvedType`; `tinyint` mapped to Boolean implies `tinyint(1)`).
+    * Inverse of [[toStructType]] for control-plane schema mutation.
+    */
+  def fromStructType(db: String, table: String, st: StructType): TableSchema = {
+    val DecimalRe = """decimal\((\d+),(\d+)\)""".r
+    TableSchema(db, table, st.fields.toSeq.map { f =>
+      val m = f.metadata
+      val mysqlType = if (m.contains("mysqlType")) m.getString("mysqlType") else "text"
+      val (p, s) =
+        if (m.contains("improvedType")) m.getString("improvedType") match {
+          case DecimalRe(a, b) => (a.toInt, b.toInt)
+          case _ => (0, 0)
+        } else (0, 0)
+      ColumnSchema(f.name,
+        ordinal = if (m.contains("ordinal")) m.getLong("ordinal").toInt else st.fieldIndex(f.name) + 1,
+        isNullable = f.nullable,
+        dataType = mysqlType,
+        columnType = if (mysqlType == "tinyint" && f.dataType == BooleanType) "tinyint(1)" else "",
+        numericPrecision = p, numericScale = s,
+        key = if (m.contains("isPrimaryKey") && m.getBoolean("isPrimaryKey")) "PRI" else "")
+    })
+  }
+
   /** Primary-key column names recoverable from a mapped StructType. */
   def pkColumns(st: StructType): Seq[String] =
     st.fields.filter(f => f.metadata.contains("isPrimaryKey") &&

@@ -26,7 +26,8 @@ import graft.state.StateStore
   * JSON surface is the operable contract. Control-plane only: request
   * volume is humans + schedulers, so a single small thread pool is right.
   */
-class HttpApi(api: Api, state: StateStore) {
+class HttpApi(api: Api, state: StateStore,
+              config: Map[String, String] = HttpApi.defaultConfig) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -39,6 +40,7 @@ class HttpApi(api: Api, state: StateStore) {
     server.createContext("/table", (ex: HttpExchange) => safely(ex)(handleTable))
     server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
     server.createContext("/cluster", (ex: HttpExchange) => safely(ex)(handleCluster))
+    server.createContext("/config", (ex: HttpExchange) => safely(ex)(handleConfig))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
     server.start()
     port
@@ -94,31 +96,82 @@ class HttpApi(api: Api, state: StateStore) {
       }
     case "POST" =>
       val body = readJson(ex)
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(body.get("schema").toString match {
-          case s if s.startsWith("\"") => body.get("schema").asText // json-as-string
-          case s => s
-        }).asInstanceOf[org.apache.spark.sql.types.StructType]
-      val res = api.schemaRegister(body.get("db").asText, body.get("table").asText,
-        body.get("gtid").asText, schema)
-      respond(ex, 200, resultJson(res))
+      Option(body.get("cmd")).map(_.asText).getOrElse("register") match {
+        case "register" =>
+          val schema = org.apache.spark.sql.types.DataType
+            .fromJson(body.get("schema").toString match {
+              case s if s.startsWith("\"") => body.get("schema").asText // json-as-string
+              case s => s
+            }).asInstanceOf[org.apache.spark.sql.types.StructType]
+          val res = api.schemaRegister(body.get("db").asText, body.get("table").asText,
+            body.get("gtid").asText, schema)
+          respond(ex, 200, resultJson(res))
+        case "change" =>
+          // schema_handler.go:91-125 MutateTable: apply an ALTER clause to
+          // the current version and push the result
+          val (db, table) = (body.get("db").asText, body.get("table").asText)
+          state.currentSchema(db, table) match {
+            case None => respond(ex, 404, textOk(s"no schema for $db.$table"))
+            case Some(cur) =>
+              val ts = graft.core.Schema.fromStructType(db, table, cur)
+              graft.changelog.AlterSchema.mutate(ts, body.get("alter").asText) match {
+                case Right(next) =>
+                  val res = api.schemaRegister(db, table, body.get("gtid").asText,
+                    graft.core.Schema.toStructType(next))
+                  respond(ex, 200, resultJson(res))
+                case Left(reason) => respond(ex, 400, textOk(reason))
+              }
+          }
+        case other => respond(ex, 400, textOk(s"unknown cmd: $other"))
+      }
     case _ => respond(ex, 405, textOk("method not allowed"))
   }
 
   private def handleCluster(ex: HttpExchange): Unit = ex.getRequestMethod match {
-    case "GET" =>
-      api.clusterPos(queryParam(ex, "cluster")) match {
-        case Some(p) =>
-          val n = mapper.createObjectNode()
-          n.put("cluster", p.cluster); n.put("seqno", p.seqno); n.put("gtid", p.gtid)
-          respond(ex, 200, mapper.writeValueAsString(n))
-        case None => respond(ex, 404, textOk("no position"))
-      }
+    case "GET" => queryParam(ex, "cluster") match {
+      case null => // list registered clusters (cluster_handler.go list)
+        val arr = mapper.createArrayNode()
+        state.listClusters.foreach { c =>
+          val n = arr.addObject()
+          n.put("name", c.name); n.put("host", c.host); n.put("port", c.port)
+          n.put("user", c.user) // password never echoed
+        }
+        respond(ex, 200, mapper.writeValueAsString(arr))
+      case cluster =>
+        api.clusterPos(cluster) match {
+          case Some(p) =>
+            val n = mapper.createObjectNode()
+            n.put("cluster", p.cluster); n.put("seqno", p.seqno); n.put("gtid", p.gtid)
+            respond(ex, 200, mapper.writeValueAsString(n))
+          case None => respond(ex, 404, textOk("no position"))
+        }
+    }
     case "POST" =>
       val body = readJson(ex)
-      state.savePosition(body.get("cluster").asText, body.get("seqno").asLong,
-        body.get("gtid").asText)
-      respond(ex, 200, resultJson(api.Ok("position saved")))
+      Option(body.get("cmd")).map(_.asText).getOrElse("pos") match {
+        case "add" =>
+          state.addCluster(StateStore.Cluster(body.get("name").asText,
+            body.get("host").asText, body.get("port").asInt,
+            body.get("user").asText,
+            Option(body.get("password")).map(_.asText).getOrElse("")))
+          respond(ex, 200, resultJson(api.Ok(s"cluster ${body.get("name").asText} added")))
+        case "del" =>
+          state.delCluster(body.get("name").asText)
+          respond(ex, 200, resultJson(api.Ok(s"cluster ${body.get("name").asText} deleted")))
+        case "pos" =>
+          state.savePosition(body.get("cluster").asText, body.get("seqno").asLong,
+            body.get("gtid").asText)
+          respond(ex, 200, resultJson(api.Ok("position saved")))
+        case other => respond(ex, 400, textOk(s"unknown cmd: $other"))
+      }
+    case _ => respond(ex, 405, textOk("method not allowed"))
+  }
+
+  private def handleConfig(ex: HttpExchange): Unit = ex.getRequestMethod match {
+    case "GET" =>
+      val n = mapper.createObjectNode()
+      config.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+      respond(ex, 200, mapper.writeValueAsString(n))
     case _ => respond(ex, 405, textOk("method not allowed"))
   }
 
@@ -158,4 +211,16 @@ class HttpApi(api: Api, state: StateStore) {
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+}
+
+object HttpApi {
+  /** Throughput-bounding defaults surfaced at /config — the reference's
+    * knobs (config/config.go:216-226).
+    */
+  val defaultConfig: Map[String, String] = Map(
+    "max_batch_size" -> "4096",
+    "max_batch_size_bytes" -> "33554432",
+    "max_file_size" -> "1073741824",
+    "max_message_bytes" -> "31457280",
+    "shuffle_partitions" -> "32")
 }

@@ -53,6 +53,12 @@ object StateStore {
     * (changelog/mysql.go:394-402 persistence; O4/O5).
     */
   final case class Position(cluster: String, seqno: Long, gtid: String)
+
+  /** Source cluster connection record (server/cluster_handler.go:41-195;
+    * the password is stored as-is here — production wires a secret ref).
+    */
+  final case class Cluster(name: String, host: String, port: Int,
+                           user: String, password: String)
 }
 
 /** Simple durable JSONL-backed store. All writes append + atomic-rename
@@ -157,6 +163,41 @@ class StateStore(dir: String) {
       .lastOption
       .map(n => org.apache.spark.sql.types.DataType
         .fromJson(n.get("schema").asText).asInstanceOf[StructType])
+  }
+
+  // --- clusters (source connection registry) -------------------------------
+
+  def addCluster(c: Cluster): Unit = synchronized {
+    writeClusters(listClusters.filterNot(_.name == c.name) :+ c)
+  }
+
+  def delCluster(name: String): Unit = synchronized {
+    writeClusters(listClusters.filterNot(_.name == name))
+  }
+
+  def listClusters: Seq[Cluster] = synchronized {
+    val p = file("clusters")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val n = mapper.readTree(l)
+      Cluster(n.get("name").asText, n.get("host").asText, n.get("port").asInt,
+        n.get("user").asText, n.get("password").asText)
+    }
+  }
+
+  private def writeClusters(cs: Seq[Cluster]): Unit = {
+    val tmp = Paths.get(dir, "clusters.tmp")
+    val lines = cs.map { c =>
+      val n = mapper.createObjectNode()
+      n.put("name", c.name); n.put("host", c.host); n.put("port", c.port)
+      n.put("user", c.user); n.put("password", c.password)
+      mapper.writeValueAsString(n)
+    }
+    Files.write(tmp, lines.mkString("\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, file("clusters"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // --- positions (seqno / gtid high-watermarks) ----------------------------

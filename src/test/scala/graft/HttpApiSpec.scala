@@ -90,4 +90,50 @@ class HttpApiSpec extends SparkSuite {
       assert(got.body().contains("\"seqno\":42") && got.body().contains("uuid:1-9"))
     }
   }
+
+  test("cluster add/list/del; password never echoed") {
+    withServer { port =>
+      val add = post(port, "/cluster",
+        """{"cmd":"add","name":"cl1","host":"db1.internal","port":3306,
+          |"user":"tapper","password":"hunter2"}""".stripMargin)
+      assert(add.statusCode() == 200)
+      val list = get(port, "/cluster")
+      assert(list.statusCode() == 200)
+      assert(list.body().contains("db1.internal") && !list.body().contains("hunter2"))
+      assert(post(port, "/cluster", """{"cmd":"del","name":"cl1"}""").statusCode() == 200)
+      assert(get(port, "/cluster").body() == "[]")
+    }
+  }
+
+  test("schema change applies an ALTER to the current version") {
+    withServer { port =>
+      val v1 = StructType(Seq(
+        StructField("f1", LongType, nullable = false,
+          new MetadataBuilder().putString("mysqlType", "bigint")
+            .putLong("ordinal", 1).putBoolean("isPrimaryKey", true).build()),
+        StructField("f3", IntegerType, nullable = true,
+          new MetadataBuilder().putString("mysqlType", "int")
+            .putLong("ordinal", 2).putBoolean("isPrimaryKey", false).build())))
+      assert(post(port, "/schema",
+        s"""{"db":"db1","table":"t1","gtid":"u:1","schema":${v1.json}}""").statusCode() == 200)
+      val change = post(port, "/schema",
+        """{"cmd":"change","db":"db1","table":"t1","gtid":"u:2","alter":"ADD f9 varchar(32)"}""")
+      assert(change.statusCode() == 200, change.body())
+      val got = get(port, "/schema?db=db1&table=t1")
+      assert(DataType.fromJson(got.body()).asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("f1", "f3", "f9"))
+      // a PK drop is refused, version unchanged
+      val bad = post(port, "/schema",
+        """{"cmd":"change","db":"db1","table":"t1","gtid":"u:3","alter":"DROP f1"}""")
+      assert(bad.statusCode() == 400)
+    }
+  }
+
+  test("config endpoint surfaces throughput knobs") {
+    withServer { port =>
+      val r = get(port, "/config")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"max_batch_size\":\"4096\""))
+    }
+  }
 }
