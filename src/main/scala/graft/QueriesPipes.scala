@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.encode.{CfDecode, CommonFormatJson, MsgPackCodec}
+import graft.pipes.{CryptoStage, Framing}
+
+/** Pipe/encoder round-trip catalog: each query pushes real data through a
+  * round-2 transport (CF JSON encode→decode, msgpack over the framed
+  * binary file pipe, encrypt+sign→decrypt+verify through the file sink)
+  * and surfaces the decoded result, so the driver's DuckDB hash compare
+  * gates the whole transport — not just its unit specs. Determinism rules
+  * as in [[QueriesCdc]].
+  */
+object QueriesPipes {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** E1+E1d: encode rows to Common Format JSON, decode back to typed
+    * columns through the registered schema — the full wire round-trip in
+    * one Catalyst plan (encode and decode are both expressions: no UDF,
+    * no shuffle).
+    */
+  def cfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .withColumn("op", lit("insert"))
+      .withColumn("seqno", col("l_orderkey") * 10 + col("l_linenumber"))
+    val encoded = base.select(
+      CommonFormatJson.encodeRows(base, Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")).as("cf"))
+    val payload = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    encoded
+      .select(CfDecode.decodeRows(col("cf"), payload): _*)
+      .select(col("seqno"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        col("l_returnflag"))
+  }
+
+  /** E3+S4/K2 binary path: msgpack-encode events, ship them through the
+    * length-delimited gzip framed file pipe, read and decode back. The
+    * codec runs in executor tasks (Dataset map — no JSON detour), framing
+    * write/read are one task per partition/file.
+    */
+  def msgpackFramed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val encoded = base.map { r =>
+      MsgPackCodec.encodeEvent("insert", Seq(r.getLong(0)), r.getLong(0), 0L,
+        Some(Seq("user_id" -> r.getLong(1), "value_cents" -> r.getLong(2))))
+    }.toDF("value")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_framed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    Framing.write(encoded, out, "value", gzip = true)
+    Framing.read(s, out).select("value").map { r =>
+      val m = MsgPackCodec.decode(r.getAs[Array[Byte]](0))._1.asInstanceOf[Map[Any, Any]]
+      val fields = m("Fields").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
+        .map(f => f("Name").asInstanceOf[String] -> f("Value")).toMap
+      (m("SeqNo").asInstanceOf[Long],
+        fields("user_id").asInstanceOf[Long],
+        fields("value_cents").asInstanceOf[Long])
+    }.toDF("event_id", "user_id", "value_cents")
+  }
+
+  /** K2 encryption stage: JSON file-sink output encrypted+signed, then
+    * decrypted+verified (both task-side passes), read back and parsed.
+    * Ephemeral per-run keys — the round-trip output is key-independent.
+    */
+  def cryptoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val producer = CryptoStage.generateKeyPair()
+    val consumer = CryptoStage.generateKeyPair()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_crypto_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    docs(s, dir)
+      .select(to_json(struct(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len_chars"))).as("value"))
+      .write.mode("overwrite").text(out)
+    CryptoStage.encryptDir(s, out, consumer.getPublic, producer.getPrivate)
+    CryptoStage.decryptDir(s, out, consumer.getPrivate, producer.getPublic)
+    s.read.text(out).select(
+      get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+      get_json_object(col("value"), "$.source").as("source"),
+      get_json_object(col("value"), "$.len_chars").cast("long").as("len_chars"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cf_roundtrip" -> cfRoundtrip _,
+    "q_msgpack_framed" -> msgpackFramed _,
+    "q_crypto_roundtrip" -> cryptoRoundtrip _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cf_roundtrip" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS seqno, l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "q_msgpack_framed" ->
+      """SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_crypto_roundtrip" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents""".stripMargin)
+}

@@ -32,7 +32,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + analytics. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
-      QueriesQuality.queries
+      QueriesQuality.queries ++ QueriesPipes.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -62,7 +62,8 @@ object SparkEntry {
       |FROM sh GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++ Map(
+    QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
+      QueriesPipes.oracleSql ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
