@@ -284,6 +284,35 @@ object QueriesCdc {
         get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** Streaming windowed aggregation through the real streaming engine:
+    * events replayed as a multi-batch file stream → watermarked tumbling
+    * 1-hour windows ([[graft.stream.StreamOps.windowedCounts]]) → memory
+    * sink in complete mode (deterministic: complete mode emits every
+    * window; the watermark still bounds state at scale). Oracle is the
+    * batch equivalent in DuckDB — streaming/batch parity IS the check.
+    */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema("event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-window-ckpt").toString
+    val q = graft.stream.StreamOps
+      .windowedCounts(stream, "ts", "1 hour", "10 minutes", Seq("event_type"))
+      .writeStream.format("memory").queryName("graft_stream_window")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_window")
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -316,5 +345,6 @@ object QueriesCdc {
     "q_handoff_merge" -> handoffMerge _,
     "q_changelog_native" -> changelogNative _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
+    "q_stream_window" -> streamWindow _,
     "q_state_join" -> stateJoin _)
 }

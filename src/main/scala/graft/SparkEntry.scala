@@ -178,6 +178,12 @@ object SparkEntry {
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
 
+    "q_stream_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
          |  ${centsSum.format("c_acctbal * 100")} AS bal_cents
