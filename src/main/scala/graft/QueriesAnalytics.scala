@@ -124,6 +124,18 @@ object QueriesAnalytics {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16)
 
+  /** Dedup CLUSTERS: LSH candidate pairs → connected components (HashMin
+    * label propagation, one keyed shuffle per round, O(diameter) rounds)
+    * → per-cluster keeper + size. The step that turns pairwise matches
+    * into droppable duplicate groups at corpus scale.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.lshCandidatePairs(
+        Dedup.lshBandKeys(docs(s, dir), "doc_id", col("text"), k = 8,
+          numHashes = 8, rowsPerBand = 4),
+        "doc_id"))
+
   /** n-gram Jaccard over consecutive-id pairs (stands in for LSH candidate
     * pairs, which are data-dependent and may be empty on this corpus).
     */
@@ -216,6 +228,7 @@ object QueriesAnalytics {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_minhash_lsh" -> minhashLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,

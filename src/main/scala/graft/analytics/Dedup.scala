@@ -202,4 +202,63 @@ object Dedup {
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
+
+  // ------------------------------------------- duplicate-cluster components
+
+  /** Connected components over candidate pairs (HashMin label
+    * propagation): every doc's cluster label converges to the smallest
+    * doc_id reachable through the near-dup graph. This is the step that
+    * turns pairwise matches into DEDUP CLUSTERS (keep the root, drop the
+    * rest).
+    *
+    * Scale: each iteration is one keyed shuffle of (node, label) — never
+    * materializing paths — and converges in O(graph diameter) rounds;
+    * near-dup clusters are shallow (dups of a common source), so
+    * iterations stay single-digit at any corpus size. The driver-side
+    * loop only checks a per-round changed-count (an aggregate scalar, no
+    * data collect). `maxIter` bounds pathological chains; raising it
+    * trades rounds for completeness like any BSP graph job.
+    *
+    * Returns (doc_id, component) for every doc that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // propagate: new label = min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("component", "dst_comp"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_comp")).as("neighbor_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"),
+          least(col("neighbor_min"), col("component")).as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary: component root (= canonical keeper), member count.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 }

@@ -51,6 +51,21 @@ class DedupSpec extends SparkSuite {
     assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
   }
 
+  test("connected components: chains merge, islands stay apart") {
+    // chain 1-2-3-4 (diameter 3), pair (10,11), singleton edge (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"))).toMap
+    assert(clusters(1L) == ((4L, 1L)) && clusters(10L) == ((2L, 10L)))
+  }
+
   test("ngram jaccard: dup pair ~1.0, bounded in (0,1]") {
     val pairs = Seq((1L, 4L), (1L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", col("text"), k = 4)
