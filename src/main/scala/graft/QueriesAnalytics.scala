@@ -124,6 +124,15 @@ object QueriesAnalytics {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16)
 
+  /** SimHash near-dup pairs at Hamming distance <= 2 via pigeonhole
+    * banding (lossless vs brute force — the oracle IS all-pairs, so the
+    * hash match proves no candidate is missed) + exact popcount verify.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatePairs(
+      Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16),
+      "doc_id", bits = 16, maxDist = 2)
+
   /** Dedup CLUSTERS: LSH candidate pairs → connected components (HashMin
     * label propagation, one keyed shuffle per round, O(diameter) rounds)
     * → per-cluster keeper + size. The step that turns pairwise matches
@@ -229,6 +238,7 @@ object QueriesAnalytics {
     "q_minhash_lsh" -> minhashLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_simhash_pairs" -> simhashPairs _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,

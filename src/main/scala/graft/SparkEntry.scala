@@ -323,6 +323,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM sw GROUP BY doc_id""".stripMargin,
 
+    "q_simhash_pairs" ->
+      // brute-force ALL pairs at hamming<=2: the Spark side only examines
+      // banded candidates, so the hash match proves pigeonhole banding
+      // misses nothing
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tb AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM tok),
+        |wts AS (SELECT doc_id, bit,
+        |  CASE WHEN strpos('89abcdef', substr(h, CAST(bit AS INT) + 1, 1)) > 0 THEN 1 ELSE -1 END AS wt
+        |  FROM tb),
+        |sw AS (SELECT doc_id, bit, SUM(wt) AS sw FROM wts GROUP BY doc_id, bit),
+        |sg AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM sw GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (

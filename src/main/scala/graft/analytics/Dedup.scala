@@ -203,6 +203,49 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
 
+  /** SimHash Hamming-neighborhood candidate pairs: pigeonhole banding —
+    * split the `bits`-bit signature into (maxDist+1) contiguous bit bands;
+    * any pair within Hamming distance `maxDist` must agree EXACTLY on at
+    * least one band, so a per-band bucket join loses nothing. Pairs then
+    * verify with an exact popcount on the XOR. Same bucket-population cap
+    * as the MinHash path (a hot band bucket is a dup cluster).
+    *
+    * Scale: shuffles (band, band_key, id, 8-byte signature) only; pair
+    * expansion bounded by maxBucket²/2 per bucket; popcount is codegen'd.
+    */
+  def simhashCandidatePairs(sigs: DataFrame, idCol: String, bits: Int,
+                            maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val extra = bits % nBands
+    def width(b: Int) = base + (if (b < extra) 1 else 0)
+    val bandCols = (0 until nBands).map { b =>
+      val off = (0 until b).map(width).sum
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << width(b)) - 1))
+          .as("band_key"))
+    }
+    val banded = sigs
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("_e"))
+      .select(col(idCol), col("simhash"),
+        col("_e.band").as("band"), col("_e.band_key").as("band_key"))
+    val small = banded
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val a = small.select(col("band"), col("band_key"),
+      col(idCol).as("doc_a"), col("simhash").as("sh_a"))
+    val b = small.select(col("band"), col("band_key"),
+      col(idCol).as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   // ------------------------------------------- duplicate-cluster components
 
   /** Connected components over candidate pairs (HashMin label

@@ -51,6 +51,18 @@ class DedupSpec extends SparkSuite {
     assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
   }
 
+  test("simhash banded pairs equal brute-force pairs at the distance bound") {
+    val sigs = Dedup.simhashNative(docs, "doc_id", col("text"), bits = 16)
+    val banded = Dedup.simhashCandidatePairs(sigs, "doc_id", bits = 16, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = sigs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute) // pigeonhole banding misses nothing
+  }
+
   test("connected components: chains merge, islands stay apart") {
     // chain 1-2-3-4 (diameter 3), pair (10,11), singleton edge (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
