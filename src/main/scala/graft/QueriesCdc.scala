@@ -293,9 +293,12 @@ object QueriesCdc {
     */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val src = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // 2 files -> 2 micro-batches: complete mode re-emits the FULL window
+    // state every batch, so batch count multiplies the aggregation work —
+    // two batches prove cross-batch accumulation at minimal re-agg cost
     events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .repartition(4)
+      .repartition(2)
       .write.mode("overwrite").parquet(src)
     val stream = s.readStream
       .schema("event_id bigint, ts timestamp, user_id bigint, event_type string, value double")

@@ -277,7 +277,9 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // propagate: new label = min(own label, neighbors' labels)
+      // propagate: new label = min(own label, neighbors' labels); carry
+      // the old label through so change detection is the SAME pass (one
+      // action per round, no extra join/job)
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("component", "dst_comp"), "dst")
@@ -285,12 +287,12 @@ object Dedup {
         .agg(min(col("dst_comp")).as("neighbor_min"))
         .join(labels, "doc_id")
         .select(col("doc_id"),
-          least(col("neighbor_min"), col("component")).as("component"))
+          least(col("neighbor_min"), col("component")).as("component"),
+          col("component").as("_old"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).count()
+      val changed = next.filter(col("component") =!= col("_old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("_old")
       converged = changed == 0
       iter += 1
     }
