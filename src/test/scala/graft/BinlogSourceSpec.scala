@@ -108,6 +108,27 @@ class BinlogSourceSpec extends SparkSuite {
     assert(last >= 2, s"expected multiple micro-batches, got ${last + 1}")
   }
 
+  test("empty binlog: stream completes with zero rows") {
+    val path = Files.createTempDirectory("graft-binlog-empty").toString + "/binlog.jsonl"
+    BinlogFixture.write(path, Seq.empty)
+    val ckpt = Files.createTempDirectory("graft-binlog-empty-ckpt").toString
+    val q = spark.readStream.format("graft-binlog").option("path", path).load()
+      .writeStream.format("memory").queryName("binlog_empty")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("binlog_empty").count() == 0)
+  }
+
+  test("gtid set scales: 100k transactions with gaps stay interval-compact") {
+    // every 1000th gno missing -> ~100 intervals, not 100k entries
+    var s = GtidSet.empty
+    (1L to 100000L).foreach(g => if (g % 1000 != 0) s = s.add("u1", g))
+    assert(s.txnCount == 100000 - 100)
+    assert(s.serialize.count(_ == ':') <= 101) // interval-compressed
+    assert(GtidSet.parse(s.serialize) == s)
+  }
+
   test("graceful restart: resumes mid-stream from the checkpointed GTID set") {
     // /root/reference/changelog/mysql_test.go:876 TestGracefulRestart shape:
     // consume a prefix, stop, append more, restart — no loss, no dup.

@@ -97,6 +97,34 @@ class KafkaPipeSpec extends SparkSuite {
   private def get_json_seq(v: String): Int =
     v.replaceAll(""".*"seq":(\d+).*""", "$1").toInt
 
+  test("empty topic: consumer completes with zero rows; endOffsets empty") {
+    val dir = Files.createTempDirectory("graft-kafka-empty").toString + "/topic"
+    assert(LoopbackPipe.endOffsets(dir, conf).isEmpty)
+    val ckpt = Files.createTempDirectory("graft-kafka-empty-ckpt").toString
+    val q = spark.readStream.format("graft-kafka").option("path", dir).load()
+      .writeStream.format("memory").queryName("kafka_empty")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("kafka_empty").count() == 0)
+  }
+
+  test("null keys partition stably and round-trip") {
+    val dir = Files.createTempDirectory("graft-kafka-nullkey").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null, "v1"), Row(2L, null, "v2")),
+      StructType(Seq(StructField("ord", LongType), StructField("key", StringType),
+        StructField("value", StringType))))
+    // explicit partitioner (null keys cannot FNV-hash)
+    val n = LoopbackPipe.produce(df, dir, 2, col("ord"),
+      partitionCol = Some(pmod(col("ord"), lit(2))))
+    assert(n == 2)
+    val recs = (0 until 2).flatMap(p => LoopbackPipe.readPartition(dir, p, 0, 10, conf))
+    assert(recs.map(_.value).toSet == Set("v1", "v2"))
+  }
+
   test("consumer-group offsets persist and restore (kafka_offsets analogue)") {
     val dir = Files.createTempDirectory("graft-kafka-grp").toString
     LoopbackPipe.produce(messages(12), dir, 3, col("ord"))
