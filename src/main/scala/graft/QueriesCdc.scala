@@ -316,6 +316,41 @@ object QueriesCdc {
     s.table("graft_stream_window")
   }
 
+  /** Stateful streaming dedup through `flatMapGroupsWithState`: first
+    * event per user, emitted exactly once from streaming state. Single
+    * AvailableNow batch makes the "first" deterministic (lowest event_id
+    * per user), so the oracle is `row_number() = 1` — the state-store
+    * machinery itself is what gets hash-checked.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft_sdedup_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema("event_id bigint, user_id bigint, value_cents bigint")
+      .parquet(src)
+      .select(col("user_id").cast("string").as("key"),
+        col("event_id").as("ord"), col("value_cents").cast("string").as("payload"))
+      .as[graft.stream.StatefulDedup.Ordered]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ckpt").toString
+    // NoTimeout: a bounded replay needs no retention window, and a
+    // processing-time timeout would keep Trigger.AvailableNow alive
+    // waiting for timer state to expire
+    val q = graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_dedup")
+      .select(col("key").cast("long").as("user_id"),
+        col("ord").as("event_id"),
+        col("payload").cast("long").as("value_cents"))
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -349,5 +384,6 @@ object QueriesCdc {
     "q_changelog_native" -> changelogNative _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_stream_window" -> streamWindow _,
+    "q_stream_dedup" -> streamDedup _,
     "q_state_join" -> stateJoin _)
 }

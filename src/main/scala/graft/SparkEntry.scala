@@ -184,6 +184,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_stream_dedup" ->
+      """SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
          |  ${centsSum.format("c_acctbal * 100")} AS bal_cents

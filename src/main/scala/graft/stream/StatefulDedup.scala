@@ -17,6 +17,38 @@ object StatefulDedup {
 
   final case class Keyed(key: String, payload: String)
 
+  final case class Ordered(key: String, ord: Long, payload: String)
+
+  /** Deterministic variant: per key, emit the LOWEST-`ord` row of the
+    * first micro-batch in which the key appears (later batches emit
+    * nothing). Iterator order inside a batch no longer matters, so the
+    * output is reproducible — which also makes it oracle-checkable when
+    * the whole input arrives in one batch (then it's exactly
+    * "row_number() over (partition by key order by ord) = 1").
+    */
+  def firstSeenOnlyOrdered(spark: SparkSession, ds: Dataset[Ordered],
+                           idleTimeoutMs: Long = 3600 * 1000L): Dataset[Ordered] = {
+    import spark.implicits._
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Ordered](OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[Ordered], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator.empty
+          } else {
+            state.update(true)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator.single(rows.minBy(_.ord))
+          }
+      }
+  }
+
   /** @param idleTimeoutMs state retention; <= 0 disables the timeout
     *                      (unbounded state — fine for tests/small key
     *                      spaces; production sets a retention window so a

@@ -57,6 +57,29 @@ class TopKAggregatorSpec extends SparkSuite {
 class StatefulDedupSpec extends SparkSuite {
   import spark.implicits._
 
+  test("ordered variant emits the lowest-ord row regardless of arrival order") {
+    import graft.stream.StatefulDedup.Ordered
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ordered]
+    val ckpt = Files.createTempDirectory("graft-dedup-ord-ckpt").toString
+    val q = StatefulDedup.firstSeenOnlyOrdered(spark, stream.toDS(), idleTimeoutMs = 0)
+      .writeStream.format("memory").queryName("dedup_ord_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // batch 1: 'a' arrives out of order -> ord 1 must win
+      stream.addData(Ordered("a", 9, "late"), Ordered("a", 1, "first"), Ordered("b", 5, "b5"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_ord_out").as[Ordered].collect()
+        .map(r => r.key -> r.ord).toMap
+      assert(got == Map("a" -> 1L, "b" -> 5L))
+      // batch 2: even a LOWER ord for 'a' is suppressed (first batch won)
+      stream.addData(Ordered("a", 0, "earlier-but-late"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_ord_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming first-seen-only dedup across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Keyed]
