@@ -124,6 +124,23 @@ object QueriesAnalytics {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16)
 
+  /** Banded range join (ops.RangeJoin): campaign windows (2h from every
+    * 50th user's first event) joined to ALL events inside the window — a
+    * hash join on time buckets + exact re-check, where a naive BETWEEN
+    * predicate would plan a BroadcastNestedLoopJoin/cartesian.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("tms"))
+    val windows = e.filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id").as("campaign_user"))
+      .agg(min(col("tms")).as("win_start"))
+      .withColumn("win_end", col("win_start") + 2 * 3600 * 1000L)
+    graft.ops.RangeJoin.bucketed(
+        e, "tms", windows, "win_start", "win_end", bucketWidth = 3600 * 1000L)
+      .select(col("campaign_user"), col("event_id"), col("user_id"), col("tms"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= 2 via pigeonhole
     * banding (lossless vs brute force — the oracle IS all-pairs, so the
     * hash match proves no candidate is missed) + exact popcount verify.
@@ -239,6 +256,7 @@ object QueriesAnalytics {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_simhash_pairs" -> simhashPairs _,
+    "q_range_join" -> rangeJoin _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,

@@ -330,6 +330,14 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM sw GROUP BY doc_id""".stripMargin,
 
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
+        |w AS (SELECT user_id AS campaign_user, MIN(tms) AS win_start,
+        |             MIN(tms) + 2 * 3600 * 1000 AS win_end
+        |      FROM e WHERE user_id % 50 = 0 GROUP BY user_id)
+        |SELECT w.campaign_user, e.event_id, e.user_id, e.tms
+        |FROM e JOIN w ON e.tms BETWEEN w.win_start AND w.win_end""".stripMargin,
+
     "q_simhash_pairs" ->
       // brute-force ALL pairs at hamming<=2: the Spark side only examines
       // banded candidates, so the hash match proves pigeonhole banding

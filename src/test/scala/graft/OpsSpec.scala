@@ -30,6 +30,31 @@ class SkewJoinSpec extends SparkSuite {
   }
 }
 
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.RangeJoin
+
+  test("banded range join equals the theta join and plans as a hash join") {
+    val points = (0L until 500L).map(i => (i, i * 37L % 1000L)).toDF("id", "ts")
+    val ranges = Seq((1L, 0L, 99L), (2L, 250L, 260L), (3L, 255L, 900L), (4L, 990L, 999L))
+      .toDF("range_id", "lo", "hi")
+    val banded = RangeJoin.bucketed(points, "ts", ranges, "lo", "hi", bucketWidth = 100L)
+      .select("id", "range_id")
+    val theta = points.join(ranges, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("id", "range_id")
+    assert(banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      theta.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // each match found exactly once (no dedup pass needed)
+    assert(banded.count() == banded.distinct().count())
+    // plan shape: equi hash join, NOT BroadcastNestedLoop/cartesian
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    val thetaPlan = theta.queryExecution.executedPlan.toString
+    assert(thetaPlan.contains("BroadcastNestedLoopJoin") ||
+      thetaPlan.contains("CartesianProduct")) // the trap the banding avoids
+  }
+}
+
 class TopKAggregatorSpec extends SparkSuite {
   import spark.implicits._
 
