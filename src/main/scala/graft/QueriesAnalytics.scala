@@ -124,6 +124,23 @@ object QueriesAnalytics {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNative(docs(s, dir), "doc_id", col("text"), bits = 16)
 
+  /** THE canonical MinHash dedup pipeline, end to end in one plan:
+    * signatures → banded LSH candidates (capped) → exact n-gram Jaccard
+    * verify (>= 0.5) → connected components → cluster keepers. Every
+    * stage shuffles signatures/ids only; raw text never leaves the
+    * shingle scan.
+    */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8, numHashes = 8, rowsPerBand = 4),
+      "doc_id")
+    val verified = Dedup.ngramJaccard(pairs, d, "doc_id", col("text"), k = 8)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.dupClusters(verified)
+  }
+
   /** Banded range join (ops.RangeJoin): campaign windows (2h from every
     * 50th user's first event) joined to ALL events inside the window — a
     * hash join on time buckets + exact re-check, where a naive BETWEEN
@@ -257,6 +274,7 @@ object QueriesAnalytics {
     "q_dedup_clusters" -> dedupClusters _,
     "q_simhash_pairs" -> simhashPairs _,
     "q_range_join" -> rangeJoin _,
+    "q_dedup_pipeline" -> dedupPipeline _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,

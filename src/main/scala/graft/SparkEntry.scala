@@ -319,6 +319,44 @@ object SparkEntry {
           |SELECT component, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
           |FROM comp GROUP BY component""".stripMargin),
 
+    "q_dedup_pipeline" ->
+      (minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bk a
+          |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+          |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |jsh AS (
+          |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+          |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+          |    FROM documents)),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM jsh GROUP BY doc_id),
+          |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+          |          FROM cand c
+          |          JOIN jsh sa ON sa.doc_id = c.doc_a
+          |          JOIN jsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |          GROUP BY c.doc_a, c.doc_b),
+          |verified AS (
+          |  SELECT i.doc_a, i.doc_b FROM inter i
+          |  JOIN sizes na ON na.doc_id = i.doc_a
+          |  JOIN sizes nb ON nb.doc_id = i.doc_b
+          |  WHERE CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) >= 0.5),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          |          UNION SELECT doc_b, doc_a FROM verified),
+          |reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst <> r.src),
+          |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+          |         FROM reach GROUP BY src)
+          |SELECT component, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+          |FROM comp GROUP BY component""".stripMargin),
+
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tb AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM tok),
