@@ -269,6 +269,24 @@ class AvroCodecSpec extends SparkSuite {
     assert(rec.get("ref_key") == 11L)
   }
 
+  test("golden bytes: avro binary encoding per the public Avro spec") {
+    // union [type, null] writes a zigzag branch index then the value;
+    // longs/lengths are zigzag varints. Hand-derived for
+    // (f1=1L, f2="asdf", f3=null, ref_key=42, row_key="11", is_deleted=false):
+    //   f1: 00 (branch 0) 02 (zigzag 1)
+    //   f2: 00 08 (len 4) 61 73 64 66
+    //   f3: 02 (branch 1 = null)
+    //   ref_key: 00 54 (zigzag 42)
+    //   row_key: 00 04 (len 2) 31 31
+    //   is_deleted: 00 00 (false)
+    val df = Seq((1L, "asdf", 42L, "11", "insert"))
+      .toDF("f1", "f2", "seqno", "row_key", "op")
+      .withColumn("f3", lit(null).cast("double"))
+    val bytes = AvroCodec.encode(df, payload, "t1", "graft").head()
+    assert(bytes.map("%02x".format(_)).mkString ==
+      "0002" + "00086173646602" + "0054" + "00043131" + "0000")
+  }
+
   test("avro schema has the 3 appended metadata fields") {
     val sch = AvroCodec.avroSchema(payload, "t1", "graft")
     val names = sch.getFields.toArray.map(_.asInstanceOf[org.apache.avro.Schema.Field].name()).toSeq
