@@ -36,6 +36,18 @@ object QueriesExtra {
       .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors
   }
 
+  /** Embedding near-dup CLUSTERS: the banded candidate pairs verified by
+    * exact quantized dot, then connected components — the embedding-side
+    * twin of q_dedup_pipeline (cluster first, then keep one vector per
+    * cluster).
+    */
+  def embedClusters(s: SparkSession, dir: String): DataFrame = {
+    val verified = embedNeardup(s, dir).select(
+      col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.analytics.Dedup.dupClusters(verified)
+      .select(col("component"), col("n_docs").as("n_vecs"), col("keep_id"))
+  }
+
   /** Term frequency: top terms by document frequency (tokenize → explode →
     * two-level agg). Deterministic top-k via (count, term) ordering.
     */
@@ -137,6 +149,7 @@ object QueriesExtra {
     "q_sample_hash" -> sampleHash _,
     "q_multimodal_features" -> multimodalFeatures _,
     "q_embed_neardup" -> embedNeardup _,
+    "q_embed_clusters" -> embedClusters _,
     "q_term_freq" -> termFreq _,
     "q_bigrams" -> bigrams _,
     "q_pivot_users" -> pivotUsers _,
@@ -205,6 +218,44 @@ object QueriesExtra {
         |  CROSS JOIN generate_series(1, 64) g(i)
         |  GROUP BY cand.vec_a, cand.vec_b)
         |SELECT vec_a, vec_b, dot FROM dots WHERE dot > 20000""".stripMargin,
+
+    "q_embed_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT vec_id, p.j,
+        |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
+        |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
+        |  FROM embeddings, generate_series(0, 15) p(j), generate_series(1, 64) g(i)),
+        |bs AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INT)) ELSE 0 END) AS BIGINT) AS band_key
+        |  FROM bs GROUP BY vec_id, CAST(j // 8 AS INT)),
+        |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a
+        |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+        |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT cand.vec_a, cand.vec_b,
+        |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(ROUND(CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+        |  CROSS JOIN generate_series(1, 64) g(i)
+        |  GROUP BY cand.vec_a, cand.vec_b),
+        |verified AS (SELECT vec_a, vec_b FROM dots WHERE dot > 20000),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM verified
+        |          UNION SELECT vec_b, vec_a FROM verified),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE e.dst <> r.src),
+        |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+        |         FROM reach GROUP BY src)
+        |SELECT component, COUNT(*) AS n_vecs, MIN(vec_id) AS keep_id
+        |FROM comp GROUP BY component""".stripMargin,
 
     "q_term_freq" ->
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
