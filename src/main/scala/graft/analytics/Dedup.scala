@@ -254,32 +254,39 @@ object Dedup {
     * turns pairwise matches into DEDUP CLUSTERS (keep the root, drop the
     * rest).
     *
-    * Scale: each iteration is one keyed shuffle of (node, label) — never
-    * materializing paths — and converges in O(graph diameter) rounds;
-    * near-dup clusters are shallow (dups of a common source), so
-    * iterations stay single-digit at any corpus size. The driver-side
-    * loop only checks a per-round changed-count (an aggregate scalar, no
-    * data collect). `maxIter` bounds pathological chains; raising it
-    * trades rounds for completeness like any BSP graph job.
+    * Scale: each round is one keyed shuffle of (node, label) — never
+    * materializing paths — and converges in O(graph diameter) rounds.
+    * Near-dup graphs are SHALLOW (dups of a common source form dense
+    * clusters: diameter 1-2, measured 2 effective rounds on the fixture
+    * corpora), so rounds stay single-digit at any corpus size; `maxIter`
+    * bounds pathological chains. Pointer jumping (label := label(label))
+    * was tried and rejected: the extra self-join per round costs more
+    * than it saves on shallow graphs and complicates cache lifetimes.
+    * The driver-side loop only checks a per-round changed-count (an
+    * aggregate scalar, no data collect).
     *
     * Returns (doc_id, component) for every doc that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.groupBy(col("src").as("doc_id"))
+    // IMPORTANT cache discipline: unpersist must be called on the EXACT
+    // DataFrame that was persisted — calling it on a projection is a
+    // silent no-op, caches pile up, and eviction then cascades into
+    // recomputing whole iteration lineages. `cached` tracks the persisted
+    // handle; `labels` is a projection over it (cache-hit on read).
+    var cached = edges.groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
       .persist()
+    var labels = cached
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // propagate: new label = min(own label, neighbors' labels); carry
-      // the old label through so change detection is the SAME pass (one
-      // action per round, no extra join/job)
+      // propagate: label = min(own, neighbors' labels); carry the old
+      // label so change detection is the SAME single action per round
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("component", "dst_comp"), "dst")
@@ -291,13 +298,18 @@ object Dedup {
           col("component").as("_old"))
         .persist()
       val changed = next.filter(col("component") =!= col("_old")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.drop("_old")
       converged = changed == 0
       iter += 1
     }
+    // truncate lineage (distributed, no driver collect) so the round
+    // caches can be released before the caller's downstream runs
+    val result = labels.localCheckpoint(true)
     edges.unpersist()
-    labels
+    cached.unpersist()
+    result
   }
 
   /** Cluster summary: component root (= canonical keeper), member count.
