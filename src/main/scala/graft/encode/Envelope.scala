@@ -59,7 +59,7 @@ object Envelope {
         case JsonToken.START_OBJECT | JsonToken.START_ARRAY => depth += 1
         case JsonToken.END_OBJECT | JsonToken.END_ARRAY => depth -= 1
         case JsonToken.FIELD_NAME if depth == 1 =>
-          parser.getCurrentName match {
+          parser.currentName() match {
             case "Type" => parser.nextToken(); eventType = parser.getText
             case "SeqNo" => parser.nextToken(); seqNo = parser.getLongValue
             case "Timestamp" => parser.nextToken(); timestamp = parser.getLongValue
@@ -79,7 +79,7 @@ object Envelope {
         case _ => ()
       }
     }
-    val headerEnd = parser.getCurrentLocation.getByteOffset.toInt
+    val headerEnd = parser.currentLocation().getByteOffset.toInt
     parser.close()
     (CfHeader(eventType, keys.toSeq, seqNo, timestamp),
       java.util.Arrays.copyOfRange(data, headerEnd, data.length))

@@ -8,11 +8,14 @@ import graft.state.StateStore.Registration
   * /health) reduced to a command API over the state store. A REST wrapper
   * would bind these 1:1; the engine only needs the state mutations.
   */
-class Api(state: StateStore) {
-
+object Api {
   sealed trait Result { def ok: Boolean; def message: String }
   final case class Ok(message: String) extends Result { val ok = true }
   final case class Err(message: String) extends Result { val ok = false }
+}
+
+class Api(state: StateStore) {
+  import Api.{Err, Ok, Result}
 
   /** POST /table {"cmd":"add", ...} — server/table_handler.go:90-131. */
   def tableAdd(service: String, cluster: String, db: String, table: String,

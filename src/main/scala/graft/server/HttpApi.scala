@@ -82,7 +82,7 @@ class HttpApi(api: Api, state: StateStore,
         case "del" =>
           val res = api.tableDel(body.get("key").asText)
           respond(ex, if (res.ok) 200 else 404, resultJson(res))
-        case other => respond(ex, 400, resultJson(api.Err(s"unknown cmd: $other")))
+        case other => respond(ex, 400, resultJson(Api.Err(s"unknown cmd: $other")))
       }
     case _ => respond(ex, 405, textOk("method not allowed"))
   }
@@ -154,14 +154,14 @@ class HttpApi(api: Api, state: StateStore,
             body.get("host").asText, body.get("port").asInt,
             body.get("user").asText,
             Option(body.get("password")).map(_.asText).getOrElse("")))
-          respond(ex, 200, resultJson(api.Ok(s"cluster ${body.get("name").asText} added")))
+          respond(ex, 200, resultJson(Api.Ok(s"cluster ${body.get("name").asText} added")))
         case "del" =>
           state.delCluster(body.get("name").asText)
-          respond(ex, 200, resultJson(api.Ok(s"cluster ${body.get("name").asText} deleted")))
+          respond(ex, 200, resultJson(Api.Ok(s"cluster ${body.get("name").asText} deleted")))
         case "pos" =>
           state.savePosition(body.get("cluster").asText, body.get("seqno").asLong,
             body.get("gtid").asText)
-          respond(ex, 200, resultJson(api.Ok("position saved")))
+          respond(ex, 200, resultJson(Api.Ok("position saved")))
         case other => respond(ex, 400, textOk(s"unknown cmd: $other"))
       }
     case _ => respond(ex, 405, textOk("method not allowed"))
@@ -181,7 +181,7 @@ class HttpApi(api: Api, state: StateStore,
     try f(ex)
     catch { case t: Throwable => respond(ex, 400, textOk(s"bad request: ${t.getMessage}")) }
 
-  private def resultJson(r: Api#Result): String = {
+  private def resultJson(r: Api.Result): String = {
     val n = mapper.createObjectNode()
     n.put("ok", r.ok); n.put("message", r.message)
     mapper.writeValueAsString(n)

@@ -17,7 +17,7 @@ object EmbedClusterProbe {
     val t1 = System.nanoTime()
     val cc = graft.analytics.Dedup.connectedComponents(pairs)
     val comps = cc.groupBy("component").count()
-    println(s"components: ${comps.count()}, max size: ${comps.agg(max("count")).head.getLong(0)}")
+    println(s"components: ${comps.count()}, max size: ${comps.agg(max("count")).head().getLong(0)}")
     println(s"cc time: ${(System.nanoTime()-t1)/1e9}s")
     spark.stop()
   }
