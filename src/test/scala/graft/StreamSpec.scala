@@ -84,6 +84,21 @@ class FileSinkSpec extends SparkSuite {
     assert(done.contains(m.fileName))
   }
 
+  test("size rotation: maxRecordsPerFile bounds every output file") {
+    // pipe/file.go:598-602 rotates on size; Spark's equivalent knob is
+    // maxRecordsPerFile, and the manifest must account for every rotated
+    // file with no loss
+    val dir = Files.createTempDirectory("graft-sinkrot").toString + "/out"
+    val df = Seq.tabulate(1000)(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    val manifest = FileSink.write(df, dir, format = "json", maxRecordsPerFile = 100)
+    assert(manifest.size >= 10, s"expected rotation, got ${manifest.size} files")
+    assert(manifest.forall(_.numRecs <= 100))
+    assert(manifest.map(_.numRecs).sum == 1000)
+    // every manifest entry names a real file
+    manifest.foreach(m =>
+      assert(Files.exists(java.nio.file.Paths.get(dir, m.fileName)), m.fileName))
+  }
+
   test("gzip json sink hashes stored files and round-trips through the reader") {
     val dir = Files.createTempDirectory("graft-sinkgz").toString + "/out"
     val manifest = FileSink.write(
