@@ -129,6 +129,20 @@ object QueriesExtra {
     graft.analytics.CorpusPipeline.clean(docs(s, dir),
       minLen = 100, maxLen = 500, langs = Set("en"))
 
+  /** Sequence packing: documents binned into 4096-token training batches
+    * by cumulative token count in doc_id order, summarized per bin.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.CorpusPipeline.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          graft.analytics.TextOps.tokenCount(col("text")).as("tok")),
+        col("doc_id"), col("tok"), capacity = 4096L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** Deterministic hash sampling: reproducible 1/8 split by content md5. */
   def sampleHash(s: SparkSession, dir: String): DataFrame =
     graft.analytics.CorpusPipeline.hashSample(Seq("0", "1"))(docs(s, dir))
@@ -147,6 +161,7 @@ object QueriesExtra {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,
     "q_sample_hash" -> sampleHash _,
+    "q_pack_sequences" -> packSequences _,
     "q_multimodal_features" -> multimodalFeatures _,
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_clusters" -> embedClusters _,
@@ -186,6 +201,19 @@ object QueriesExtra {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS before_tok
+        |  FROM t)
+        |SELECT CAST(before_tok // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

@@ -44,6 +44,33 @@ object CorpusPipeline {
   def hashSample(hexChars: Seq[String])(df: DataFrame): DataFrame =
     df.filter(substring(md5(col("text")), 1, 1).isin(hexChars: _*))
 
+  /** Sequence packing plan: assign documents (in deterministic `orderCol`
+    * order) to fixed-capacity token bins — the pretraining "sample
+    * packing" step that turns a cleaned corpus into training-batch
+    * assignments. Greedy-by-cumulative-sum: bin = floor(tokens-before /
+    * capacity), the industry-standard streaming approximation (a document
+    * may straddle its bin boundary and is truncated/continued by the
+    * loader — exact first-fit would need a sequential scan, which no
+    * engine does at corpus scale).
+    *
+    * Scale: one global ordering — expressed as a window cumsum over
+    * `orderCol`. Spark executes the empty-frame window as a single-
+    * partition sort at small scale; at 100 TB the same plan runs as a
+    * range-partitioned sort (the ORDER is the contract, and packing is a
+    * per-epoch planning job, not a hot path).
+    */
+  def packSequences(docs: DataFrame, orderCol: Column, tokens: Column,
+                    capacity: Long): DataFrame = {
+    val w = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_tok", tokens.cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("bin", ((col("_cum") - col("_tok")) / capacity).cast("long"))
+      .drop("_cum")
+      .withColumnRenamed("_tok", "n_tokens")
+  }
+
   /** The full cleaning pipeline with output stats. Stats and fingerprint
     * are computed BEFORE the dedup window so only (ids, fp, stats) — not
     * raw text — go through the single shuffle.
