@@ -138,7 +138,10 @@ object CryptoStage {
   private def mapFiles(spark: SparkSession, path: String, suffixFrom: String,
                        suffixTo: String)(xform: Array[Byte] => Array[Byte]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val names = listDataFiles(path, conf).filter(_.endsWith(suffixFrom))
+    // never re-process already-transformed files (encryptDir is
+    // idempotent: a second pass finds nothing to encrypt)
+    val names = listDataFiles(path, conf)
+      .filter(n => n.endsWith(suffixFrom) && (suffixTo.isEmpty || !n.endsWith(suffixTo)))
     if (names.isEmpty) return 0L
     val entries = confEntries(spark)
     val parallelism = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))

@@ -37,6 +37,18 @@ class CryptoStageSpec extends SparkSuite {
     }
   }
 
+  test("double encryptDir is idempotent: second pass finds nothing") {
+    val dir = Files.createTempDirectory("graft-crypto-idem").toString + "/out"
+    FileSink.write(spark.range(0, 10).selectExpr("CAST(id AS STRING) AS value"),
+      dir, format = "text")
+    val n1 = CryptoStage.encryptDir(spark, dir, consumer.getPublic, producer.getPrivate)
+    assert(n1 > 0)
+    val n2 = CryptoStage.encryptDir(spark, dir, consumer.getPublic, producer.getPrivate)
+    assert(n2 == 0, s"re-encrypted $n2 already-encrypted files")
+    assert(CryptoStage.decryptDir(spark, dir, consumer.getPrivate, producer.getPublic) == n1)
+    assert(spark.read.text(dir).count() == 10)
+  }
+
   test("file sink output encrypts and decrypts task-side, content intact") {
     val dir = Files.createTempDirectory("graft-crypto").toString + "/out"
     val df = spark.range(0, 200).select(col("id"), (col("id") % 7).as("k"))

@@ -129,6 +129,16 @@ class HttpApiSpec extends SparkSuite {
     }
   }
 
+  test("malformed JSON and unknown commands answer 400, server stays up") {
+    withServer { port =>
+      assert(post(port, "/table", "{not json").statusCode() == 400)
+      assert(post(port, "/table", """{"cmd":"nonsense"}""").statusCode() == 400)
+      assert(post(port, "/cluster", """{"cmd":"??"}""").statusCode() == 400)
+      // still serving after the bad requests
+      assert(get(port, "/health").statusCode() == 200)
+    }
+  }
+
   test("config endpoint surfaces throughput knobs") {
     withServer { port =>
       val r = get(port, "/config")
