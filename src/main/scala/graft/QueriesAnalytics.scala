@@ -159,8 +159,11 @@ object QueriesAnalytics {
   }
 
   /** SimHash near-dup pairs at Hamming distance <= 2 via pigeonhole
-    * banding (lossless vs brute force — the oracle IS all-pairs, so the
-    * hash match proves no candidate is missed) + exact popcount verify.
+    * banding + exact popcount verify. The oracle mirrors the full
+    * semantics — banded candidate generation AND the bucket-population
+    * skew cap (over-cap buckets are clusters, not pairs) — so the hash
+    * match proves both; DedupSpec separately proves the banding itself
+    * is lossless vs brute force below the cap.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidatePairs(

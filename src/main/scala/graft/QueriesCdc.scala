@@ -287,9 +287,12 @@ object QueriesCdc {
   /** Streaming windowed aggregation through the real streaming engine:
     * events replayed as a multi-batch file stream → watermarked tumbling
     * 1-hour windows ([[graft.stream.StreamOps.windowedCounts]]) → memory
-    * sink in complete mode (deterministic: complete mode emits every
-    * window; the watermark still bounds state at scale). Oracle is the
-    * batch equivalent in DuckDB — streaming/batch parity IS the check.
+    * sink in COMPLETE mode, which makes the oracle check deterministic
+    * (every window emitted) at the cost of unbounded window state —
+    * complete mode does not let the watermark evict anything. The
+    * production-scale form of the same operator is append/update mode,
+    * where the watermark bounds state; StreamOpsSpec verifies that form's
+    * streaming==batch parity. Oracle is the batch equivalent in DuckDB.
     */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val src = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

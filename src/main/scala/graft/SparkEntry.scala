@@ -377,9 +377,13 @@ object SparkEntry {
         |FROM e JOIN w ON e.tms BETWEEN w.win_start AND w.win_end""".stripMargin,
 
     "q_simhash_pairs" ->
-      // brute-force ALL pairs at hamming<=2: the Spark side only examines
-      // banded candidates, so the hash match proves pigeonhole banding
-      // misses nothing
+      // the oracle mirrors BOTH halves of the contract: pigeonhole
+      // banding itself is lossless (any hamming<=2 pair shares a band),
+      // and the bucket-population skew cap is part of the semantics —
+      // pairs inside over-cap buckets are cluster members, not pairs.
+      // Band layout matches simhashCandidatePairs(bits=16, maxDist=2):
+      // band 0 = bits 0-5 (6 bits), band 1 = bits 6-10, band 2 = bits
+      // 11-15 (5 bits each).
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tb AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM tok),
         |wts AS (SELECT doc_id, bit,
@@ -388,11 +392,24 @@ object SparkEntry {
         |sw AS (SELECT doc_id, bit, SUM(wt) AS sw FROM wts GROUP BY doc_id, bit),
         |sg AS (SELECT doc_id,
         |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM sw GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT) AS hamming
-        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-        |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2""".stripMargin,
+        |  FROM sw GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, 0 AS band, simhash & 63 AS band_key FROM sg
+        |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 6) & 31 FROM sg
+        |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 11) & 31 FROM sg),
+        |ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key
+        |       HAVING COUNT(*) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM bands a
+        |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= 2""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

@@ -124,18 +124,8 @@ object Dedup {
     *                   bucket IS a near-dup cluster — handle it as a
     *                   cluster via `lshBuckets`, not as O(n²) pairs)
     */
-  def lshCandidatePairs(bandKeys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val small = bandKeys
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("_n") <= maxBucket)
-      .drop("_n")
-    val a = small.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-    val b = small.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-  }
+  def lshCandidatePairs(bandKeys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
+    Buckets.cappedPairs(bandKeys, idCol, maxBucket, "doc_a", "doc_b")
 
   // -------------------------------------------------------------- simhash
 
@@ -226,24 +216,13 @@ object Dedup {
           .as("band_key"))
     }
     val banded = sigs
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("_e"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col("simhash").as("sh"), explode(array(bandCols: _*)).as("_e"))
+      .select(col(idCol), col("sh"),
         col("_e.band").as("band"), col("_e.band_key").as("band_key"))
-    val small = banded
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("_n") <= maxBucket)
-      .drop("_n")
-    val a = small.select(col("band"), col("band_key"),
-      col(idCol).as("doc_a"), col("simhash").as("sh_a"))
-    val b = small.select(col("band"), col("band_key"),
-      col(idCol).as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    Buckets.cappedPairs(banded, idCol, maxBucket, "doc_a", "doc_b", carry = Seq("sh"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   // ------------------------------------------- duplicate-cluster components
@@ -304,6 +283,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a silent partial result would be WRONG labels (one cluster split in
+    // several) — fail loud instead; callers raise maxIter for deep graphs
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds the bound; raise maxIter")
     // truncate lineage (distributed, no driver collect) so the round
     // caches can be released before the caller's downstream runs
     val result = labels.localCheckpoint(true)

@@ -116,18 +116,8 @@ object Similarity {
     * pair expansion to maxBucket²/2 per bucket at any corpus size.
     */
   def neardupCandidatePairs(bandBuckets: DataFrame, idCol: String,
-                            maxBucket: Int): DataFrame = {
-    val small = bandBuckets
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("_n") <= maxBucket)
-      .drop("_n")
-    val a = small.select(col("band"), col("band_key"), col(idCol).as("vec_a"))
-    val b = small.select(col("band"), col("band_key"), col(idCol).as("vec_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-  }
+                            maxBucket: Int): DataFrame =
+    Buckets.cappedPairs(bandBuckets, idCol, maxBucket, "vec_a", "vec_b")
 
   /** ANN search: restrict brute force to the query vector's bucket. */
   def annTopK(embeddings: DataFrame, idCol: String, vec: Column, dims: Int,

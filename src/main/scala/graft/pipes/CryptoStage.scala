@@ -128,13 +128,6 @@ object CryptoStage {
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
   }
 
-  private def confEntries(spark: SparkSession): Seq[(String, String)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val it = conf.iterator(); val b = Seq.newBuilder[(String, String)]
-    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-    b.result()
-  }
-
   private def mapFiles(spark: SparkSession, path: String, suffixFrom: String,
                        suffixTo: String)(xform: Array[Byte] => Array[Byte]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -143,15 +136,13 @@ object CryptoStage {
     val names = listDataFiles(path, conf)
       .filter(n => n.endsWith(suffixFrom) && (suffixTo.isEmpty || !n.endsWith(suffixTo)))
     if (names.isEmpty) return 0L
-    val entries = confEntries(spark)
+    val entries = graft.core.HadoopConf.ship(spark)
     val parallelism = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(names)(Encoders.STRING)
       .repartition(parallelism)
       .mapPartitions { it =>
-        val taskConf = new Configuration(false)
-        entries.foreach { case (k, v) => taskConf.set(k, v) }
         val d = new HPath(path)
-        val fs = d.getFileSystem(taskConf)
+        val fs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
         it.map { n =>
           val src = new HPath(d, n)
           val inS = fs.open(src)

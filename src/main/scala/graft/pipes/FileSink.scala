@@ -93,12 +93,7 @@ object FileSink {
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
     // Configuration is not serializable — ship its entries and rebuild per
     // task (keeps s3a/hdfs credentials and settings intact).
-    val confEntries: Seq[(String, String)] = {
-      val it = conf.iterator()
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
-    }
+    val confEntries = graft.core.HadoopConf.ship(spark)
     val dirStr = path
     val countRecs = isLineFormat(format)
     val parallelism = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
@@ -107,10 +102,8 @@ object FileSink {
       else spark.createDataset(names)(Encoders.STRING)
         .repartition(parallelism)
         .mapPartitions { it =>
-          val taskConf = new Configuration(false)
-          confEntries.foreach { case (k, v) => taskConf.set(k, v) }
           val d = new HPath(dirStr)
-          val taskFs = d.getFileSystem(taskConf)
+          val taskFs = d.getFileSystem(graft.core.HadoopConf.rebuild(confEntries))
           it.map(n => hashOne(taskFs, new HPath(d, n), countRecs))
         }(Encoders.product[Manifest])
         .collect().toSeq

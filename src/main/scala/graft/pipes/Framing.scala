@@ -62,12 +62,24 @@ object Framing {
     }
   }
 
-  private def confEntries(spark: SparkSession): Seq[(String, String)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val it = conf.iterator(); val b = Seq.newBuilder[(String, String)]
-    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-    b.result()
-  }
+  /** Wrap a frame iterator so the underlying stream closes at EOF and on
+    * any read failure (a truncated-frame require mid-file must not leak
+    * the descriptor). Early abandonment without exhaustion still leaks —
+    * our consumers always drain their range.
+    */
+  private[pipes] def closeOnEnd(frames: Iterator[Array[Byte]],
+                                stream: java.io.Closeable): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; stream.close() }
+      override def hasNext: Boolean = {
+        val h = try frames.hasNext catch { case t: Throwable => close(); throw t }
+        if (!h) close()
+        h
+      }
+      override def next(): Array[Byte] =
+        try frames.next() catch { case t: Throwable => close(); throw t }
+    }
 
   /** Write `binCol` (binary) as framed files, one per partition; `.gz`
     * compression optional (the framing is inside the gzip stream, like
@@ -75,15 +87,13 @@ object Framing {
     */
   def write(df: DataFrame, path: String, binCol: String, gzip: Boolean = false): Long = {
     val spark = df.sparkSession
-    val entries = confEntries(spark)
+    val entries = graft.core.HadoopConf.ship(spark)
     val suffix = if (gzip) ".bin.gz" else ".bin"
     df.select(col(binCol)).rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val taskConf = new Configuration(false)
-        entries.foreach { case (k, v) => taskConf.set(k, v) }
         val dir = new HPath(path)
-        val fs = dir.getFileSystem(taskConf)
+        val fs = dir.getFileSystem(graft.core.HadoopConf.rebuild(entries))
         val file = new HPath(dir, f"part-$pid%05d$suffix")
         val raw = fs.create(file, true)
         val out: OutputStream = if (gzip) new GZIPOutputStream(raw) else raw
@@ -100,22 +110,20 @@ object Framing {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val entries = confEntries(spark)
+    val entries = graft.core.HadoopConf.ship(spark)
     val dir = new HPath(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
       .filter(n => n.endsWith(".bin") || n.endsWith(".bin.gz")).sorted
     spark.createDataset(files).repartition(math.max(1, files.size))
       .mapPartitions { it =>
-        val taskConf = new Configuration(false)
-        entries.foreach { case (k, v) => taskConf.set(k, v) }
         val d = new HPath(path)
-        val taskFs = d.getFileSystem(taskConf)
+        val taskFs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
         it.flatMap { name =>
           val raw = taskFs.open(new HPath(d, name))
           val in: InputStream =
             if (name.endsWith(".gz")) new GZIPInputStream(raw) else raw
-          readFrames(in).map(b => (name, b)) // stream closes at task end via EOF drain
+          closeOnEnd(readFrames(in), raw).map(b => (name, b))
         }
       }.toDF("file", "value")
   }

@@ -88,11 +88,7 @@ object LoopbackPipe {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val base = endOffsets(topicDir, conf)
-    val confEntries: Seq[(String, String)] = {
-      val it = conf.iterator(); val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
-    }
+    val confEntries = graft.core.HadoopConf.ship(spark)
     val nParts = numPartitions
     val withPart = df.select(
       partitionCol.getOrElse(lit(-1)).cast("int").as("_p"),
@@ -109,10 +105,8 @@ object LoopbackPipe {
         val rows = it.map(_._2).toArray.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
         else {
-          val taskConf = new Configuration(false)
-          confEntries.foreach { case (k, v) => taskConf.set(k, v) }
           val pdir = new HPath(s"$topicDir/p$pid")
-          val fs = pdir.getFileSystem(taskConf)
+          val fs = pdir.getFileSystem(graft.core.HadoopConf.rebuild(confEntries))
           val start = base.getOrElse(pid, 0L)
           val tmp = new HPath(pdir, s".segment-$start.tmp")
           val out = fs.create(tmp, true)
@@ -122,7 +116,16 @@ object LoopbackPipe {
             n.put("o", start + i); n.put("k", k); n.put("v", v); n.put("ts", ord)
             out.write((m.writeValueAsString(n) + "\n").getBytes(StandardCharsets.UTF_8))
           } finally out.close()
-          fs.rename(tmp, new HPath(pdir, s"segment-$start-${rows.length}.jsonl"))
+          // rename returns false (not an exception) on several
+          // FileSystems, e.g. when a task retry's first attempt already
+          // committed the segment — losing the batch silently is the one
+          // unacceptable outcome for a pipe
+          val dest = new HPath(pdir, s"segment-$start-${rows.length}.jsonl")
+          if (!fs.rename(tmp, dest)) {
+            if (!fs.exists(dest))
+              throw new java.io.IOException(s"segment commit failed: $tmp -> $dest")
+            fs.delete(tmp, false) // earlier attempt already committed it
+          }
           Iterator.single(rows.length.toLong)
         }
       }.sum().toLong
@@ -162,10 +165,22 @@ object LoopbackPipe {
     segs.iterator.flatMap { case (_, p) =>
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         fs.open(p), StandardCharsets.UTF_8))
-      Iterator.continually(in.readLine()).takeWhile { l => if (l == null) in.close(); l != null }
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
         .map(parseRecord(partition, _))
         .filter(r => r.offset >= from && r.offset < until)
+      // close at EOF or on a parse failure, never leak the descriptor
+      new Iterator[Record] {
+        private var closed = false
+        private def close(): Unit = if (!closed) { closed = true; in.close() }
+        override def hasNext: Boolean = {
+          val h = try lines.hasNext catch { case t: Throwable => close(); throw t }
+          if (!h) close()
+          h
+        }
+        override def next(): Record =
+          try lines.next() catch { case t: Throwable => close(); throw t }
+      }
     }
   }
 

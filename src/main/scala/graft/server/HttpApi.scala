@@ -31,6 +31,7 @@ class HttpApi(api: Api, state: StateStore,
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def port: Int = server.getAddress.getPort
 
@@ -41,12 +42,18 @@ class HttpApi(api: Api, state: StateStore,
     server.createContext("/schema", (ex: HttpExchange) => safely(ex)(handleSchema))
     server.createContext("/cluster", (ex: HttpExchange) => safely(ex)(handleCluster))
     server.createContext("/config", (ex: HttpExchange) => safely(ex)(handleConfig))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    server.setExecutor(pool)
     server.start()
     port
   }
 
-  def stop(): Unit = synchronized { if (server != null) server.stop(0) }
+  def stop(): Unit = synchronized {
+    if (server != null) server.stop(0)
+    // HttpServer.stop does NOT shut down a caller-supplied executor; its
+    // non-daemon threads would keep the JVM alive after stop()
+    if (pool != null) pool.shutdown()
+  }
 
   // ----------------------------------------------------------- handlers
 

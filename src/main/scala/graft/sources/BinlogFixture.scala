@@ -67,8 +67,12 @@ object BinlogFixture {
   /** JVM-wide parse cache keyed by (len, mtime): a production binlog
     * reader holds a forward-only cursor and never re-parses history; the
     * fixture equivalent is parsing each log version once per process, not
-    * once per micro-batch. One entry per path (latest version wins).
+    * once per micro-batch. One entry per path (latest version wins), and
+    * the whole map is cleared past a small bound — catalog queries mint a
+    * fresh part-file path per run, so without the bound a long-lived JVM
+    * (bench + verify dev loops) accumulates a 60k-event Vector per run.
     */
+  private val MaxCachedLogs = 8
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Vector[Event])]()
 
@@ -81,6 +85,7 @@ object BinlogFixture {
     if (hit != null && hit._1 == len && hit._2 == mtime) hit._3
     else {
       val events = read(path, conf)
+      if (cache.size >= MaxCachedLogs) cache.clear()
       cache.put(path, (len, mtime, events))
       events
     }

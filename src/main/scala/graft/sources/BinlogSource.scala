@@ -104,7 +104,10 @@ class BinlogMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
   // The log is read once per stream instance, so it doubles as the
   // Trigger.AvailableNow snapshot (events appended after prepare are not
   // seen until the next run); a live tail would re-list per latestOffset.
-  private lazy val index: Vector[(String, Long)] = BinlogFixture.readIndex(path)
+  private val confEntries = graft.core.HadoopConf.shipActive()
+
+  private lazy val index: Vector[(String, Long)] =
+    BinlogFixture.readIndex(path, graft.core.HadoopConf.rebuild(confEntries))
 
   override def prepareForTriggerAvailableNow(): Unit = {
     index // force the snapshot read; latestOffset then paces toward its end
@@ -154,7 +157,8 @@ class BinlogMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(BinlogInputPartition(path,
       start.asInstanceOf[GtidOffset].set.serialize,
-      end.asInstanceOf[GtidOffset].set.serialize))
+      end.asInstanceOf[GtidOffset].set.serialize,
+      confEntries))
 
   override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
 
@@ -162,21 +166,25 @@ class BinlogMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
-case class BinlogInputPartition(path: String, startGtids: String, endGtids: String)
+case class BinlogInputPartition(path: String, startGtids: String, endGtids: String,
+                                confEntries: Seq[(String, String)])
     extends InputPartition
 
 class BinlogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
-    new BinlogPartitionReader(p.path, GtidSet.parse(p.startGtids), GtidSet.parse(p.endGtids))
+    new BinlogPartitionReader(p.path, GtidSet.parse(p.startGtids), GtidSet.parse(p.endGtids),
+      p.confEntries)
   }
 }
 
 /** Replays the transactions in `end \ start`, in log order. */
-class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet)
+class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet,
+                            confEntries: Seq[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val it = BinlogFixture.readCached(path).iterator
+  private val it = BinlogFixture.readCached(path,
+      graft.core.HadoopConf.rebuild(confEntries)).iterator
     .filter(e => end.contains(e.uuid, e.gno) && !start.contains(e.uuid, e.gno))
   private var current: BinlogFixture.Event = _
 

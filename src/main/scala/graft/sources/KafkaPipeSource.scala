@@ -6,7 +6,6 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -93,7 +92,10 @@ object PartitionOffsets {
 class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private def listEnds(): Map[Int, Long] = LoopbackPipe.endOffsets(path, new Configuration())
+  private val confEntries = graft.core.HadoopConf.shipActive()
+
+  private def listEnds(): Map[Int, Long] =
+    LoopbackPipe.endOffsets(path, graft.core.HadoopConf.rebuild(confEntries))
 
   // Trigger.AvailableNow snapshot of the log's end, fixed at prepare time
   private var availableEnds: Option[Map[Int, Long]] = None
@@ -138,7 +140,8 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
     val s = start.asInstanceOf[PartitionOffsets].offsets.withDefaultValue(0L)
     val e = end.asInstanceOf[PartitionOffsets].offsets
     e.toSeq.sortBy(_._1).collect {
-      case (p, until) if until > s(p) => KafkaPipeInputPartition(path, p, s(p), until)
+      case (p, until) if until > s(p) =>
+        KafkaPipeInputPartition(path, p, s(p), until, confEntries)
     }.toArray
   }
 
@@ -148,7 +151,8 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
   override def stop(): Unit = ()
 }
 
-case class KafkaPipeInputPartition(path: String, partition: Int, from: Long, until: Long)
+case class KafkaPipeInputPartition(path: String, partition: Int, from: Long, until: Long,
+                                   confEntries: Seq[(String, String)])
     extends InputPartition
 
 class KafkaPipeReaderFactory extends PartitionReaderFactory {
@@ -162,7 +166,7 @@ class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val it = LoopbackPipe.readPartition(p.path, p.partition, p.from, p.until,
-    new Configuration())
+    graft.core.HadoopConf.rebuild(p.confEntries))
   private var current: LoopbackPipe.Record = _
 
   override def next(): Boolean = {
