@@ -3,7 +3,6 @@ package graft.pipes
 import java.security.{DigestInputStream, MessageDigest}
 import java.util.zip.GZIPInputStream
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
