@@ -24,9 +24,9 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * hdfs:// and s3a:// uniformly). At 1 GB × thousands of files this is a
   * wide map, not hours of single-threaded driver I/O.
   *
-  * PGP encrypt+sign (:384-437) is deliberately out of scope for this
-  * round (no crypto provider guarantee in-container); the hook is the
-  * same post-commit pass.
+  * Encrypt+sign (:384-437) is the same post-commit pass —
+  * [[CryptoStage.encryptDir]] (JCA hybrid construction; OpenPGP wire
+  * format itself needs a provider not shipped in-container).
   */
 object FileSink {
 
