@@ -141,6 +141,40 @@ object QueriesAnalytics {
     Dedup.dupClusters(verified)
   }
 
+  /** Bounded top-k per group via the typed Aggregator (O(n log k), k rows
+    * per partition through the map-side combine — the 100 TB top-k shape,
+    * vs the window form which sorts every group partition). Top-3 events
+    * by value per event_type; ties broken by event_id.
+    */
+  def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.ops.TopKAggregator(3).toColumn
+    events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, cents, id) => (cents.toDouble, id) }
+      .agg(agg.name("topk"))
+      .flatMap { case (etype, topk) => topk.map(t => (etype, t._1.toLong, t._2)) }
+      .toDF("event_type", "cents", "event_id")
+  }
+
+  /** Salted skew join (ops.SkewJoin): events (90%+ of traffic on a few
+    * hot users at scale) joined to a per-user dim through fact-side salt
+    * + dim-side explode, so one hot key spreads over `salt` reducers.
+    * Result identical to the plain join — which is exactly what the
+    * oracle checks.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = events(s, dir).select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val dim = events(s, dir).groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").cast("string").as("first_seen"))
+    graft.ops.SkewJoin.saltedJoin(fact, dim, "user_id", salt = 8)
+      .select(col("event_id"), col("user_id"), col("cents"), col("first_seen"))
+  }
+
   /** Banded range join (ops.RangeJoin): campaign windows (2h from every
     * 50th user's first event) joined to ALL events inside the window — a
     * hash join on time buckets + exact re-check, where a naive BETWEEN
@@ -278,6 +312,8 @@ object QueriesAnalytics {
     "q_simhash_pairs" -> simhashPairs _,
     "q_range_join" -> rangeJoin _,
     "q_dedup_pipeline" -> dedupPipeline _,
+    "q_topk_agg" -> topkAgg _,
+    "q_skew_join" -> skewJoin _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,

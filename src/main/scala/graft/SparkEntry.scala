@@ -368,6 +368,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM sw GROUP BY doc_id""".stripMargin,
 
+    "q_topk_agg" ->
+      """SELECT event_type, cents, event_id FROM (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ROUND(value * 100) DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_seen
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+        |  d.first_seen
+        |FROM events e JOIN dim d ON d.user_id = e.user_id""".stripMargin,
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
         |w AS (SELECT user_id AS campaign_user, MIN(tms) AS win_start,
