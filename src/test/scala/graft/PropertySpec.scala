@@ -1,0 +1,85 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.changelog.GtidSet
+import graft.encode.MsgPackCodec
+import graft.pipes.{Framing, LoopbackPipe}
+
+/** Seeded-fuzz checks for the pure kernels: any sequence of GTID adds
+  * equals the brute-force set; msgpack and framing round-trip arbitrary
+  * values; the FNV partitioner is total and stable. Fixed seeds keep the
+  * runs deterministic.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  test("GtidSet: random add sequences == brute-force membership sets") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 50) {
+      val adds = Vector.fill(60)((s"u${rnd.nextInt(3) + 1}", rnd.nextLong(40) + 1))
+      val set = adds.foldLeft(GtidSet.empty) { case (acc, (u, g)) => acc.add(u, g) }
+      val brute = adds.toSet
+      for (u <- Seq("u1", "u2", "u3"); g <- 1L to 41L)
+        assert(set.contains(u, g) == brute.contains((u, g)), s"($u,$g)")
+      assert(set.txnCount == brute.size)
+      assert(GtidSet.parse(set.serialize) == set)
+    }
+  }
+
+  test("msgpack: random CF events round-trip") {
+    val rnd = new Random(7)
+    def randValue(): Any = rnd.nextInt(5) match {
+      case 0 => rnd.nextLong()
+      case 1 => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      case 2 => rnd.nextBoolean()
+      case 3 => rnd.nextDouble() * 1e12 - 5e11
+      case 4 => null
+    }
+    for (_ <- 1 to 100) {
+      val seq = rnd.nextLong(Long.MaxValue)
+      val ts = rnd.nextLong(1L << 40)
+      val fs = Vector.fill(5)((s"f${rnd.nextInt(100)}", randValue()))
+      val bytes = MsgPackCodec.encodeEvent("insert", Seq(1L), seq, ts, Some(fs))
+      val (decoded, n) = MsgPackCodec.decode(bytes)
+      assert(n == bytes.length)
+      val m = decoded.asInstanceOf[Map[Any, Any]]
+      assert(m("SeqNo") == seq && m("Timestamp") == ts)
+      val back = m("Fields").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
+        .map(f => f("Name") -> f("Value"))
+      fs.zip(back).foreach { case ((n0, v0), (n1, v1)) =>
+        assert(n1 == n0)
+        assert(v1 == v0, s"$n0: $v0 vs $v1")
+      }
+    }
+  }
+
+  test("framing: random byte records round-trip in order") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 30) {
+      val recs = Vector.fill(rnd.nextInt(20)) {
+        val b = new Array[Byte](rnd.nextInt(300))
+        rnd.nextBytes(b)
+        b
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach(Framing.writeFrame(out, _))
+      val back = Framing.readFrames(new java.io.ByteArrayInputStream(out.toByteArray)).toList
+      assert(back.length == recs.length)
+      recs.zip(back).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    }
+  }
+
+  test("fnv partitioner: total, stable, in range for any key") {
+    val rnd = new Random(99)
+    for (_ <- 1 to 500) {
+      val key = rnd.alphanumeric.take(rnd.nextInt(30)).mkString +
+        (if (rnd.nextBoolean()) "é∆" else "")
+      val n = rnd.nextInt(64) + 1
+      val p = LoopbackPipe.partitionFor(key, n)
+      assert(p >= 0 && p < n)
+      assert(LoopbackPipe.partitionFor(key, n) == p)
+    }
+  }
+}
