@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape regression guards for the scale claims the engine makes:
+  * filters reach the parquet scan, projections prune the read schema,
+  * and small join sides broadcast. A refactor that silently loses one of
+  * these would still pass the value-level oracle checks — these specs
+  * pin the PLAN.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("snapshot scan pushes filters and prunes columns") {
+    val p = plan("q_snapshot_scan")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull(l_quantity"),
+      p.take(2000))
+    // projection pruning: the read schema names only referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("row-filter config compiles into pushed scan predicates") {
+    val p = plan("q_snapshot_rowfilter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    // the plan string may truncate long filter lists mid-token
+    assert(p.contains("EqualTo(l_returnflag,A)") || p.contains("GreaterThan(l_quanti"),
+      p.take(2000))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("registration routing is a broadcast semi join") {
+    val p = plan("q_route_registered")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("Broadcast"), p.take(3000))
+  }
+}
