@@ -33,10 +33,25 @@ final case class GtidSet(sets: Map[String, Vector[(Long, Long)]]) {
   def contains(uuid: String, gno: Long): Boolean =
     sets.get(uuid).exists(_.exists { case (s, e) => gno >= s && gno <= e })
 
-  /** True iff every transaction in this set is also in `other`. */
+  /** True iff every transaction in this set is also in `other`.
+    *
+    * Interval-level check: both sides keep intervals normalized (sorted,
+    * merged — see [[GtidSet.normalize]]), so `[s,e]` is covered iff the
+    * single interval of `other` whose start is the greatest one `<= s`
+    * reaches at least `e`. Binary search per interval makes this
+    * O(intervals log intervals), independent of transaction counts.
+    */
   def subsetOf(other: GtidSet): Boolean =
     sets.forall { case (uuid, ivs) =>
-      ivs.forall { case (s, e) => (s to e).forall(other.contains(uuid, _)) }
+      val oivs = other.sets.getOrElse(uuid, Vector.empty)
+      ivs.forall { case (s, e) =>
+        var lo = 0; var hi = oivs.length - 1; var idx = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (oivs(mid)._1 <= s) { idx = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        idx >= 0 && oivs(idx)._2 >= e
+      }
     }
 
   def isEmpty: Boolean = sets.valuesIterator.forall(_.isEmpty)

@@ -138,22 +138,43 @@ object CryptoStage {
     if (names.isEmpty) return 0L
     val entries = graft.core.HadoopConf.ship(spark)
     val parallelism = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(names)(Encoders.STRING)
-      .repartition(parallelism)
-      .mapPartitions { it =>
-        val d = new HPath(path)
-        val fs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
-        it.map { n =>
-          val src = new HPath(d, n)
+    val ds = spark.createDataset(names)(Encoders.STRING).repartition(parallelism)
+
+    // Phase 1 — transform only. Retry-safe under Spark's task contract:
+    // sources are NOT deleted here, so a task retry (or speculative twin)
+    // re-reads an intact source, and the overwrite-create converges on the
+    // same destination bytes. A name whose source is already gone but
+    // whose destination exists was finished by an earlier attempt/run and
+    // is skipped.
+    val transformed = ds.mapPartitions { it =>
+      val d = new HPath(path)
+      val fs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
+      it.map { n =>
+        val src = new HPath(d, n)
+        val dst = new HPath(d, n.stripSuffix(suffixFrom) + suffixTo)
+        if (!fs.exists(src)) {
+          require(fs.exists(dst), s"crypto stage: $n vanished without output")
+          1L
+        } else {
           val inS = fs.open(src)
           val bytes = try inS.readAllBytes() finally inS.close()
-          val outName = n.stripSuffix(suffixFrom) + suffixTo
-          val out = fs.create(new HPath(d, outName), true)
+          val out = fs.create(dst, true)
           try out.write(xform(bytes)) finally out.close()
-          fs.delete(src, false)
           1L
         }
-      }(Encoders.scalaLong).reduce(_ + _)
+      }
+    }(Encoders.scalaLong).reduce(_ + _)
+
+    // Phase 2 — delete sources, in a SEPARATE job that only starts after
+    // every transform task succeeded. fs.delete of a missing file is a
+    // no-op, so retries here are trivially idempotent.
+    ds.mapPartitions { it =>
+      val d = new HPath(path)
+      val fs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
+      it.map { n => fs.delete(new HPath(d, n), false); 0L }
+    }(Encoders.scalaLong).reduce(_ + _)
+
+    transformed
   }
 
   /** Encrypt every data file in `path` in executor tasks; each `<name>`

@@ -64,29 +64,59 @@ object BinlogFixture {
     finally out.close()
   }
 
-  /** JVM-wide parse cache keyed by (len, mtime): a production binlog
-    * reader holds a forward-only cursor and never re-parses history; the
-    * fixture equivalent is parsing each log version once per process, not
-    * once per micro-batch. One entry per path (latest version wins), and
-    * the whole map is cleared past a small bound — catalog queries mint a
-    * fresh part-file path per run, so without the bound a long-lived JVM
-    * (bench + verify dev loops) accumulates a 60k-event Vector per run.
+  /** JVM-wide parse cache: a production binlog reader holds a forward-only
+    * cursor and never re-parses history; the fixture equivalent is parsing
+    * each log version once per process, not once per micro-batch.
+    *
+    * Keyed by (len, mtime, probe checksum): len+mtime alone can serve
+    * stale events when an overwrite preserves length within the
+    * filesystem's mtime granularity (1 s on some filesystems), so the key
+    * also folds in an FNV-1a hash of the first and last 8 KB — two cheap
+    * positioned reads, independent of log size. Eviction is LRU via an
+    * access-ordered LinkedHashMap bounded at [[MaxCachedLogs]], so hot
+    * entries survive when cold ones are dropped.
     */
   private val MaxCachedLogs = 8
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Vector[Event])]()
+  private final case class CacheKey(len: Long, mtime: Long, probe: Long)
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (CacheKey, Vector[Event])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (CacheKey, Vector[Event])]): Boolean =
+        size() > MaxCachedLogs
+    })
+
+  /** FNV-1a over the head and tail 8 KB — cheap content fingerprint. */
+  private def probeChecksum(fs: FileSystem, p: HPath, len: Long): Long = {
+    if (len == 0L) return 0L
+    val headLen = math.min(len, 8192L).toInt
+    val head = new Array[Byte](headLen)
+    val in = fs.open(p)
+    try {
+      in.readFully(0L, head)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < headLen) { h ^= (head(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      if (len > headLen) {
+        val tailLen = math.min(len - headLen, 8192L).toInt
+        val tail = new Array[Byte](tailLen)
+        in.readFully(len - tailLen, tail)
+        i = 0
+        while (i < tailLen) { h ^= (tail(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      }
+      h
+    } finally in.close()
+  }
 
   def readCached(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val (len, mtime) = (st.getLen, st.getModificationTime)
+    val key = CacheKey(st.getLen, st.getModificationTime, probeChecksum(fs, p, st.getLen))
     val hit = cache.get(path)
-    if (hit != null && hit._1 == len && hit._2 == mtime) hit._3
+    if (hit != null && hit._1 == key) hit._2
     else {
       val events = read(path, conf)
-      if (cache.size >= MaxCachedLogs) cache.clear()
-      cache.put(path, (len, mtime, events))
+      cache.put(path, (key, events))
       events
     }
   }

@@ -124,10 +124,17 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
     val next =
       if (total <= cap) ends
       else {
-        // proportional allocation, at least 1 from each non-empty backlog
+        // Proportional allocation, at least 1 from each non-empty backlog
+        // while budget lasts. BigInt keeps cap*b exact for arbitrarily
+        // large caps/backlogs (a Long multiply can overflow negative here
+        // since this branch only requires cap < total). Partitions are
+        // visited in id order, so when the budget runs out the TAIL
+        // partitions may receive 0 rows this trigger — they drain in
+        // subsequent triggers as the head partitions advance.
         var remaining = cap
         backlog.toSeq.sortBy(_._1).map { case (p, b) =>
-          val share = math.min(b, math.max(if (b > 0) 1L else 0L, cap * b / total))
+          val prop = (BigInt(cap) * BigInt(b) / BigInt(total)).toLong
+          val share = math.min(b, math.max(if (b > 0) 1L else 0L, prop))
           val take = math.min(share, remaining)
           remaining -= take
           p -> (startMap(p) + take)

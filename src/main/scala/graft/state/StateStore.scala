@@ -54,11 +54,30 @@ object StateStore {
     */
   final case class Position(cluster: String, seqno: Long, gtid: String)
 
-  /** Source cluster connection record (server/cluster_handler.go:41-195;
-    * the password is stored as-is here — production wires a secret ref).
+  /** Source cluster connection record (server/cluster_handler.go:41-195).
+    *
+    * `password` is preferably a SECRET REFERENCE, not a literal:
+    * `env:NAME` resolves from the environment and `file:/path` from an
+    * operator-managed file, both at connect time via [[resolvedPassword]]
+    * — so `clusters.jsonl` never holds the credential itself. Literals
+    * still pass through for test fixtures; the store additionally keeps
+    * the state dir owner-only (0700/0600).
     */
   final case class Cluster(name: String, host: String, port: Int,
-                           user: String, password: String)
+                           user: String, password: String) {
+    def resolvedPassword: String = StateStore.resolveSecret(password)
+  }
+
+  /** Resolve `env:NAME` / `file:/path` secret references; anything else is
+    * returned as-is.
+    */
+  def resolveSecret(ref: String): String =
+    if (ref == null) null
+    else if (ref.startsWith("env:")) sys.env.getOrElse(ref.stripPrefix("env:"), "")
+    else if (ref.startsWith("file:"))
+      new String(Files.readAllBytes(Paths.get(ref.stripPrefix("file:"))),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else ref
 }
 
 /** Simple durable JSONL-backed store. All writes append + atomic-rename
@@ -67,6 +86,15 @@ object StateStore {
 class StateStore(dir: String) {
   import StateStore._
   Files.createDirectories(Paths.get(dir))
+  // Control-plane records can carry credentials (cluster registry): keep
+  // the whole state dir owner-only. Best-effort — non-POSIX filesystems
+  // (e.g. Windows) skip silently.
+  restrict(Paths.get(dir), "rwx------")
+
+  private def restrict(p: java.nio.file.Path, perms: String): Unit =
+    try Files.setPosixFilePermissions(p,
+      java.nio.file.attribute.PosixFilePermissions.fromString(perms))
+    catch { case _: UnsupportedOperationException => () }
 
   private def file(name: String) = Paths.get(dir, s"$name.jsonl")
 
@@ -103,6 +131,7 @@ class StateStore(dir: String) {
     Files.move(tmp, file("registrations"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    restrict(file("registrations"), "rw-------")
   }
 
   private def renderRegistration(r: Registration): String = {
@@ -198,6 +227,7 @@ class StateStore(dir: String) {
     Files.move(tmp, file("clusters"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    restrict(file("clusters"), "rw-------")
   }
 
   // --- positions (seqno / gtid high-watermarks) ----------------------------

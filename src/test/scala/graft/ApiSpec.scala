@@ -31,4 +31,33 @@ class ApiSpec extends SparkSuite {
     assert(api.clusterPos("cl1").isEmpty)
     assert(api.health.ok)
   }
+
+  test("cluster passwords: secret refs resolve at use time, state dir owner-only") {
+    val dir = Files.createTempDirectory("graft-secret")
+    val store = new StateStore(dir.toString)
+
+    // env: ref — resolves from environment (missing -> empty, never throws)
+    assert(StateStore.resolveSecret("env:GRAFT_NO_SUCH_VAR") == "")
+    // file: ref — resolves to trimmed file contents
+    val secretFile = Files.createTempFile("graft-pw", ".txt")
+    Files.write(secretFile, "s3cr3t\n".getBytes("UTF-8"))
+    assert(StateStore.resolveSecret("file:" + secretFile) == "s3cr3t")
+    // literal passthrough (test fixtures)
+    assert(StateStore.resolveSecret("plain") == "plain")
+
+    // what's persisted is the REF, not the credential
+    store.addCluster(StateStore.Cluster("c1", "h", 3306, "u", "file:" + secretFile))
+    val onDisk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir.toString, "clusters.jsonl")), "UTF-8")
+    assert(!onDisk.contains("s3cr3t"))
+    assert(store.listClusters.head.resolvedPassword == "s3cr3t")
+
+    // dir + files are owner-only on POSIX filesystems
+    import scala.jdk.CollectionConverters._
+    val dirPerms = Files.getPosixFilePermissions(dir).asScala.map(_.toString)
+    assert(!dirPerms.exists(p => p.startsWith("GROUP") || p.startsWith("OTHERS")), dirPerms)
+    val filePerms = Files.getPosixFilePermissions(
+      java.nio.file.Paths.get(dir.toString, "clusters.jsonl")).asScala.map(_.toString)
+    assert(!filePerms.exists(p => p.startsWith("GROUP") || p.startsWith("OTHERS")), filePerms)
+  }
 }

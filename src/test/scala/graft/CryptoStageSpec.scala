@@ -49,6 +49,25 @@ class CryptoStageSpec extends SparkSuite {
     assert(spark.read.text(dir).count() == 10)
   }
 
+  test("resumes a partially-completed prior run: stale destination overwritten, source removed") {
+    val dir = Files.createTempDirectory("graft-crypto-resume").toString + "/out"
+    FileSink.write(spark.range(0, 5).selectExpr("CAST(id AS STRING) AS value"),
+      dir, format = "text")
+    // Simulate a run that died between the transform and delete phases:
+    // one source already has a (stale, garbage) destination beside it.
+    val plain = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(plain.nonEmpty)
+    Files.write(java.nio.file.Paths.get(dir, plain.head.getName + ".grfe"),
+      "stale-partial-output".getBytes("UTF-8"))
+
+    val n = CryptoStage.encryptDir(spark, dir, consumer.getPublic, producer.getPrivate)
+    assert(n == plain.length) // re-transforms everything still listed as source
+    // stale destination was overwritten with a valid envelope; sources gone
+    assert(CryptoStage.decryptDir(spark, dir, consumer.getPrivate, producer.getPublic) == n)
+    assert(spark.read.text(dir).count() == 5)
+  }
+
   test("file sink output encrypts and decrypts task-side, content intact") {
     val dir = Files.createTempDirectory("graft-crypto").toString + "/out"
     val df = spark.range(0, 200).select(col("id"), (col("id") % 7).as("k"))

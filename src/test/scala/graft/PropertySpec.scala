@@ -28,6 +28,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GtidSet: interval subsetOf == brute-force subset over random pairs") {
+    val rnd = new Random(17)
+    def randSet(): (GtidSet, Set[(String, Long)]) = {
+      val adds = Vector.fill(rnd.nextInt(50) + 1)((s"u${rnd.nextInt(3) + 1}", rnd.nextLong(30) + 1))
+      (adds.foldLeft(GtidSet.empty) { case (acc, (u, g)) => acc.add(u, g) }, adds.toSet)
+    }
+    for (_ <- 1 to 200) {
+      val (a, aBrute) = randSet()
+      val (b, bBrute) = randSet()
+      assert(a.subsetOf(b) == aBrute.subsetOf(bBrute), s"$a subsetOf $b")
+      assert(a.subsetOf(a) && b.subsetOf(b))
+      assert(GtidSet.empty.subsetOf(a))
+    }
+    // wide-interval sets stay cheap: coverage is interval-level, not per-GNO
+    val wide = GtidSet.parse("u1:1-100000000000")
+    assert(GtidSet.parse("u1:5-99999999999").subsetOf(wide))
+    assert(!GtidSet.parse("u1:5-100000000001").subsetOf(wide))
+  }
+
   test("msgpack: random CF events round-trip") {
     val rnd = new Random(7)
     def randValue(): Any = rnd.nextInt(5) match {
