@@ -247,10 +247,19 @@ object Dedup {
     * Returns (doc_id, component) for every doc that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+    // Undirected edge list, both directions, in ONE pass over `pairs`: a
+    // union of two projections would compute the (expensive) upstream
+    // candidate-pair plan twice on materialization; the explode is narrow.
+    // No distinct — min-propagation is multi-edge tolerant (duplicate
+    // contributions to min() are harmless), so deduping here would be a
+    // pure extra shuffle. Repartitioned by src so the per-round join
+    // reuses this partitioning and only the (small) label side shuffles.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .persist()
     // IMPORTANT cache discipline: unpersist must be called on the EXACT
     // DataFrame that was persisted — calling it on a projection is a
@@ -264,17 +273,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // propagate: label = min(own, neighbors' labels); carry the old
-      // label so change detection is the SAME single action per round
+      // Propagate: label = min(own, neighbors' labels). One join (edges ⋈
+      // labels on src, shipping each node's label to its neighbors) + one
+      // groupBy — the union carries each node's OWN label tagged `own`, so
+      // the same aggregate yields both the new label (min over all
+      // contributions) and the old one (the own-tagged value) for change
+      // detection, with no second join.
       val next = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
-          .withColumnRenamed("component", "dst_comp"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("dst_comp")).as("neighbor_min"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"),
-          least(col("neighbor_min"), col("component")).as("component"),
-          col("component").as("_old"))
+        .join(labels.withColumnRenamed("doc_id", "src")
+          .withColumnRenamed("component", "lab"), "src")
+        .select(col("dst").as("doc_id"), col("lab"), lit(false).as("own"))
+        .union(labels.select(col("doc_id"), col("component").as("lab"),
+          lit(true).as("own")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lab")).as("component"),
+          max(when(col("own"), col("lab"))).as("_old"))
         .persist()
       val changed = next.filter(col("component") =!= col("_old")).count()
       cached.unpersist()
