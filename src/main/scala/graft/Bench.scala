@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Methodology: `noop` write forces full materialization of every column
   * (a bare `count()` would let Catalyst prune the computed columns away);
   * one small warmup query amortizes JVM/codegen startup so per-query
-  * numbers measure the plan, not first-run compilation.
+  * numbers measure the plan, not first-run compilation. Each query runs
+  * `SPARK_GRAFT_REPEATS` times (default 3) and reports the per-query
+  * MEDIAN — single-run deltas proved to be noise (q_corpus_clean swung
+  * 2.7↔4.2 s across rounds with no code change).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = math.max(1, sys.env.get("SPARK_GRAFT_REPEATS").map(_.trim.toInt).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -24,12 +28,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // median over `repeats` warm runs; any failed run fails the query
+    def materialize(name: String): Double = {
+      val runs = Seq.fill(repeats)(once(name))
+      if (runs.exists(_ < 0)) -1.0
+      else runs.sorted.apply(runs.size / 2)
     }
 
     // warmup: JVM + codegen + parquet footer/page caches for every input
@@ -41,13 +52,32 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"WARNING: SPARK_GRAFT_ONLY names match no catalog query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
+
+    // source-level throughput (rows/s) for the two streaming sources, so
+    // source regressions are visible distinctly from planner jitter
+    val throughput = Seq("q_changelog_native", "q_kafka_roundtrip")
+      .filter(n => names.contains(n))
+      .map { n =>
+        val sec = results.toMap.apply(n)
+        val rows = try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => -1L }
+        n -> (if (sec > 0 && rows >= 0) math.round(rows / sec).toDouble else -1.0)
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tp = throughput.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$tp,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

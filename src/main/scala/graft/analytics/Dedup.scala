@@ -301,8 +301,16 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds the bound; raise maxIter")
     // truncate lineage (distributed, no driver collect) so the round
-    // caches can be released before the caller's downstream runs
-    val result = labels.localCheckpoint(true)
+    // caches can be released before the caller's downstream runs. With a
+    // checkpoint dir configured, use the RELIABLE checkpoint: eager
+    // localCheckpoint stores blocks on executors only, so an executor
+    // loss after the loop would make the result unrecoverable (lineage
+    // was truncated). local-mode runs without a checkpoint dir keep the
+    // cheap local form.
+    val result =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        labels.checkpoint(true)
+      else labels.localCheckpoint(true)
     edges.unpersist()
     cached.unpersist()
     result

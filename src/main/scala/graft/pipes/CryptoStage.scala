@@ -142,10 +142,22 @@ object CryptoStage {
 
     // Phase 1 — transform only. Retry-safe under Spark's task contract:
     // sources are NOT deleted here, so a task retry (or speculative twin)
-    // re-reads an intact source, and the overwrite-create converges on the
-    // same destination bytes. A name whose source is already gone but
-    // whose destination exists was finished by an earlier attempt/run and
-    // is skipped.
+    // re-reads an intact source. Encryption is NON-deterministic (fresh
+    // session key + IV per attempt), so two attempts produce different —
+    // but each individually valid — destination bytes; interleaving them
+    // in one overwrite-created file would corrupt the envelope. Each
+    // attempt therefore writes to an attempt-unique dot-temp (invisible to
+    // the data-file listing) and renames into place: the destination only
+    // ever holds one COMPLETE envelope, from whichever attempt committed
+    // last. A pre-existing destination (stale output of a crashed prior
+    // run) is deleted before the rename — the source is still intact, so
+    // replacing it with this attempt's complete envelope is always safe;
+    // sources are only deleted in phase 2, after every transform task
+    // succeeded. A failed rename with the destination present means a
+    // competing attempt committed in the window — its envelope is equally
+    // valid, so this attempt just discards its temp. A name whose source
+    // is already gone but whose destination exists was finished by an
+    // earlier run and is skipped.
     val transformed = ds.mapPartitions { it =>
       val d = new HPath(path)
       val fs = d.getFileSystem(graft.core.HadoopConf.rebuild(entries))
@@ -158,8 +170,15 @@ object CryptoStage {
         } else {
           val inS = fs.open(src)
           val bytes = try inS.readAllBytes() finally inS.close()
-          val out = fs.create(dst, true)
+          val tmp = new HPath(d, s".${dst.getName}.${java.util.UUID.randomUUID()}.tmp")
+          val out = fs.create(tmp, true)
           try out.write(xform(bytes)) finally out.close()
+          if (fs.exists(dst)) fs.delete(dst, false) // stale prior output
+          if (!fs.rename(tmp, dst)) {
+            if (!fs.exists(dst))
+              throw new java.io.IOException(s"crypto stage commit failed: $tmp -> $dst")
+            fs.delete(tmp, false) // competing attempt committed a valid envelope
+          }
           1L
         }
       }

@@ -84,10 +84,64 @@ object LoopbackPipe {
     * order). Returns records written.
     */
   def produce(df: DataFrame, topicDir: String, numPartitions: Int,
-              orderCol: Column, partitionCol: Option[Column] = None): Long = {
+              orderCol: Column, partitionCol: Option[Column] = None): Long =
+    produceFrom(df, topicDir, numPartitions, orderCol, partitionCol,
+      endOffsets(topicDir, df.sparkSession.sparkContext.hadoopConfiguration))
+
+  /** Epoch-pinned produce for streaming `foreachBatch` sinks: the
+    * per-partition base offsets for `epoch` are recorded in
+    * `_epochs/<epoch>.json` BEFORE any segment is written and REUSED on
+    * replay, so a retried epoch rewrites the SAME segment names (the
+    * rename commit keeps the first complete writer) instead of appending
+    * a duplicate batch at fresh offsets. This is the loopback analogue of
+    * the reference's at-least-once + offset-rewind recovery
+    * (/root/reference/pipe/kafka.go:370-418): re-delivery lands on the
+    * offsets the failed attempt owned, never past them. Assumes what
+    * foreachBatch guarantees — a replayed epoch carries the same rows.
+    */
+  def produceEpoch(df: DataFrame, topicDir: String, numPartitions: Int,
+                   orderCol: Column, epoch: Long,
+                   partitionCol: Option[Column] = None): Long = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    produceFrom(df, topicDir, numPartitions, orderCol, partitionCol,
+      epochBase(topicDir, epoch, conf))
+  }
+
+  /** Pin (or recover) the base offsets for an epoch, atomically: first
+    * attempt records current end offsets via create-then-rename; a loser
+    * of the rename race (or a retry) reads the winner's pin.
+    */
+  private def epochBase(topicDir: String, epoch: Long,
+                        conf: Configuration): Map[Int, Long] = {
+    val p = new HPath(s"$topicDir/_epochs/$epoch.json")
+    val fs = p.getFileSystem(conf)
+    def readPin(): Map[Int, Long] = {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      val n = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[Int, Long]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey.toInt -> e.getValue.asLong) }
+      b.result()
+    }
+    if (fs.exists(p)) readPin()
+    else {
+      val base = endOffsets(topicDir, conf)
+      val n = mapper.createObjectNode()
+      base.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k.toString, v) }
+      val tmp = new HPath(s"$topicDir/_epochs/.$epoch-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, p)) base
+      else { fs.delete(tmp, false); readPin() }
+    }
+  }
+
+  private def produceFrom(df: DataFrame, topicDir: String, numPartitions: Int,
+                          orderCol: Column, partitionCol: Option[Column],
+                          base: Map[Int, Long]): Long = {
     val spark = df.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = endOffsets(topicDir, conf)
     val confEntries = graft.core.HadoopConf.ship(spark)
     val nParts = numPartitions
     val withPart = df.select(

@@ -73,7 +73,13 @@ object StateStore {
     */
   def resolveSecret(ref: String): String =
     if (ref == null) null
-    else if (ref.startsWith("env:")) sys.env.getOrElse(ref.stripPrefix("env:"), "")
+    else if (ref.startsWith("env:")) {
+      // fail loudly, matching the file: branch — a misconfigured deployment
+      // must not silently connect with an empty password
+      val name = ref.stripPrefix("env:")
+      sys.env.getOrElse(name, throw new IllegalStateException(
+        s"secret ref 'env:$name' points at an unset environment variable"))
+    }
     else if (ref.startsWith("file:"))
       new String(Files.readAllBytes(Paths.get(ref.stripPrefix("file:"))),
         java.nio.charset.StandardCharsets.UTF_8).trim
@@ -91,10 +97,13 @@ class StateStore(dir: String) {
   // (e.g. Windows) skip silently.
   restrict(Paths.get(dir), "rwx------")
 
+  // NonFatal, not just UnsupportedOperationException: a state dir owned by
+  // another user throws IOException/SecurityException, and "best-effort"
+  // must not crash store construction over a permissions tighten.
   private def restrict(p: java.nio.file.Path, perms: String): Unit =
     try Files.setPosixFilePermissions(p,
       java.nio.file.attribute.PosixFilePermissions.fromString(perms))
-    catch { case _: UnsupportedOperationException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
   private def file(name: String) = Paths.get(dir, s"$name.jsonl")
 

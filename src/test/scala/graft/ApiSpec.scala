@@ -36,8 +36,14 @@ class ApiSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft-secret")
     val store = new StateStore(dir.toString)
 
-    // env: ref — resolves from environment (missing -> empty, never throws)
-    assert(StateStore.resolveSecret("env:GRAFT_NO_SUCH_VAR") == "")
+    // env: ref — a missing variable fails loudly (same contract as a
+    // missing file: ref), never a silent empty password
+    intercept[IllegalStateException] {
+      StateStore.resolveSecret("env:GRAFT_NO_SUCH_VAR")
+    }
+    sys.env.headOption.foreach { case (k, v) =>
+      assert(StateStore.resolveSecret("env:" + k) == v)
+    }
     // file: ref — resolves to trimmed file contents
     val secretFile = Files.createTempFile("graft-pw", ".txt")
     Files.write(secretFile, "s3cr3t\n".getBytes("UTF-8"))

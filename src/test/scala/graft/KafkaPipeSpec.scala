@@ -125,6 +125,40 @@ class KafkaPipeSpec extends SparkSuite {
     assert(recs.map(_.value).toSet == Set("v1", "v2"))
   }
 
+  test("epoch replay after a mid-write kill: no duplicate offsets") {
+    val dir = Files.createTempDirectory("graft-kafka-epoch").toString
+    LoopbackPipe.produceEpoch(messages(20), dir, 4, col("ord"), epoch = 0)
+    val ends0 = LoopbackPipe.endOffsets(dir, conf)
+    assert(ends0.values.sum == 20)
+
+    // epoch 1's first attempt dies after committing SOME partitions: only
+    // the slice of the batch that lands on one partition gets written
+    val batch1 = messages(10, from = 20)
+    val targetP = LoopbackPipe.partitionFor("key0", 4) // a partition that surely holds rows
+    val partialKeys = (0 until 5).map(i => s"key$i")
+      .filter(k => LoopbackPipe.partitionFor(k, 4) == targetP)
+    LoopbackPipe.produceEpoch(batch1.filter(col("key").isin(partialKeys: _*)),
+      dir, 4, col("ord"), epoch = 1)
+
+    // restart: foreachBatch re-delivers the FULL epoch-1 batch. The pinned
+    // base makes the replay rewrite the same segment names — the already-
+    // committed partition's segment survives, nothing lands twice.
+    LoopbackPipe.produceEpoch(batch1, dir, 4, col("ord"), epoch = 1)
+    val ends1 = LoopbackPipe.endOffsets(dir, conf)
+    assert(ends1.values.sum == 30, ends1)
+    ends1.foreach { case (p, e) =>
+      val offs = LoopbackPipe.readPartition(dir, p, 0, e, conf).map(_.offset).toVector
+      assert(offs == (0L until e).toVector, s"partition $p offsets: $offs")
+    }
+    // a second replay of the complete epoch is a no-op too
+    LoopbackPipe.produceEpoch(batch1, dir, 4, col("ord"), epoch = 1)
+    assert(LoopbackPipe.endOffsets(dir, conf) == ends1)
+    // distinct (seq) payloads exactly once across the whole log
+    val seqs = ends1.keys.toSeq.flatMap(p =>
+      LoopbackPipe.readPartition(dir, p, 0, Long.MaxValue, conf)).map(r => get_json_seq(r.value))
+    assert(seqs.sorted == (0 until 30))
+  }
+
   test("consumer-group offsets persist and restore (kafka_offsets analogue)") {
     val dir = Files.createTempDirectory("graft-kafka-grp").toString
     LoopbackPipe.produce(messages(12), dir, 3, col("ord"))

@@ -62,6 +62,15 @@ class StreamerSpec extends SparkSuite {
   }
 }
 
+/** A second FileSystem scheme backed by RawLocalFileSystem — instantiated
+  * by Hadoop reflection from `fs.graftfs.impl`, so sink/manifest/crypto
+  * stages prove they address storage exclusively through the scheme-
+  * resolved Hadoop FS API (the K3/K4 hdfs:///s3a:// shape).
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 class FileSinkSpec extends SparkSuite {
   import spark.implicits._
   import graft.pipes.FileSink
@@ -97,6 +106,38 @@ class FileSinkSpec extends SparkSuite {
     // every manifest entry names a real file
     manifest.foreach(m =>
       assert(Files.exists(java.nio.file.Paths.get(dir, m.fileName)), m.fileName))
+  }
+
+  test("sink + manifest + crypto run against a second FileSystem scheme (K3/K4 path)") {
+    // hdfs:// and s3a:// differ from file:// only by which FileSystem impl
+    // the scheme resolves to through the (shipped) Hadoop configuration.
+    // Registering a custom scheme backed by RawLocalFileSystem exercises
+    // exactly that resolution path end-to-end: if any stage bypassed the
+    // Hadoop FS API (java.io, hardcoded file:), the graftfs:// run breaks.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val crypto = graft.pipes.CryptoStage
+    val producer = crypto.generateKeyPair()
+    val consumer = crypto.generateKeyPair()
+    for (scheme <- Seq("file://", "graftfs://")) {
+      val local = Files.createTempDirectory(s"graft-scheme").toString
+      val dir = s"$scheme$local/out"
+      val df = Seq.tabulate(50)(i => s"""{"k":$i}""").toDF("value").repartition(2)
+      val manifest = FileSink.write(df, dir, format = "text")
+      assert(manifest.map(_.numRecs).sum == 50, s"$scheme manifest")
+      // _DONE landed through the scheme's FileSystem
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.isInstanceOf[GraftTestFs] == (scheme == "graftfs://"), fs.getClass)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_DONE")), s"$scheme _DONE")
+      // crypto stages resolve the same scheme inside executor tasks via
+      // the shipped configuration
+      val nEnc = crypto.encryptDir(spark, dir, consumer.getPublic, producer.getPrivate)
+      assert(nEnc == manifest.size, s"$scheme encrypted $nEnc")
+      assert(crypto.decryptDir(spark, dir, consumer.getPrivate, producer.getPublic) == nEnc)
+      val back = spark.read.text(dir)
+      assert(back.count() == 50, s"$scheme readback")
+    }
   }
 
   test("gzip json sink hashes stored files and round-trips through the reader") {
