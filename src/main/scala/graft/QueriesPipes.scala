@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.encode.{CfDecode, CommonFormatJson, MsgPackCodec}
+import graft.encode.{AvroCodec, CfDecode, CommonFormatJson, MsgPackCodec}
 import graft.pipes.{CryptoStage, Framing}
 
 /** Pipe/encoder round-trip catalog: each query pushes real data through a
@@ -78,6 +78,35 @@ object QueriesPipes {
     }.toDF("event_id", "user_id", "value_cents")
   }
 
+  /** E2 full wire round-trip: rows → Avro binary (nullable-union schema,
+    * ref_key/row_key/is_deleted metadata trio per
+    * /root/reference/encoder/avro.go:106-130) → distributed decode back to
+    * wire-typed columns. Deletes (here: returnflag R) carry PK + metadata
+    * only (avro.go:326-359); timestamps surface as epoch-ms longs
+    * (avro.go:283). Both encode and decode are one mapPartitions pass —
+    * schema parsed once per partition, no shuffle.
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val payload = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampType)))
+    val base = li(s, dir)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      .withColumn("op", when(col("l_returnflag") === "R", lit("delete"))
+        .otherwise(lit("insert")))
+      .withColumn("seqno", col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("row_key",
+        concat_ws(",", col("l_orderkey"), col("l_linenumber")))
+    val bytes = AvroCodec.encode(base, payload, "lineitem", "graft",
+      keyCols = Seq("l_orderkey", "l_linenumber"))
+    AvroCodec.decodeRows(bytes, payload, "lineitem", "graft")
+  }
+
   /** K2 encryption stage: JSON file-sink output encrypted+signed, then
     * decrypted+verified (both task-side passes), read back and parsed.
     * Ephemeral per-run keys — the round-trip output is key-independent.
@@ -103,6 +132,7 @@ object QueriesPipes {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cf_roundtrip" -> cfRoundtrip _,
     "q_msgpack_framed" -> msgpackFramed _,
+    "q_avro_roundtrip" -> avroRoundtrip _,
     "q_crypto_roundtrip" -> cryptoRoundtrip _)
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +145,19 @@ object QueriesPipes {
     "q_msgpack_framed" ->
       """SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_avro_roundtrip" ->
+      // deletes keep PK + metadata; non-key payload nulls. Timestamps are
+      // wire epoch-ms longs, so the oracle compares epoch_ms().
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN is_deleted THEN NULL ELSE l_quantity END AS l_quantity,
+        |  CASE WHEN is_deleted THEN NULL ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN is_deleted THEN NULL ELSE epoch_ms(l_shipdate) END AS l_shipdate,
+        |  l_orderkey * 10 + l_linenumber AS ref_key,
+        |  CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR) AS row_key,
+        |  is_deleted
+        |FROM (SELECT *, l_returnflag = 'R' AS is_deleted
+        |      FROM lineitem WHERE l_orderkey % 50 = 0)""".stripMargin,
 
     "q_crypto_roundtrip" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_chars

@@ -56,9 +56,14 @@ object AvroCodec {
 
   private def toAvroValue(v: Any): Any = v match {
     case null => null
-    case t: java.sql.Timestamp => t.getTime
-    case t: java.time.Instant => t.toEpochMilli
-    case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // epoch-0 is the twin of Go's zero time.Time sentinel: the reference
+    // encodes zero-valued MySQL datetimes as null, any other timestamp as
+    // epoch-millis (encoder/avro.go:149-155, :283)
+    case t: java.sql.Timestamp => if (t.getTime == 0L) null else t.getTime
+    case t: java.time.Instant => if (t.toEpochMilli == 0L) null else t.toEpochMilli
+    case t: java.time.LocalDateTime =>
+      val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      if (ms == 0L) null else ms
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
@@ -66,12 +71,17 @@ object AvroCodec {
   }
 
   /** Encode rows to Avro binary. Expects payload columns matching `st`,
-    * plus `seqno` (long), `row_key` (string/binary) and `op` columns; for
-    * deletes only key metadata is emitted.
+    * plus `seqno` (long), `row_key` (string/binary) and `op` columns.
+    * Delete events carry the PRIMARY-KEY payload columns (`keyCols`) plus
+    * the metadata trio only — non-key fields stay null, mirroring
+    * `convertRowToAvroFormat`'s Delete branch (fillAvroKey without
+    * fillAvroFields, encoder/avro.go:326-359).
     */
-  def encode(df: DataFrame, st: StructType, name: String, namespace: String): Dataset[Array[Byte]] = {
+  def encode(df: DataFrame, st: StructType, name: String, namespace: String,
+             keyCols: Seq[String] = Seq.empty): Dataset[Array[Byte]] = {
     val schemaJson = avroSchema(st, name, namespace).toString
     val payloadCols = st.fields.map(_.name).toSeq
+    val keyIdx = payloadCols.zipWithIndex.filter(kv => keyCols.contains(kv._1)).map(_._2)
     implicit val enc = org.apache.spark.sql.Encoders.BINARY
     val input = df.select(
       (payloadCols.map(col) :+ col("seqno") :+ col("row_key").cast("binary") :+
@@ -83,10 +93,9 @@ object AvroCodec {
       it.map { row =>
         val rec = new GenericData.Record(schema)
         val isDel = row.getBoolean(row.length - 1)
-        if (!isDel) {
-          payloadCols.indices.foreach { i =>
-            rec.put(payloadCols(i), toAvroValue(row.get(i)))
-          }
+        val fill = if (isDel) keyIdx else payloadCols.indices
+        fill.foreach { i =>
+          rec.put(payloadCols(i), toAvroValue(row.get(i)))
         }
         rec.put("ref_key", row.getLong(payloadCols.length))
         rec.put("row_key", java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](payloadCols.length + 1)))
@@ -104,5 +113,53 @@ object AvroCodec {
   def decode(bytes: Array[Byte], schema: ASchema): GenericRecord = {
     val reader = new GenericDatumReader[GenericRecord](schema)
     reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+  }
+
+  /** Distributed decode: Avro binary back to typed columns, one
+    * per-partition reader (schema parsed once per partition, not per
+    * record). Column types surface as their WIRE types — timestamp
+    * payload fields come back as epoch-ms LongType (encoder/avro.go:283),
+    * dates as strings, `row_key` as its UTF-8 string form — so the result
+    * is directly comparable against a SQL oracle without re-inventing the
+    * encoder's mappings in reverse.
+    */
+  def decodeRows(bytes: Dataset[Array[Byte]], st: StructType, name: String,
+                 namespace: String): DataFrame = {
+    val schemaJson = avroSchema(st, name, namespace).toString
+    val wireFields = st.fields.map { f =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType => StructField(f.name, LongType)
+        case DateType => StructField(f.name, StringType)
+        case ShortType | ByteType => StructField(f.name, IntegerType)
+        case other => StructField(f.name, other)
+      }
+    }
+    val outSchema = StructType(wireFields.toSeq ++ Seq(
+      StructField("ref_key", LongType),
+      StructField("row_key", StringType),
+      StructField("is_deleted", BooleanType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val names = st.fields.map(_.name).toSeq
+    bytes.mapPartitions { it =>
+      val schema = new ASchema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      def fromAvro(v: Any): Any = v match {
+        case null => null
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case bb: java.nio.ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case x => x
+      }
+      it.map { b =>
+        val rec = reader.read(null, DecoderFactory.get().binaryDecoder(b, null))
+        val payload = names.map(n => fromAvro(rec.get(n)))
+        val rowKey = new String(
+          fromAvro(rec.get("row_key")).asInstanceOf[Array[Byte]],
+          java.nio.charset.StandardCharsets.UTF_8)
+        Row.fromSeq(payload ++ Seq(
+          rec.get("ref_key").asInstanceOf[Long], rowKey,
+          rec.get("is_deleted").asInstanceOf[Boolean]))
+      }
+    }
   }
 }

@@ -292,4 +292,59 @@ class AvroCodecSpec extends SparkSuite {
     val names = sch.getFields.toArray.map(_.asInstanceOf[org.apache.avro.Schema.Field].name()).toSeq
     assert(names == Seq("f1", "f2", "f3", "ref_key", "row_key", "is_deleted"))
   }
+
+  test("golden schema JSON: nullable unions, namespace, metadata trio") {
+    // the reference emits record schemas whose every field is a
+    // [type, "null"] union with default null
+    // (/root/reference/schema/mysql_avro_schema_converter.go:106-130)
+    val json = AvroCodec.avroSchema(StructType(Seq(
+      StructField("id", LongType))), "t1", "graft").toString
+    assert(json ==
+      """{"type":"record","name":"t1","namespace":"graft","fields":[""" +
+      """{"name":"id","type":["long","null"],"default":null},""" +
+      """{"name":"ref_key","type":["long","null"],"default":null},""" +
+      """{"name":"row_key","type":["bytes","null"],"default":null},""" +
+      """{"name":"is_deleted","type":["boolean","null"],"default":null}]}""")
+  }
+
+  test("delete events keep primary-key payload columns when keyCols set") {
+    // fillAvroKey without fillAvroFields (encoder/avro.go:326-359)
+    val df = Seq((7L, "gone", 1.5, 11L, "7", "delete"))
+      .toDF("f1", "f2", "f3", "seqno", "row_key", "op")
+    val bytes = AvroCodec.encode(df, payload, "t1", "graft", keyCols = Seq("f1")).head()
+    val rec = AvroCodec.decode(bytes, AvroCodec.avroSchema(payload, "t1", "graft"))
+    assert(rec.get("f1") == 7L)      // key survives
+    assert(rec.get("f2") == null)    // non-key nulled
+    assert(rec.get("f3") == null)
+    assert(rec.get("is_deleted") == true)
+  }
+
+  test("zero timestamp encodes as null (Go zero-time sentinel)") {
+    // encoder/avro.go:149-155: v.IsZero() -> nil
+    val ts = StructType(Seq(StructField("t", TimestampType)))
+    val df = Seq(
+      (new java.sql.Timestamp(0L), 1L, "1", "insert"),
+      (new java.sql.Timestamp(86400000L), 2L, "2", "insert"))
+      .toDF("t", "seqno", "row_key", "op")
+    val sch = AvroCodec.avroSchema(ts, "t1", "graft")
+    val recs = AvroCodec.encode(df, ts, "t1", "graft").collect()
+      .map(AvroCodec.decode(_, sch)).sortBy(_.get("ref_key").asInstanceOf[Long])
+    assert(recs(0).get("t") == null)
+    assert(recs(1).get("t") == 86400000L)
+  }
+
+  test("decodeRows: distributed wire round-trip with typed columns") {
+    val df = Seq(
+      (1L, "a", 2.5, 10L, "1", "insert"),
+      (2L, "b", 3.5, 20L, "2", "delete"))
+      .toDF("f1", "f2", "f3", "seqno", "row_key", "op")
+    val bytes = AvroCodec.encode(df, payload, "t1", "graft", keyCols = Seq("f1"))
+    val back = AvroCodec.decodeRows(bytes, payload, "t1", "graft")
+      .orderBy("ref_key").collect()
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "a" &&
+      back(0).getDouble(2) == 2.5 && back(0).getLong(3) == 10L &&
+      back(0).getString(4) == "1" && !back(0).getBoolean(5))
+    assert(back(1).getLong(0) == 2L && back(1).isNullAt(1) &&
+      back(1).isNullAt(2) && back(1).getBoolean(5))
+  }
 }
