@@ -240,12 +240,14 @@ object QueriesAnalytics {
   def embedLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"), dims = 64, numPlanes = 8)
 
-  /** IVF ANN probe (rows-only check — no DuckDB IVF): train coarse
-    * centroids deterministically (fixed sample/init/iterations, no RNG),
-    * round-trip the model through its serialized form (what a production
-    * job persists), then probe the 4 cells nearest the query for top-20.
-    * Scale: training sample is bounded, assignment is a narrow scan pass,
-    * probe touches nprobe/k of the corpus.
+  /** IVF ANN probe over a MATERIALIZED index: train coarse centroids
+    * deterministically (fixed sample/init/iterations, no RNG), round-trip
+    * the model through its serialized form (what a production job
+    * persists), materialize the cell assignment partitioned by `cell`
+    * (the one full corpus pass), then probe the materialized table.
+    * Probing all 8 cells makes the result EXACTLY brute-force top-20, so
+    * a DuckDB oracle gates it; recall/pruning at nprobe &lt; cells is
+    * spec-gated (IvfSpec asserts the scan reads only probed partitions).
     */
   def ivfProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -253,8 +255,11 @@ object QueriesAnalytics {
     val model = graft.analytics.Ivf.Model.parse(trained.serialize) // persist/restore path
     val queryVec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    graft.analytics.Ivf.probe(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      model, queryVec, nprobe = 4, k = 20)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.analytics.Ivf.materialize(e.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", model, path)
+    graft.analytics.Ivf.probeMaterialized(s, path, "vec_id", "embedding",
+      model, queryVec, nprobe = 8, k = 20)
   }
 
   // ------------------------------------------------------------------ text

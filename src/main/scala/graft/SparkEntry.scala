@@ -455,6 +455,17 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
 
+    // probing all cells of the materialized IVF index = exhaustive search,
+    // so the oracle is plain brute-force top-20 (same dot as q_embed_topk)
+    "q_ivf_probe" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(ROUND(CAST(q.qv[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |FROM embeddings e, q, generate_series(1, 64) g(i)
+        |WHERE e.vec_id <> 0
+        |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin,
+
     "q_embed_lsh" ->
       """WITH s AS (
         |  SELECT vec_id, p.j,

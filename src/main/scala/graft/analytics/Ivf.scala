@@ -125,16 +125,47 @@ object Ivf {
     }(enc)
   }
 
-  /** Probe: brute-force quantized-dot top-k restricted to the query's
-    * `nprobe` nearest cells.
+  /** Ad-hoc probe: assigns the corpus inline, then brute-force
+    * quantized-dot top-k restricted to the query's `nprobe` nearest cells.
+    * Every probe pays a full corpus scan — debug/small-corpus only. The
+    * production path is [[materialize]] once + [[probeMaterialized]] per
+    * query, where partition pruning reads only the probed cells.
     */
   def probe(emb: DataFrame, idCol: String, vecCol: String, model: Model,
             query: Array[Double], nprobe: Int, k: Int): DataFrame = {
     val cells = model.nearestCells(query, nprobe)
     val assigned = assign(emb, idCol, vecCol, model)
       .filter(col("cell").isin(cells: _*))
+    topKInCells(assigned, idCol, vecCol, query, k)
+  }
+
+  /** Materialize the cell assignment once, written partitioned by `cell`
+    * — the IVF index build. At 100 TB this is the one full pass over the
+    * corpus; afterwards every probe is partition-pruned to its `nprobe`
+    * cells and never rescans the rest.
+    */
+  def materialize(emb: DataFrame, idCol: String, vecCol: String,
+                  model: Model, path: String): Unit =
+    assign(emb, idCol, vecCol, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe against a [[materialize]]d index: `cell` is a partition column,
+    * so the `isin` filter prunes at planning time — the scan touches only
+    * the `nprobe` probed cell directories (IvfSpec asserts the pruned
+    * partition count on the executed plan).
+    */
+  def probeMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
+                        idCol: String, vecCol: String, model: Model,
+                        query: Array[Double], nprobe: Int, k: Int): DataFrame = {
+    val cells = model.nearestCells(query, nprobe)
+    val assigned = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    topKInCells(assigned, idCol, vecCol, query, k)
+  }
+
+  private def topKInCells(assigned: DataFrame, idCol: String, vecCol: String,
+                          query: Array[Double], k: Int): DataFrame = {
     val qQuant = query.map(x => math.round(x * 1000))
-    val spark = emb.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
     val qDf = Seq(Tuple1(qQuant)).toDF("qv")
     Similarity.bruteForceTopK(assigned, col(idCol), col(vecCol), qDf, k)

@@ -44,6 +44,40 @@ class IvfSpec extends SparkSuite {
     assert(viaModel == viaRestored)
   }
 
+  private lazy val indexPath: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
+    Ivf.materialize(emb, "vec_id", "embedding", model, p)
+    p
+  }
+
+  test("materialized full-probe equals brute force (the oracle contract)") {
+    val exact = bruteTop(10)
+    val full = Ivf.probeMaterialized(spark, indexPath, "vec_id", "embedding",
+      model, queryVec, nprobe = 8, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == exact)
+  }
+
+  test("materialized probe prunes to nprobe cell partitions") {
+    val nprobe = 3
+    val df = Ivf.probeMaterialized(spark, indexPath, "vec_id", "embedding",
+      model, queryVec, nprobe, k = 10)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+    // `cell` is a partition column: the isin filter must prune at planning
+    // time, so the scan touches at most nprobe of the 8 cell directories
+    val partsRead = scan.map(_.metrics("numPartitions").value).sum
+    assert(partsRead > 0 && partsRead <= nprobe,
+      s"expected <= $nprobe pruned partitions, scan read $partsRead")
+  }
+
   test("full-probe IVF equals brute force; partial probe recalls most") {
     val exact = bruteTop(10)
     val full = Ivf.probe(emb, "vec_id", "embedding", model, queryVec, nprobe = 8, k = 10)
