@@ -148,15 +148,22 @@ object QueriesExtra {
     graft.analytics.CorpusPipeline.hashSample(Seq("0", "1"))(docs(s, dir))
       .select(col("doc_id"), col("source"))
 
-  /** Multimodal feature extraction through the real mapPartitions batch
-    * path (stub decode); the oracle recomputes the stub's dimension
-    * formulas from octet_length, so the distributed plumbing itself is
-    * what gets hash-checked.
+  /** Multimodal feature extraction with REAL image decode: one tiny real
+    * PNG per document (dimensions/channels are pure functions of doc_id),
+    * generated executor-side, pushed through the distributed
+    * `extractFeatures` batch path which header-decodes via
+    * `javax.imageio`. The oracle recomputes the expected dimensions from
+    * doc_id — so a wrong decode (not just wrong plumbing) hash-mismatches.
     */
-  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    graft.analytics.Multimodal.extractFeatures(
-        graft.analytics.Multimodal.asMediaColumn(docs(s, dir), "text", "image"))
-      .select(col("doc_id"), col("width"), col("height"))
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withImg = docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
+      .toDF("doc_id", "media")
+    graft.analytics.Multimodal.extractFeatures(withImg)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("format"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,
@@ -216,9 +223,13 @@ object QueriesExtra {
         |FROM c GROUP BY 1""".stripMargin,
 
     "q_multimodal_features" ->
+      // the synthetic PNG contract: w = id%16+1, h = id%12+1, RGBA when
+      // id%3=0 else RGB — decode must reproduce these exactly
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS height
+        |  CAST(doc_id % 16 + 1 AS INT) AS width,
+        |  CAST(doc_id % 12 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+        |  'png' AS format
         |FROM documents""".stripMargin,
     "q_embed_neardup" ->
       """WITH s AS (

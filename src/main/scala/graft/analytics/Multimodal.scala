@@ -7,18 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in distributed batches.
   *
-  * The Spark-side architecture is real and tested — schema, partitioning,
-  * batch shape (`mapPartitions` over row iterators ≙ `mapInPandas` batch
-  * UDFs in PySpark) — while the codec step itself is a clearly-marked
-  * deterministic STUB (`decodeStub`): no image/audio libraries ship in this
-  * container. Swapping in a real decoder changes ONE function; everything
-  * around it (columnar transport, per-partition batching, metadata struct)
-  * stays.
+  * Image decode and resize are REAL — `javax.imageio` ships with the JDK
+  * (PNG/JPEG/GIF/BMP), so [[extractFeatures]] reads actual image headers
+  * (width/height/channels/format, header-only — pixels are not
+  * materialized) and [[resize]] does a full decode → scale → PNG
+  * re-encode. The one remaining stub is video frame sampling
+  * ([[frameSampleStub]]): container demux genuinely needs codec libraries
+  * absent from this container, so it slices deterministically and is
+  * clearly marked.
   *
   * Scale design: media bytes stay columnar (never `collect`ed), partitions
-  * are sized by `spark.sql.files.maxPartitionBytes` at the scan, and
-  * feature extraction is embarrassingly parallel — at 100 TB the only knob
-  * is partition count.
+  * are sized by `spark.sql.files.maxPartitionBytes` at the scan, decode
+  * is embarrassingly parallel in `mapPartitions` batches (the Scala
+  * analogue of `mapInPandas`), and header-only feature extraction never
+  * allocates pixel buffers — at 100 TB the only knob is partition count.
   */
 object Multimodal {
 
@@ -36,31 +38,84 @@ object Multimodal {
         octet_length(col(src)).cast("long").as("n_bytes"),
         sha2(col(src).cast("binary"), 256).as("sha")))
 
-  /** STUB decode: deterministic fake "decoded frame" features derived from
-    * the bytes (first/last byte, length, byte-sum mod). A real decoder
-    * (JPEG/PNG/PCM) replaces exactly this function.
+  /** Decoded image header info (no pixel data). */
+  final case class ImageInfo(width: Int, height: Int, channels: Int, format: String)
+
+  /** REAL header-only image decode via `javax.imageio` (pure JDK: PNG,
+    * JPEG, GIF, BMP). Reads width/height/channels/format from the stream
+    * header without materializing a pixel buffer — O(header) per blob, so
+    * feature extraction over 100 TB of media never pays full-decode cost.
+    * Returns None for bytes no installed reader recognizes.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
-    if (bytes == null || bytes.isEmpty) (0, 0, 0L)
-    else {
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-      (bytes.length % 1024, (bytes.length / 1024) + 1, sum)
-    }
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.isEmpty) return None
+    // MemoryCacheImageInputStream directly: the ImageIO.createImageInputStream
+    // default writes a temp FILE per call (disk churn per row)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val channels = r.getImageTypes(0).next().getNumComponents
+          Some(ImageInfo(r.getWidth(0), r.getHeight(0), channels,
+            r.getFormatName.toLowerCase))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
 
-  /** STUB resize: deterministic fake — a real implementation decodes,
-    * scales, re-encodes. The contract (bytes in → bytes out + new dims)
-    * and the distributed call shape are what downstream code depends on.
+  /** Encode a BufferedImage to PNG bytes (pure JDK, in-memory). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic tiny real PNG for fixtures: dimensions and channel
+    * count are pure functions of `id` (w = id%16+1, h = id%12+1, RGBA
+    * when id%3=0 else RGB), pixel values a fixed arithmetic pattern — so
+    * an oracle can recompute expected decode output from the id alone.
     */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    if (bytes == null) Array.emptyByteArray
-    else {
-      // keep a deterministic, size-proportional sketch of the payload
-      val n = math.max(1, math.min(bytes.length, (w.toLong * h / 64).toInt))
-      java.util.Arrays.copyOf(bytes, n)
+  def syntheticImage(id: Long): Array[Byte] = {
+    val w = (id % 16).toInt + 1
+    val h = (id % 12).toInt + 1
+    val typ = if (id % 3 == 0) java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((id + x * 31 + y * 17) & 0xffffff) | 0xff000000L).toInt)
+        x += 1
+      }
+      y += 1
     }
+    encodePng(img)
+  }
+
+  /** REAL resize: full decode → scaled redraw → PNG re-encode (alpha
+    * preserved). Returns None for undecodable bytes.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val src = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) None
+    else {
+      val typ = if (src.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val dst = new java.awt.image.BufferedImage(w, h, typ)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      Some(encodePng(dst))
+    }
+  }
 
   /** STUB frame sampling: split a "video" payload into `n` evenly-spaced
     * fake frames (byte slices). Real impl: container demux + keyframe
@@ -78,13 +133,15 @@ object Multimodal {
       }
     }
 
-  /** Distributed resize over media blobs (narrow, per-partition batches). */
+  /** Distributed resize over media blobs (narrow, per-partition batches).
+    * Undecodable blobs surface as null media — fail-visible, not dropped.
+    */
   def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
     val mediaIdx = df.schema.fieldIndex("media")
     implicit val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions { it =>
       it.map { row =>
-        val resized = resizeStub(row.getAs[Array[Byte]](mediaIdx), w, h)
+        val resized = resizeImage(row.getAs[Array[Byte]](mediaIdx), w, h).orNull
         Row.fromSeq(row.toSeq.updated(mediaIdx, resized))
       }
     }(enc)
@@ -109,21 +166,26 @@ object Multimodal {
 
   /** Distributed feature extraction over media blobs: mapPartitions with
     * per-partition batch processing (the Scala analogue of `mapInPandas` —
-    * one iterator per partition, amortized setup).
+    * one iterator per partition, amortized setup). REAL header-only
+    * decode: width/height/channels/format from `javax.imageio`;
+    * undecodable blobs yield nulls (fail-visible, not dropped).
     */
   def extractFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(df.schema.fields.filterNot(_.name == "media") ++ Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("byte_sum", LongType)))
+      StructField("channels", IntegerType),
+      StructField("format", StringType)))
     val mediaIdx = df.schema.fieldIndex("media")
     val keepIdx = df.schema.fields.indices.filterNot(_ == mediaIdx)
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       // per-partition decoder setup would happen here (codec init, model load)
       it.map { row =>
-        val (w, h, s) = decodeStub(row.getAs[Array[Byte]](mediaIdx))
-        Row.fromSeq(keepIdx.map(row.get) ++ Seq[Any](w, h, s))
+        val info = decodeImage(row.getAs[Array[Byte]](mediaIdx))
+        Row.fromSeq(keepIdx.map(row.get) ++ Seq[Any](
+          info.map(_.width).orNull, info.map(_.height).orNull,
+          info.map(_.channels).orNull, info.map(_.format).orNull))
       }
     }(enc)
   }

@@ -234,32 +234,62 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getString(3).length == 64)
   }
 
-  test("resize and frame-sample plumbing: schema, fan-out, determinism") {
+  test("real decode: synthetic PNGs round-trip exact dims/channels/format") {
+    val df = (1L to 50L).map(id => (id, Multimodal.syntheticImage(id)))
+      .toDF("id", "media").repartition(4)
+    val feats = Multimodal.extractFeatures(df)
+    assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle introduced
+    assert(feats.columns.toSet == Set("id", "width", "height", "channels", "format"))
+    feats.collect().foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("width") == (id % 16 + 1).toInt)
+      assert(r.getAs[Int]("height") == (id % 12 + 1).toInt)
+      assert(r.getAs[Int]("channels") == (if (id % 3 == 0) 4 else 3))
+      assert(r.getAs[String]("format") == "png")
+    }
+  }
+
+  test("jpeg header decodes; undecodable bytes yield null features") {
+    val img = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val df = Seq((1L, out.toByteArray), (2L, "not an image".getBytes))
+      .toDF("id", "media")
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(feats(1L).getAs[Int]("width") == 9)
+    assert(feats(1L).getAs[Int]("height") == 7)
+    assert(feats(1L).getAs[Int]("channels") == 3)
+    assert(feats(1L).getAs[String]("format") == "jpeg")
+    assert(feats(2L).isNullAt(feats(2L).fieldIndex("width")))
+    assert(feats(2L).isNullAt(feats(2L).fieldIndex("format")))
+  }
+
+  test("real resize re-encodes to target dimensions, preserving alpha") {
+    val df = Seq((1L, Multimodal.syntheticImage(6L)), // id%3=0 -> RGBA
+                 (2L, Multimodal.syntheticImage(7L))) // RGB
+      .toDF("id", "media")
+    val resized = Multimodal.resize(df, 8, 5)
+    assert(resized.schema == df.schema) // shape-preserving
+    val byId = resized.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val a = Multimodal.decodeImage(byId(1L).getAs[Array[Byte]]("media")).get
+    assert(a.width == 8 && a.height == 5 && a.channels == 4)
+    val b = Multimodal.decodeImage(byId(2L).getAs[Array[Byte]]("media")).get
+    assert(b.width == 8 && b.height == 5 && b.channels == 3)
+  }
+
+  test("frame-sample plumbing: schema, fan-out, determinism (stub demux)") {
     val df = Multimodal.asMediaColumn(
       Seq((1L, "0123456789abcdef" * 8)).toDF("id", "payload"), "payload", "video")
-    val resized = Multimodal.resize(df, 32, 32)
-    assert(resized.schema == df.schema) // shape-preserving
-    val rb = resized.select(col("media")).head().getAs[Array[Byte]](0)
-    assert(rb.length == 16 && rb.toSeq == "0123456789abcdef".getBytes.toSeq)
-
     val frames = Multimodal.frameSample(df, 4)
     assert(frames.columns.contains("frame_idx"))
     val rows = frames.select(col("frame_idx"), col("media")).collect()
     assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
     assert(rows.map(_.getAs[Array[Byte]](1).length).sum == 128) // frames tile the payload
-    // frames feed the image ops unchanged
-    assert(Multimodal.extractFeatures(frames).count() == 4)
-  }
-
-  test("feature extraction preserves partitioning and schema") {
-    val df = Multimodal.asMediaColumn(
-      (1 to 100).map(i => (i.toLong, s"payload-$i")).toDF("id", "payload").repartition(4),
-      "payload", "image")
-    val feats = Multimodal.extractFeatures(df)
-    assert(feats.rdd.getNumPartitions == 4) // narrow: no shuffle introduced
-    assert(feats.columns.toSet == Set("id", "payload", "media_meta", "width", "height", "byte_sum"))
-    assert(feats.count() == 100)
-    val r = feats.filter(col("id") === 1).head()
-    assert(r.getAs[Long]("byte_sum") > 0)
+    // frames feed the image ops unchanged (non-image slices -> null features)
+    val feats = Multimodal.extractFeatures(frames)
+    assert(feats.count() == 4)
+    assert(feats.filter(col("width").isNull).count() == 4)
   }
 }
