@@ -165,11 +165,27 @@ object QueriesExtra {
         col("format"))
   }
 
+  /** Full image transform chain, all REAL: synthesize PNG → decode →
+    * scaled redraw → PNG re-encode → header-decode the result. The
+    * oracle's fixed target dims + id-derived channels hash-gate the whole
+    * chain (a resize that distorted dims or dropped alpha would mismatch).
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withImg = docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
+      .toDF("doc_id", "media")
+    graft.analytics.Multimodal.extractFeatures(
+        graft.analytics.Multimodal.resize(withImg, 8, 5))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,
     "q_sample_hash" -> sampleHash _,
     "q_pack_sequences" -> packSequences _,
     "q_multimodal_features" -> multimodalFeatures _,
+    "q_multimodal_resize" -> multimodalResize _,
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_clusters" -> embedClusters _,
     "q_term_freq" -> termFreq _,
@@ -230,6 +246,12 @@ object QueriesExtra {
         |  CAST(doc_id % 12 + 1 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
         |  'png' AS format
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_resize" ->
+      // resize targets fixed 8x5; channel count survives the re-encode
+      """SELECT doc_id, CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS channels
         |FROM documents""".stripMargin,
     "q_embed_neardup" ->
       """WITH s AS (
