@@ -157,7 +157,9 @@ object QueriesExtra {
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withImg = docs(s, dir).select(col("doc_id")).as[Long]
+    // codec-heavy per-row work: spread the single-file input first
+    val withImg = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
       .toDF("doc_id", "media")
     graft.analytics.Multimodal.extractFeatures(withImg)
@@ -172,7 +174,9 @@ object QueriesExtra {
     */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withImg = docs(s, dir).select(col("doc_id")).as[Long]
+    // codec-heavy per-row work: spread the single-file input first
+    val withImg = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
       .toDF("doc_id", "media")
     graft.analytics.Multimodal.extractFeatures(
