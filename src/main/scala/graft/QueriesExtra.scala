@@ -184,12 +184,29 @@ object QueriesExtra {
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
   }
 
+  /** Real audio path: one deterministic PCM WAV per document
+    * (rate/channels/frames are pure functions of doc_id), header-decoded
+    * distributed via `javax.sound.sampled` — the oracle recomputes the
+    * expected parameters from doc_id, gating the actual WAV parse.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withWav = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
+      .as[Long]
+      .map(id => (id, graft.analytics.Multimodal.syntheticWav(id)))
+      .toDF("doc_id", "media")
+    graft.analytics.Multimodal.extractAudioFeatures(withWav)
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("frames"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,
     "q_sample_hash" -> sampleHash _,
     "q_pack_sequences" -> packSequences _,
     "q_multimodal_features" -> multimodalFeatures _,
     "q_multimodal_resize" -> multimodalResize _,
+    "q_multimodal_audio" -> multimodalAudio _,
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_clusters" -> embedClusters _,
     "q_term_freq" -> termFreq _,
@@ -256,6 +273,16 @@ object QueriesExtra {
       // resize targets fixed 8x5; channel count survives the re-encode
       """SELECT doc_id, CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS channels
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_audio" ->
+      // the synthetic WAV contract: rate = 8000 + id%4*4000,
+      // channels = 1 + id%2, 16-bit, frames = 100 + id%50
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS frames
         |FROM documents""".stripMargin,
     "q_embed_neardup" ->
       """WITH s AS (

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/GIF/BMP), so [[extractFeatures]] reads actual image headers
   * (width/height/channels/format, header-only — pixels are not
   * materialized) and [[resize]] does a full decode → scale → PNG
-  * re-encode. The one remaining stub is video frame sampling
+  * re-encode. Audio header decode is REAL too — `javax.sound.sampled`
+  * (WAV/AIFF/AU) backs [[extractAudioFeatures]]. The one remaining stub
+  * is video frame sampling
   * ([[frameSampleStub]]): container demux genuinely needs codec libraries
   * absent from this container, so it slices deterministically and is
   * clearly marked.
@@ -97,6 +99,83 @@ object Multimodal {
       y += 1
     }
     encodePng(img)
+  }
+
+  /** Decoded audio header info (no sample data). */
+  final case class AudioInfo(sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, frames: Long)
+
+  /** REAL header-only audio decode via `javax.sound.sampled` (pure JDK:
+    * WAV, AIFF, AU). Parses the container header without reading sample
+    * data. Returns None for bytes no installed provider recognizes.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some(AudioInfo(f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, aff.getFrameLength.toLong))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Deterministic real PCM WAV for fixtures: sample rate, channel count
+    * and frame count are pure functions of `id` (rate = 8000 + id%4*4000,
+    * channels = 1 + id%2, frames = 100 + id%50, 16-bit), sample values a
+    * fixed arithmetic pattern — an oracle recomputes expected decode
+    * output from the id alone.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + (id % 4).toInt * 4000
+    val channels = 1 + (id % 2).toInt
+    val frames = 100 + (id % 50).toInt
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = frames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign)
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < dataLen / 2) {
+      bb.putShort((((id + i * 37) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Distributed audio feature extraction: mapPartitions header decode,
+    * nulls for undecodable blobs (same batch shape as [[extractFeatures]]).
+    */
+  def extractAudioFeatures(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("frames", LongType)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    val keepIdx = df.schema.fields.indices.filterNot(_ == mediaIdx)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val info = decodeAudio(row.getAs[Array[Byte]](mediaIdx))
+        Row.fromSeq(keepIdx.map(row.get) ++ Seq[Any](
+          info.map(_.sampleRate).orNull, info.map(_.channels).orNull,
+          info.map(_.bitsPerSample).orNull, info.map(_.frames).orNull))
+      }
+    }(enc)
   }
 
   /** REAL resize: full decode → scaled redraw → PNG re-encode (alpha

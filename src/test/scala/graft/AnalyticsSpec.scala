@@ -279,6 +279,25 @@ class MultimodalSpec extends SparkSuite {
     assert(b.width == 8 && b.height == 5 && b.channels == 3)
   }
 
+  test("real audio decode: synthetic WAVs round-trip exact parameters") {
+    val df = (1L to 40L).map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("id", "media").repartition(4)
+    val feats = Multimodal.extractAudioFeatures(df)
+    assert(feats.columns.toSet ==
+      Set("id", "sample_rate", "channels", "bits_per_sample", "frames"))
+    feats.collect().foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("sample_rate") == 8000 + (id % 4).toInt * 4000)
+      assert(r.getAs[Int]("channels") == 1 + (id % 2).toInt)
+      assert(r.getAs[Int]("bits_per_sample") == 16)
+      assert(r.getAs[Long]("frames") == 100 + (id % 50))
+    }
+    // undecodable bytes yield nulls, not failures
+    val bad = Multimodal.extractAudioFeatures(
+      Seq((9L, "not audio".getBytes)).toDF("id", "media")).head()
+    assert(bad.isNullAt(bad.fieldIndex("sample_rate")))
+  }
+
   test("frame-sample plumbing: schema, fan-out, determinism (stub demux)") {
     val df = Multimodal.asMediaColumn(
       Seq((1L, "0123456789abcdef" * 8)).toDF("id", "payload"), "payload", "video")
