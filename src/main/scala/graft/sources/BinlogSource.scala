@@ -124,6 +124,15 @@ class BinlogMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
+  // Amortized planning cursor: the log is in order and the stream's
+  // offsets only grow, so an index prefix once contained in the start set
+  // stays contained — skip it instead of re-walking the whole (uuid, gno)
+  // index every trigger. Driver-side, single-threaded trigger planning;
+  // a checkpoint restart gets a fresh stream instance (cursor rebuilds in
+  // one pass). Makes per-trigger planning O(batch) amortized instead of
+  // O(log length).
+  private var scanFrom: Int = 0
+
   /** Advance the GTID set over unseen transactions, honoring the row cap
     * but never splitting a transaction (the reference's batch boundary is
     * also post-transaction — commitBatch runs between full events).
@@ -134,22 +143,25 @@ class BinlogMicroBatchStream(path: String, maxEventsPerTrigger: Option[Long])
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    // contiguous runs of the same (uuid, gno) = transactions, in log order
-    val txns = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Long)]
-    index.foreach { ug =>
-      if (!startSet.contains(ug._1, ug._2)) {
-        if (txns.nonEmpty && txns.last._1 == ug)
-          txns(txns.length - 1) = (ug, txns.last._2 + 1)
-        else txns += ((ug, 1L))
-      }
-    }
+    while (scanFrom < index.length &&
+           startSet.contains(index(scanFrom)._1, index(scanFrom)._2))
+      scanFrom += 1
     var set = startSet
     var taken = 0L
-    val itr = txns.iterator
-    while (itr.hasNext && taken < cap) {
-      val ((u, g), n) = itr.next()
-      set = set.add(u, g)
-      taken += n // may exceed cap to finish the transaction
+    var cur: (String, Long) = null
+    var i = scanFrom
+    var done = false
+    while (i < index.length && !done) {
+      val ug = index(i)
+      if (startSet.contains(ug._1, ug._2)) i += 1 // interleaved already-seen
+      else if (taken < cap || ug == cur) {
+        // may exceed cap to finish the current transaction (same (uuid, gno)
+        // run); GtidSet.add is idempotent for repeated events of one txn
+        set = set.add(ug._1, ug._2)
+        taken += 1
+        cur = ug
+        i += 1
+      } else done = true
     }
     GtidOffset(set)
   }
