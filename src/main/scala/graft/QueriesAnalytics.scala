@@ -287,6 +287,24 @@ object QueriesAnalytics {
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct_tok"))
 
+  /** PII scrub: deterministic known-positive PII (derived from doc_id)
+    * appended to every document, then counted and redacted. The oracle
+    * rebuilds the same augmented text and applies the same RE2-safe
+    * patterns, so the md5 of the scrubbed output gates exact redaction
+    * behavior, not just counts.
+    */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 tel 555123450"), (col("doc_id") % 10).cast("string"))
+    val counts = TextOps.piiCounts(aug)
+      .map { case (n, c) => c.cast("long").as(n) }
+    graft.core.Spread.byKey(docs(s, dir), col("doc_id")) // regex-heavy
+      .select((col("doc_id") +: counts :+
+        md5(TextOps.scrubPii(aug)).as("scrub_md5")): _*)
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.core.Spread.byKey(docs(s, dir), col("doc_id")) // regex-heavy: spread single-file input
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -327,5 +345,6 @@ object QueriesAnalytics {
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,
     "q_text_fingerprint" -> textFingerprint _,
+    "q_text_scrub" -> textScrub _,
     "q_multimodal_bytes" -> multimodalBytes _)
 }

@@ -477,6 +477,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |FROM b GROUP BY vec_id""".stripMargin,
 
+    "q_text_scrub" ->
+      // same augmented text, same RE2/Java-common patterns, same order
+      """WITH a AS (SELECT doc_id,
+        |  text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555123450' || CAST(doc_id % 10 AS VARCHAR) AS aug
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '\d{7,}')) AS BIGINT) AS n_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g')) AS scrub_md5
+        |FROM a""".stripMargin,
+
     "q_text_langid" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
         |sc AS (SELECT doc_id,

@@ -72,6 +72,31 @@ object TextOps {
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Content-defined identity for exact-after-normalization dedup.
     */
+  // PII scrub patterns — restricted to the regex subset where Java's
+  // engine (Spark) and RE2 (DuckDB oracle) agree exactly: literal
+  // classes, bounded quantifiers, \b, \d. Training-corpus prep standard:
+  // redact before dedup/packing so signatures never key on PII.
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PiiNum = "\\d{7,}"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, then 7+-digit runs →
+    * `<NUM>` (in that order: emails/IPs contain digit runs). Narrow
+    * per-row expression — codegen'd, no UDF, no shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiNum, "<NUM>")
+
+  /** Match counts per PII class (computed on the UNscrubbed text). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(PiiEmail), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(PiiIp), lit(0))),
+    "n_nums" -> size(regexp_extract_all(text, lit(PiiNum), lit(0))))
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 }

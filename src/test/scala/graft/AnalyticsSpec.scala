@@ -209,6 +209,22 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("PII scrub redacts emails, IPv4s, digit runs — in that order") {
+    val df = Seq(Tuple1(
+      "mail a.b+c@sub.example.org or 10.0.255.7 tel 12345678 ok 123 end"))
+      .toDF("t")
+    val scrubbed = df.select(TextOps.scrubPii(col("t"))).head().getString(0)
+    assert(scrubbed == "mail <EMAIL> or <IP> tel <NUM> ok 123 end")
+    val counts = df.select(
+      TextOps.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*).head()
+    assert(counts.getAs[Int]("n_emails") == 1)
+    assert(counts.getAs[Int]("n_ips") == 1)
+    assert(counts.getAs[Int]("n_nums") == 1)
+    // idempotent on clean text
+    val clean = df.select(TextOps.scrubPii(TextOps.scrubPii(col("t")))).head().getString(0)
+    assert(clean == scrubbed)
+  }
+
   test("langid prefers the language with most marker hits") {
     val df = Seq(
       ("the cat and a dog", "en"),
