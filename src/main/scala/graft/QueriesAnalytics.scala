@@ -255,7 +255,9 @@ object QueriesAnalytics {
     val model = graft.analytics.Ivf.Model.parse(trained.serialize) // persist/restore path
     val queryVec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // pid-unique: concurrent sessions (Verify + Bench) must not race
+    // one overwrite-vs-read index path
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
     graft.analytics.Ivf.materialize(e.filter(col("vec_id") =!= 0), "vec_id",
       "embedding", model, path)
     graft.analytics.Ivf.probeMaterialized(s, path, "vec_id", "embedding",

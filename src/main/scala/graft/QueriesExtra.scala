@@ -155,50 +155,46 @@ object QueriesExtra {
     * `javax.imageio`. The oracle recomputes the expected dimensions from
     * doc_id — so a wrong decode (not just wrong plumbing) hash-mismatches.
     */
-  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** One synthetic media blob per document, spread across cores BEFORE
+    * the codec-heavy per-row generation (single-file input would
+    * otherwise run one thread).
+    */
+  private def syntheticMedia(s: SparkSession, dir: String)
+                            (gen: Long => Array[Byte]): DataFrame = {
     import s.implicits._
-    // codec-heavy per-row work: spread the single-file input first
-    val withImg = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
+    graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
       .as[Long]
-      .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
+      .map(id => (id, gen(id)))
       .toDF("doc_id", "media")
-    graft.analytics.Multimodal.extractFeatures(withImg)
+  }
+
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Multimodal.extractFeatures(
+        syntheticMedia(s, dir)(graft.analytics.Multimodal.syntheticImage))
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         col("format"))
-  }
 
   /** Full image transform chain, all REAL: synthesize PNG → decode →
     * scaled redraw → PNG re-encode → header-decode the result. The
     * oracle's fixed target dims + id-derived channels hash-gate the whole
     * chain (a resize that distorted dims or dropped alpha would mismatch).
     */
-  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // codec-heavy per-row work: spread the single-file input first
-    val withImg = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
-      .as[Long]
-      .map(id => (id, graft.analytics.Multimodal.syntheticImage(id)))
-      .toDF("doc_id", "media")
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Multimodal.extractFeatures(
-        graft.analytics.Multimodal.resize(withImg, 8, 5))
+        graft.analytics.Multimodal.resize(
+          syntheticMedia(s, dir)(graft.analytics.Multimodal.syntheticImage), 8, 5))
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
-  }
 
   /** Real audio path: one deterministic PCM WAV per document
     * (rate/channels/frames are pure functions of doc_id), header-decoded
     * distributed via `javax.sound.sampled` — the oracle recomputes the
     * expected parameters from doc_id, gating the actual WAV parse.
     */
-  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val withWav = graft.core.Spread.byKey(docs(s, dir).select(col("doc_id")), col("doc_id"))
-      .as[Long]
-      .map(id => (id, graft.analytics.Multimodal.syntheticWav(id)))
-      .toDF("doc_id", "media")
-    graft.analytics.Multimodal.extractAudioFeatures(withWav)
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Multimodal.extractAudioFeatures(
+        syntheticMedia(s, dir)(graft.analytics.Multimodal.syntheticWav))
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("bits_per_sample"), col("frames"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> corpusClean _,

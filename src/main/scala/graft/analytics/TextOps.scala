@@ -69,9 +69,6 @@ object TextOps {
         occurrences(concat(lit(" "), text, lit(" ")), " the ").cast("double") / nTok)
   }
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
-    * Content-defined identity for exact-after-normalization dedup.
-    */
   // PII scrub patterns — restricted to the regex subset where Java's
   // engine (Spark) and RE2 (DuckDB oracle) agree exactly: literal
   // classes, bounded quantifiers, \b, \d. Training-corpus prep standard:
@@ -97,6 +94,9 @@ object TextOps {
     "n_ips" -> size(regexp_extract_all(text, lit(PiiIp), lit(0))),
     "n_nums" -> size(regexp_extract_all(text, lit(PiiNum), lit(0))))
 
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Content-defined identity for exact-after-normalization dedup.
+    */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 }

@@ -67,6 +67,10 @@ object AvroCodec {
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    // avroSchema maps ShortType/ByteType to Avro INT — widen here, or
+    // GenericData's union resolution rejects the Short/Byte instance
+    case s: java.lang.Short => s.intValue
+    case b: java.lang.Byte => b.intValue
     case other => other
   }
 
@@ -82,6 +86,10 @@ object AvroCodec {
     val schemaJson = avroSchema(st, name, namespace).toString
     val payloadCols = st.fields.map(_.name).toSeq
     val keyIdx = payloadCols.zipWithIndex.filter(kv => keyCols.contains(kv._1)).map(_._2)
+    // a typo'd key column would otherwise silently emit deletes with
+    // all-null primary keys
+    require(keyIdx.length == keyCols.length,
+      s"keyCols ${keyCols.filterNot(payloadCols.contains)} not in payload schema")
     implicit val enc = org.apache.spark.sql.Encoders.BINARY
     val input = df.select(
       (payloadCols.map(col) :+ col("seqno") :+ col("row_key").cast("binary") :+

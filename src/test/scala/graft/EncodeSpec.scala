@@ -333,6 +333,24 @@ class AvroCodecSpec extends SparkSuite {
     assert(recs(1).get("t") == 86400000L)
   }
 
+  test("short/byte payload columns widen to the Avro INT wire type") {
+    val st = StructType(Seq(StructField("sh", ShortType), StructField("by", ByteType)))
+    val df = Seq((3.toShort, 5.toByte, 1L, "1", "insert"))
+      .toDF("sh", "by", "seqno", "row_key", "op")
+    val back = AvroCodec.decodeRows(
+      AvroCodec.encode(df, st, "t1", "graft"), st, "t1", "graft").head()
+    assert(back.getInt(0) == 3 && back.getInt(1) == 5)
+  }
+
+  test("encode rejects keyCols not present in the payload schema") {
+    val df = Seq((1L, "a", 2.5, 10L, "1", "insert"))
+      .toDF("f1", "f2", "f3", "seqno", "row_key", "op")
+    val err = intercept[IllegalArgumentException] {
+      AvroCodec.encode(df, payload, "t1", "graft", keyCols = Seq("f1_typo"))
+    }
+    assert(err.getMessage.contains("f1_typo"))
+  }
+
   test("decodeRows: distributed wire round-trip with typed columns") {
     val df = Seq(
       (1L, "a", 2.5, 10L, "1", "insert"),
