@@ -354,6 +354,53 @@ object QueriesCdc {
         col("payload").cast("long").as("value_cents"))
   }
 
+  /** Stream-stream interval join through the real streaming engine:
+    * views ⋈ purchases per user within 12 hours, both sides watermarked,
+    * symmetric-hash-join state evicted by the watermark. The replay is
+    * RANGE-SPLIT by ts into 2 files → 2 micro-batches in event-time
+    * order, so cross-batch matches must come from join state while no
+    * input is ever late (watermark after batch 1 sits 12 h behind batch
+    * 2's minimum): the streaming result equals the static join exactly,
+    * which is what the DuckDB oracle checks.
+    *
+    * Scale shape: state per side is bounded by (watermark delay + join
+    * window) of events, partitioned on user_id like any keyed shuffle;
+    * eviction math (a row is dropped once it can no longer match any
+    * future input) is the engine's, not ours.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft_sjoin_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .repartitionByRange(2, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    def side() = s.readStream
+      .schema("event_id bigint, ts timestamp, user_id bigint, event_type string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val views = side().filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "12 hours")
+    val purchases = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "12 hours")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("interval 12 hours"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("view_ts"))).as("lag_ms"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("graft_stream_join")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_join")
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -388,5 +435,6 @@ object QueriesCdc {
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
+    "q_stream_join" -> streamJoin _,
     "q_state_join" -> stateJoin _)
 }

@@ -212,6 +212,49 @@ object QueriesExtra {
     "q_percentiles" -> percentiles _,
     "q_approx_stats" -> approxStats _)
 
+  /** Shared DuckDB CTE chain: banded embedding LSH → capped candidate
+    * pairs → exact quantized-dot verify → recursive connected components.
+    * Ends with `comp(vec_id, component)` — every vector that appears in a
+    * verified near-dup pair, labeled with its cluster root (= MIN id
+    * reachable). Suffixed by q_embed_clusters here and q_semdedup_prune in
+    * [[QueriesTraining]].
+    */
+  private[graft] val embedCompCte: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT vec_id, p.j,
+      |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
+      |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
+      |  FROM embeddings, generate_series(0, 15) p(j), generate_series(1, 64) g(i)),
+      |bs AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
+      |bk AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+      |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INT)) ELSE 0 END) AS BIGINT) AS band_key
+      |  FROM bs GROUP BY vec_id, CAST(j // 8 AS INT)),
+      |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 100),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bk a
+      |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+      |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT cand.vec_a, cand.vec_b,
+      |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+      |           * CAST(ROUND(CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+      |  FROM cand
+      |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+      |  CROSS JOIN generate_series(1, 64) g(i)
+      |  GROUP BY cand.vec_a, cand.vec_b),
+      |verified AS (SELECT vec_a, vec_b FROM dots WHERE dot > 20000),
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM verified
+      |          UNION SELECT vec_b, vec_a FROM verified),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |  WHERE e.dst <> r.src),
+      |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_corpus_clean" ->
       """WITH g AS (SELECT * FROM documents WHERE length(text) BETWEEN 100 AND 500),
@@ -307,43 +350,10 @@ object QueriesExtra {
         |  GROUP BY cand.vec_a, cand.vec_b)
         |SELECT vec_a, vec_b, dot FROM dots WHERE dot > 20000""".stripMargin,
 
-    "q_embed_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT vec_id, p.j,
-        |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
-        |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
-        |  FROM embeddings, generate_series(0, 15) p(j), generate_series(1, 64) g(i)),
-        |bs AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
-        |bk AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
-        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INT)) ELSE 0 END) AS BIGINT) AS band_key
-        |  FROM bs GROUP BY vec_id, CAST(j // 8 AS INT)),
-        |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 100),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bk a
-        |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
-        |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
-        |dots AS (
-        |  SELECT cand.vec_a, cand.vec_b,
-        |    CAST(SUM(CAST(ROUND(CAST(ea.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
-        |           * CAST(ROUND(CAST(eb.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
-        |  FROM cand
-        |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
-        |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
-        |  CROSS JOIN generate_series(1, 64) g(i)
-        |  GROUP BY cand.vec_a, cand.vec_b),
-        |verified AS (SELECT vec_a, vec_b FROM dots WHERE dot > 20000),
-        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM verified
-        |          UNION SELECT vec_b, vec_a FROM verified),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        |  WHERE e.dst <> r.src),
-        |comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
-        |         FROM reach GROUP BY src)
+    "q_embed_clusters" -> (embedCompCte +
+      """
         |SELECT component, COUNT(*) AS n_vecs, MIN(vec_id) AS keep_id
-        |FROM comp GROUP BY component""".stripMargin,
+        |FROM comp GROUP BY component""".stripMargin),
 
     "q_term_freq" ->
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (

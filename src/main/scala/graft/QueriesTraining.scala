@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data curation batch: the corpus-hygiene operators an LLM data
+  * pipeline runs between raw ingestion and tokenization — benchmark
+  * decontamination, repetition scoring (Gopher-style), deterministic
+  * domain mixing, BM25 retrieval, and semantic dedup pruning.
+  *
+  * Determinism conventions match [[QueriesCdc]]: integer counts (never
+  * floating aggregates) wherever the oracle hashes values, doubles only
+  * inside a final `round(x * 1000)` quantization, ties broken by id.
+  *
+  * Scale notes per operator are on each method; the common theme is that
+  * every per-document signal here is computed NARROWLY from the token
+  * array (no explode → groupBy(doc) round trip), so the only shuffles are
+  * the genuinely cross-document ones (eval-gram join, global term stats).
+  */
+object QueriesTraining {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** Word n-grams from a token array, built narrowly (index arithmetic
+    * over the array, no shuffle). Empty array below n tokens.
+    */
+  private def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 4-token gram with the held-out eval set (here: doc_id % 29 == 0, the
+    * stand-in for a benchmark suite). Output = contaminated doc ids with
+    * their distinct-overlapping-gram count.
+    *
+    * Scale shape: eval sets are SMALL (benchmarks are megabytes against a
+    * 100 TB corpus), so the eval gram set is broadcast — the corpus side
+    * streams through a broadcast-hash semi-join with no wide shuffle; the
+    * only keyed shuffle is the per-doc count of the (rare) matches.
+    * Per-doc grams are deduped narrowly (`array_distinct`) before the
+    * explode, so duplicate grams inside one doc never inflate the join.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(split(col("text"), " "), 4))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 29 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 29 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Gopher-style repetition signals, all exact integers, all computed
+    * narrowly per row: token count, distinct-token count, top token
+    * multiplicity, trigram count, distinct-trigram count, and a
+    * `repetitious` flag (top token covering >20% of the doc). Zero
+    * shuffles — the whole query is scan → project.
+    *
+    * The top-multiplicity form is O(distinct × n) per doc — right for
+    * documents (bounded length); for book-length inputs switch to
+    * sort-then-max-run, same answer, O(n log n).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val tri = wordNgrams(ws, 3)
+    docs(s, dir)
+      .select(col("doc_id"), ws.as("ws"), tri.as("tri"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_tok"),
+        array_max(transform(array_distinct(col("ws")),
+          t => size(filter(col("ws"), w => w === t)))).cast("long").as("top_tok_n"),
+        size(col("tri")).cast("long").as("n_tri"),
+        size(array_distinct(col("tri"))).cast("long").as("n_distinct_tri"))
+      .withColumn("repetitious", col("top_tok_n") * 5 > col("n_tok"))
+  }
+
+  /** Deterministic domain mixing: per-source target sampling rates (in
+    * sixteenths, derived here from the source id; in production a config
+    * map) applied via a content-hash threshold — the same document always
+    * lands on the same side of the cut, on any cluster, at any
+    * parallelism. One narrow filter over the scan: no shuffle, no RNG, no
+    * seed-ordering hazard. This is the "mix web:wiki:code at 4:16:8"
+    * knob of corpus assembly, reproducible across reruns.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val hexVal = expr("instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1")
+    val rate = (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 4
+    docs(s, dir)
+      .filter(hexVal < rate)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** BM25 (k1=1.2, b=0.75) keyword retrieval: top-15 documents for the
+    * fixed query {spark, join, window}. Corpus stats (N, total tokens,
+    * per-term document frequencies) come from ONE aggregate pass whose
+    * single row is broadcast back — per-doc term frequencies are narrow
+    * `filter(ws, _ == term)` counts, so the scoring scan never shuffles
+    * document data; TakeOrdered keeps only k rows per partition. Scores
+    * are quantized to milli-units for cross-engine hash stability.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val ws = split(col("text"), " ")
+    val perDoc = docs(s, dir).select(
+      col("doc_id") +: size(ws).cast("long").as("dl") +:
+        terms.map(t => size(filter(ws, w => w === t)).cast("long").as(s"tf_$t")): _*)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tok") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val k1 = 1.2d
+    val b = 0.75d
+    val score = terms.map { t =>
+      val idf = log(
+        (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      val norm = lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") * col("n_docs") / col("tot_tok"))
+      idf * (col(s"tf_$t") * (k1 + 1)) / (col(s"tf_$t") + norm)
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+
+          round(score * 1000).cast("long").as("score_milli"): _*)
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Semantic dedup (SemDeDup-style prune): from each embedding near-dup
+    * cluster (banded LSH candidates → exact quantized-cosine verify →
+    * connected components, the [[QueriesExtra.embedClusters]] machinery)
+    * keep only the cluster root; vectors in no cluster pass through. The
+    * output is the pruned corpus — what actually feeds tokenization.
+    *
+    * Scale shape: the heavy stages are the already-capped LSH pipeline;
+    * the prune itself is one anti-join keyed on vec_id against the (small)
+    * non-representative set — members of near-dup clusters, a fraction of
+    * the corpus by construction.
+    */
+  def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val pairs = QueriesExtra.embedNeardup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val dropIds = graft.analytics.Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    emb(s, dir).join(dropIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate _,
+    "q_repetition" -> repetition _,
+    "q_domain_mix" -> domainMix _,
+    "q_bm25" -> bm25 _,
+    "q_semdedup_prune" -> semdedupPrune _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] || ' ' ||
+        |  w[CAST(pos AS INT) + 2] || ' ' || w[CAST(pos AS INT) + 3] AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS pos FROM ws)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0)
+        |SELECT doc_id, COUNT(*) AS n_hit_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 29 <> 0
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct_tok,
+        |         CAST(MAX(c) AS BIGINT) AS top_tok_n
+        |       FROM (SELECT doc_id, t, COUNT(*) AS c FROM
+        |               (SELECT doc_id, unnest(w) AS t FROM ws)
+        |             GROUP BY doc_id, t)
+        |       GROUP BY doc_id),
+        |tri AS (SELECT doc_id,
+        |  w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] || ' ' ||
+        |  w[CAST(pos AS INT) + 2] AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS pos FROM ws)),
+        |trc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+        |          CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_tri
+        |        FROM tri GROUP BY doc_id)
+        |SELECT tc.doc_id, n_tok, n_distinct_tok, top_tok_n,
+        |  COALESCE(n_tri, 0) AS n_tri, COALESCE(n_distinct_tri, 0) AS n_distinct_tri,
+        |  top_tok_n * 5 > n_tok AS repetitious
+        |FROM tc LEFT JOIN trc ON tc.doc_id = trc.doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+        |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 4""".stripMargin,
+
+    "q_bm25" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |  CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
+        |  CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM ws),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tok,
+        |  SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |  SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |  SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM d)
+        |SELECT doc_id, tf_spark, tf_join, tf_window,
+        |  CAST(ROUND((
+        |    ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_tok)) +
+        |    ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+        |      * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_tok)) +
+        |    ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+        |      * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl * n_docs / tot_tok))
+        |  ) * 1000) AS BIGINT) AS score_milli
+        |FROM d, st
+        |ORDER BY score_milli DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_semdedup_prune" -> (QueriesExtra.embedCompCte +
+      """
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |LEFT JOIN comp c ON c.vec_id = e.vec_id AND c.vec_id <> c.component
+        |WHERE c.vec_id IS NULL""".stripMargin))
+}

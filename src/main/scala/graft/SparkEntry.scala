@@ -32,7 +32,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + analytics. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
-      QueriesQuality.queries ++ QueriesPipes.queries
+      QueriesQuality.queries ++ QueriesPipes.queries ++ QueriesTraining.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -63,7 +63,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
-      QueriesPipes.oracleSql ++ Map(
+      QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
@@ -190,6 +190,14 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+        |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin,
 
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
