@@ -42,4 +42,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p.take(3000))
     assert(p.contains("Broadcast"), p.take(3000))
   }
+
+  test("decontamination joins the corpus against a BROADCAST eval-gram set") {
+    // at 100 TB the corpus side must stream; a shuffled join here would
+    // move every corpus gram across the wire
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("bm25 corpus stats come back as a broadcast single row, and the scan shuffles nothing but the top-k") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("repetition signals are computed with ZERO shuffles") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange"),
+      "per-doc repetition math must stay narrow (scan -> project):\n" + p.take(3000))
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Unit checks for the training-curation batch ([[QueriesTraining]]) on
+  * hand-constructed corpora where every expected value is computable by
+  * inspection — the catalog oracle proves engine parity at sf0.01, these
+  * prove the FORMULAS (BM25 weights, Gopher repetition counts, gram
+  * overlap, hash-mix determinism, prune set algebra).
+  */
+class TrainingSpec extends SparkSuite {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Write rows as documents.parquet into a fresh temp dir, return the dir. */
+  private def docDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-training").toString
+    val data = rows.map { case (id, text) =>
+      Row(id, text, "en", s"src${id % 4}", text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition: counts on a constructed doc match hand computation") {
+    val dir = docDir(Seq(
+      1L -> "a a a b c",        // top token 'a' x3 of 5 -> repetitious
+      2L -> "u v w x y z",      // all distinct -> not repetitious
+      3L -> "p q"))             // below trigram length -> zero trigrams
+    val out = QueriesTraining.repetition(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5L, "n_tok")
+    assert(r1.getLong(2) == 3L, "n_distinct_tok")
+    assert(r1.getLong(3) == 3L, "top_tok_n")
+    assert(r1.getLong(4) == 3L, "n_tri: 'a a a','a a b','a b c'")
+    assert(r1.getLong(5) == 3L, "n_distinct_tri")
+    assert(r1.getBoolean(6), "3*5 > 5 -> repetitious")
+
+    val r2 = out(2L)
+    assert(r2.getLong(3) == 1L && !r2.getBoolean(6))
+
+    val r3 = out(3L)
+    assert(r3.getLong(4) == 0L && r3.getLong(5) == 0L, "short doc has no trigrams")
+  }
+
+  test("decontaminate: flags exactly the docs sharing a 4-gram with the eval set") {
+    val dir = docDir(Seq(
+      0L -> "w1 w2 w3 w4 w5",        // doc_id % 29 == 0 -> eval doc
+      1L -> "x w1 w2 w3 w4 y",       // shares 'w1 w2 w3 w4' -> 1 hit
+      2L -> "w2 w3 w4 w5 w2 w3 w4 w5", // shares 'w2 w3 w4 w5' (distinct once)
+      3L -> "a b c d e f"))          // clean
+    val out = QueriesTraining.decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L),
+      s"expected docs 1,2 with one distinct overlapping gram each, got $out")
+  }
+
+  test("bm25: score matches the formula computed by hand") {
+    // 3 docs, query terms {spark, join, window}; doc 10 has spark x2 + join.
+    val dir = docDir(Seq(
+      10L -> "spark spark join",
+      11L -> "spark other words here",
+      12L -> "nothing relevant at all"))
+    val rows = QueriesTraining.bm25(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L),
+      "rank order: both-terms doc, one-term doc, no-term doc")
+
+    // hand computation for doc 10 with the same constants
+    val (k1, b) = (1.2, 0.75)
+    val (nDocs, totTok) = (3.0, 3.0 + 4.0 + 4.0)
+    def idf(df: Double) = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) = {
+      val norm = k1 * ((1 - b) + b * dl * nDocs / totTok)
+      idf(df) * (tf * (k1 + 1)) / (tf + norm)
+    }
+    val expected = math.round(
+      (term(2, 2, 3) + term(1, 1, 3) + 0.0) * 1000)
+    val got = rows.find(_.getLong(0) == 10L).get.getAs[Long]("score_milli")
+    assert(got == expected, s"doc 10 score_milli: got $got expected $expected")
+  }
+
+  test("domain mix: deterministic across reruns and bounded by the rate") {
+    val a = QueriesTraining.domainMix(spark, sf0001)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = QueriesTraining.domainMix(spark, sf0001)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "content-hash mixing must be rerun-stable")
+    assert(a.nonEmpty && a.size < graft.core.Tables.documents(spark, sf0001).count(),
+      "a real mix keeps some and drops some")
+  }
+
+  test("semdedup prune: drops exactly the non-root cluster members") {
+    val pruned = QueriesTraining.semdedupPrune(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.core.Tables.embeddings(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = QueriesExtra.embedNeardup(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_a").as("doc_a"),
+        org.apache.spark.sql.functions.col("vec_b").as("doc_b"))
+    val comp = graft.analytics.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonRoots = comp.filter { case (id, root) => id != root }.keySet
+    assert(pruned == all -- nonRoots,
+      "survivors = corpus minus non-root members; roots and unclustered pass through")
+    assert(comp.values.toSet.subsetOf(pruned), "every cluster root survives")
+  }
+}
