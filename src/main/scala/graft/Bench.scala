@@ -36,9 +36,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // median over `repeats` warm runs; any failed run fails the query
+    // median over `repeats` warm runs; any failed run fails the query.
+    // After each query, release every persistent RDD: localCheckpoint()
+    // results are pinned in the block manager and never unpersisted by
+    // their owner, so a 70-query run otherwise accumulates dead blocks
+    // and the resulting memory pressure inflated later queries by 3-8x
+    // (q_dedup_minhash measured 7.8 s in the full run vs 0.5 s isolated).
     def materialize(name: String): Double = {
       val runs = Seq.fill(repeats)(once(name))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (runs.exists(_ < 0)) -1.0
       else runs.sorted.apply(runs.size / 2)
     }
