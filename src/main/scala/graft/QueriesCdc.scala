@@ -241,6 +241,88 @@ object QueriesCdc {
         get_json_object(col("payload"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** S2 over the REAL MySQL binlog v4 wire format: typed rows are encoded
+    * into a binary binlog ([[graft.changelog.BinlogWire]] — magic, FDE,
+    * CRC32-checksummed GTID/TABLE_MAP/ROWS/XID events, column names via
+    * `binlog_row_metadata=FULL` optional metadata, NEWDECIMAL packing),
+    * then tailed back through the same `graft-binlog` DSv2 streaming
+    * source, which auto-detects the binary format. Updates carry real
+    * before-images (value_cents - 1) and deletes carry only the before
+    * image, exercising the per-op row-image layout end to end; the whole
+    * derivation is SQL-expressible so DuckDB oracles the round trip.
+    */
+  def binlogBinary(s: SparkSession, dir: String): DataFrame = {
+    import graft.changelog.BinlogWire
+    val base = events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type").as("etype"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        concat(lit("00000000-0000-0000-0000-00000000000"),
+          (col("user_id") % 4).cast("string")).as("uuid"),
+        row_number().over(
+          Window.partitionBy(col("user_id") % 4).orderBy(col("event_id")))
+          .cast("long").as("gno"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "click", "update")
+          .otherwise("delete").as("op"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.binlog"
+    // single ordered partition: a binlog IS one ordered stream per cluster
+    base.repartition(1).sortWithinPartitions(col("event_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val table = BinlogWire.TableDef("graft", "events", Seq(
+          BinlogWire.Col("event_id", BinlogWire.T.LONGLONG),
+          BinlogWire.Col("user_id", BinlogWire.T.LONGLONG),
+          BinlogWire.Col("etype", BinlogWire.T.VARCHAR, meta = 32),
+          BinlogWire.Col("value_cents", BinlogWire.T.LONGLONG),
+          BinlogWire.Col("value_dec", BinlogWire.T.NEWDECIMAL, meta = (12 << 8) | 2)))
+        val entries = it.map { r =>
+          val cents = r.getAs[Long]("value_cents")
+          val img: IndexedSeq[Any] = IndexedSeq(
+            java.lang.Long.valueOf(r.getAs[Long]("event_id")),
+            java.lang.Long.valueOf(r.getAs[Long]("user_id")),
+            r.getAs[String]("etype"),
+            java.lang.Long.valueOf(cents),
+            java.math.BigDecimal.valueOf(cents, 2))
+          val row = r.getAs[String]("op") match {
+            case "insert" => BinlogWire.Row("insert", None, Some(img))
+            case "delete" => BinlogWire.Row("delete", Some(img), None)
+            case "update" =>
+              val before = img.updated(3, java.lang.Long.valueOf(cents - 1): Any)
+                .updated(4, java.math.BigDecimal.valueOf(cents - 1, 2): Any)
+              BinlogWire.Row("update", Some(before), Some(img))
+          }
+          BinlogWire.Txn(r.getAs[String]("uuid"), r.getAs[Long]("gno"),
+            r.getAs[Long]("ts_ms"), table, Seq(row))
+        }
+        graft.sources.BinlogFixture.writeBinary(path, entries)
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-binary-ckpt").toString
+    val nEvents = base.count()
+    val q = s.readStream.format("graft-binlog")
+      .option("path", path)
+      .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
+      .load()
+      .writeStream.format("memory").queryName("graft_binlog_binary")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sch = "event_id BIGINT, user_id BIGINT, etype STRING, value_cents BIGINT, value_dec DECIMAL(12,2)"
+    s.table("graft_binlog_binary")
+      .select(col("gtid_uuid"), col("gno"), col("op"),
+        from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("r"),
+        from_json(col("before"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("b"))
+      .select(col("r.event_id").as("event_id"), col("gtid_uuid"), col("gno"),
+        col("op"), col("r.user_id").as("user_id"), col("r.etype").as("etype"),
+        col("r.value_cents").as("value_cents"),
+        col("r.value_dec").cast("string").as("value_dec"),
+        col("b.value_cents").as("before_cents"))
+  }
+
   /** K1+S3 round-trip: events produced into the loopback Kafka-shaped
     * pipe (keyed by user_id, partitioner = pmod so DuckDB can mirror it),
     * then consumed back through the `graft-kafka` DataSource-V2 streaming
@@ -432,6 +514,7 @@ object QueriesCdc {
     "q_fanout" -> fanout _,
     "q_handoff_merge" -> handoffMerge _,
     "q_changelog_native" -> changelogNative _,
+    "q_binlog_binary" -> binlogBinary _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,

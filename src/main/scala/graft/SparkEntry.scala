@@ -171,6 +171,21 @@ object SparkEntry {
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
 
+    "q_binlog_binary" ->
+      """SELECT event_id,
+        |  '00000000-0000-0000-0000-00000000000' || CAST(user_id % 4 AS VARCHAR) AS gtid_uuid,
+        |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS gno,
+        |  CASE event_type WHEN 'signup' THEN 'insert'
+        |                  WHEN 'click' THEN 'update'
+        |                  ELSE 'delete' END AS op,
+        |  user_id,
+        |  event_type AS etype,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+        |  CAST(CAST(CAST(ROUND(value * 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS VARCHAR) AS value_dec,
+        |  CASE WHEN event_type = 'click'
+        |       THEN CAST(ROUND(value * 100) AS BIGINT) - 1 END AS before_cents
+        |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
+
     "q_kafka_roundtrip" ->
       """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
         |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,

@@ -121,20 +121,84 @@ object BinlogFixture {
     }
   }
 
-  /** Read the full fixture log in order. */
+  /** Read the full fixture log in order. Two formats are auto-detected:
+    * the JSON-lines logical log, and the real MySQL binlog v4 BINARY
+    * format (magic `0xfe 'b' 'i' 'n'`) parsed by
+    * [[graft.changelog.BinlogWire]] — typed row images come back as the
+    * same JSON payloads the logical log carries, so the DSv2 source is
+    * format-agnostic.
+    */
   def read(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
-    val buf = ArrayBuffer.empty[Event]
-    try {
-      var line = in.readLine()
-      while (line != null) {
-        if (line.nonEmpty) buf += fromJson(line)
-        line = in.readLine()
+    val head = new Array[Byte](4)
+    val sniff = fs.open(p)
+    val isBinary =
+      try { sniff.readFully(0L, head); java.util.Arrays.equals(head, graft.changelog.BinlogWire.Magic) }
+      catch { case _: java.io.EOFException => false }
+      finally sniff.close()
+    if (isBinary) readBinary(p, fs)
+    else {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      val buf = ArrayBuffer.empty[Event]
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty) buf += fromJson(line)
+          line = in.readLine()
+        }
+      } finally in.close()
+      buf.toVector
+    }
+  }
+
+  import graft.changelog.BinlogWire
+
+  private def imageJson(table: BinlogWire.TableDef, vals: IndexedSeq[Any]): String = {
+    val n = mapper.createObjectNode()
+    table.cols.zip(vals).foreach {
+      case (c, null) => n.putNull(c.name)
+      case (c, v: java.lang.Long) => n.put(c.name, v.longValue())
+      case (c, v: java.lang.Double) => n.put(c.name, v.doubleValue())
+      case (c, v: java.lang.Float) => n.put(c.name, v.floatValue())
+      case (c, v: String) => n.put(c.name, v)
+      case (c, v: Array[Byte]) => n.put(c.name, v) // Jackson base64s binary
+      case (c, v: java.math.BigDecimal) => n.put(c.name, v)
+      case (c, v) => n.put(c.name, v.toString)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  /** Binary log → the same [[Event]] stream the JSON log yields.
+    * `seq` is the event's log position (monotone, unique); delete events
+    * carry their (before) image as the payload, matching the logical
+    * log's convention.
+    */
+  private def readBinary(p: HPath, fs: FileSystem): Vector[Event] = {
+    val in = fs.open(p)
+    val log = try BinlogWire.parse(in) finally in.close()
+    val rows = log.rows.map { r =>
+      val (before, payload) = r.row.op match {
+        case "insert" => (null, imageJson(r.table, r.row.after.get))
+        case "delete" => (null, imageJson(r.table, r.row.before.get))
+        case "update" => (imageJson(r.table, r.row.before.get), imageJson(r.table, r.row.after.get))
       }
-    } finally in.close()
-    buf.toVector
+      Event(r.logPos, r.uuid, r.gno, r.row.op, r.table.db, r.table.tbl,
+        r.tsSec * 1000L, before, payload)
+    }
+    val ddls = log.ddls.map { d =>
+      Event(d.logPos, d.uuid, d.gno, "ddl", d.db, "", d.tsSec * 1000L, null, d.query)
+    }
+    (rows ++ ddls).sortBy(_.seq)
+  }
+
+  /** Write a real binary binlog (v4 wire format, CRC32-checksummed). */
+  def writeBinary(path: String, entries: Iterator[BinlogWire.Entry],
+                  conf: Configuration = new Configuration()): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try BinlogWire.write(out, entries) finally out.close()
   }
 
   /** Transaction index: (uuid, gno) per line, in log order — all the
