@@ -129,11 +129,33 @@ object QueriesPipes {
       get_json_object(col("value"), "$.len_chars").cast("long").as("len_chars"))
   }
 
+  /** K2 encryption stage over the REAL OpenPGP wire format: file-sink
+    * output encrypted into RFC 4880 messages (SKESK + SEIPD/MDC,
+    * gpg-interoperable — see [[graft.pipes.Pgp]] and PgpSpec's two-way
+    * GnuPG interop), decrypted task-side, read back and parsed.
+    */
+  def pgpRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pgp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    docs(s, dir)
+      .select(to_json(struct(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len_chars"))).as("value"))
+      .write.mode("overwrite").text(out)
+    CryptoStage.encryptDirPgp(s, out, "graft-segment-passphrase")
+    CryptoStage.decryptDirPgp(s, out, "graft-segment-passphrase")
+    s.read.text(out).select(
+      get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+      upper(get_json_object(col("value"), "$.source")).as("src"),
+      get_json_object(col("value"), "$.len_chars").cast("long").as("len_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cf_roundtrip" -> cfRoundtrip _,
     "q_msgpack_framed" -> msgpackFramed _,
     "q_avro_roundtrip" -> avroRoundtrip _,
-    "q_crypto_roundtrip" -> cryptoRoundtrip _)
+    "q_crypto_roundtrip" -> cryptoRoundtrip _,
+    "q_pgp_roundtrip" -> pgpRoundtrip _)
 
   val oracleSql: Map[String, String] = Map(
     "q_cf_roundtrip" ->
@@ -161,5 +183,9 @@ object QueriesPipes {
 
     "q_crypto_roundtrip" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents""".stripMargin,
+
+    "q_pgp_roundtrip" ->
+      """SELECT doc_id, upper(source) AS src, CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents""".stripMargin)
 }

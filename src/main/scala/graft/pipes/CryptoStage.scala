@@ -220,6 +220,24 @@ object CryptoStage {
     }
   }
 
+  /** OpenPGP (RFC 4880) variant of the directory stage: every data file
+    * becomes a gpg-interoperable `.gpg` message (SKESK + SEIPD/MDC — see
+    * [[Pgp]]); the consumer side decrypts with the shared passphrase.
+    * This is the reference's actual wire format
+    * (/root/reference/pipe/file.go:384-437), whereas [[encryptDir]] is
+    * the same construction under a private envelope with signatures.
+    */
+  def encryptDirPgp(spark: SparkSession, path: String, passphrase: String): Long =
+    mapFiles(spark, path, "", ".gpg") { bytes =>
+      Pgp.encryptSym(bytes, passphrase.toCharArray)
+    }
+
+  /** Decrypt every `.gpg` file back to its original name (MDC verified). */
+  def decryptDirPgp(spark: SparkSession, path: String, passphrase: String): Long =
+    mapFiles(spark, path, ".gpg", "") { bytes =>
+      Pgp.decryptSym(bytes, passphrase.toCharArray)
+    }
+
   def decodePublic(encoded: Array[Byte]): PublicKey =
     java.security.KeyFactory.getInstance("RSA")
       .generatePublic(new java.security.spec.X509EncodedKeySpec(encoded))

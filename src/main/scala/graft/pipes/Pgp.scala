@@ -1,0 +1,496 @@
+package graft.pipes
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.security.{MessageDigest, PublicKey, PrivateKey, SecureRandom}
+import java.util.zip.{Deflater, Inflater}
+
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** OpenPGP (RFC 4880) wire format over JDK JCA — no Bouncy Castle.
+  *
+  * The reference encrypts file-sink output with OpenPGP and decrypts+
+  * verifies on the consumer side (/root/reference/pipe/file.go:384-437,
+  * :898-960) via Go's openpgp package. Rounds 1-4 shipped the same hybrid
+  * construction under a private envelope ([[CryptoStage]]); this module
+  * closes the remaining gap — the RFC 4880 wire format itself — so the
+  * bytes interoperate with stock GnuPG (proved both directions in
+  * PgpSpec against the container's gpg 2.2).
+  *
+  * Implemented packet grammar (new-format headers written; old-format,
+  * new-format and partial body lengths all parsed, since gpg emits a mix):
+  *
+  *  - SKESK (tag 3): v4, S2K simple/salted/iterated-salted over
+  *    MD5/SHA-1/SHA-256/384/512, optional encrypted session key
+  *  - PKESK (tag 1): v3, RSA, PKCS#1 v1.5 session-key wrap with the
+  *    algo-prefix + 16-bit checksum payload
+  *  - SEIPD (tag 18): v1 — AES-CFB128, zero IV, 16+2-byte duplicated
+  *    prefix quick check, trailing MDC (tag 19) = SHA-1 over the whole
+  *    plaintext including the 0xD3 0x14 header
+  *  - Literal (tag 11), Compressed (tag 8: none/ZIP/ZLIB),
+  *    One-Pass Signature (tag 4), Signature (tag 2: v4 RSA, EMSA-PKCS1
+  *    DigestInfo via NONEwithRSA), Public-Key (tag 6: v4 RSA n/e MPIs,
+  *    SHA-1 fingerprint/key-id derivation)
+  *
+  * Messages are built in memory — the unit here is one sink segment file
+  * (the reference's unit too), not an unbounded stream.
+  */
+object Pgp {
+
+  private val rnd = new SecureRandom()
+
+  // ------------------------------------------------------------- packet IO
+
+  private def newHeader(tag: Int, len: Int): Array[Byte] = {
+    val b = new ByteArrayOutputStream(6)
+    b.write(0xc0 | tag)
+    if (len < 192) b.write(len)
+    else if (len < 8384) { b.write(((len - 192) >> 8) + 192); b.write((len - 192) & 0xff) }
+    else { b.write(0xff); b.write(len >>> 24); b.write((len >>> 16) & 0xff); b.write((len >>> 8) & 0xff); b.write(len & 0xff) }
+    b.toByteArray
+  }
+
+  private def packet(tag: Int, body: Array[Byte]): Array[Byte] = {
+    val h = newHeader(tag, body.length)
+    val out = new Array[Byte](h.length + body.length)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(body, 0, out, h.length, body.length)
+    out
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(a, off, n - off)
+      if (r < 0) throw new EOFException(s"pgp packet truncated ($off of $n)")
+      off += r
+    }
+    a
+  }
+
+  /** Walk packets: handles old-format (incl. indeterminate length),
+    * new-format, and new-format partial body lengths (gpg streams SEIPD
+    * with partials).
+    */
+  private def readPackets(in: InputStream): Vector[(Int, Array[Byte])] = {
+    val out = Vector.newBuilder[(Int, Array[Byte])]
+    var done = false
+    while (!done) {
+      val first = in.read()
+      if (first < 0) done = true
+      else {
+        require((first & 0x80) != 0, f"bad pgp packet header byte 0x$first%02x")
+        if ((first & 0x40) != 0) {
+          // new format
+          val tag = first & 0x3f
+          val body = new ByteArrayOutputStream()
+          var more = true
+          while (more) {
+            val l1 = in.read()
+            if (l1 < 0) throw new EOFException("pgp length truncated")
+            if (l1 < 192) { body.write(readFully(in, l1)); more = false }
+            else if (l1 <= 223) {
+              val l2 = in.read()
+              body.write(readFully(in, ((l1 - 192) << 8) + l2 + 192)); more = false
+            } else if (l1 == 255) {
+              val b4 = readFully(in, 4)
+              val n = ((b4(0) & 0xff) << 24) | ((b4(1) & 0xff) << 16) | ((b4(2) & 0xff) << 8) | (b4(3) & 0xff)
+              body.write(readFully(in, n)); more = false
+            } else {
+              // partial length 224..254: 1 << (l1 & 0x1f), more chunks follow
+              body.write(readFully(in, 1 << (l1 & 0x1f)))
+            }
+          }
+          out += ((tag, body.toByteArray))
+        } else {
+          // old format
+          val tag = (first >> 2) & 0x0f
+          val lenType = first & 0x03
+          val body = lenType match {
+            case 0 => readFully(in, in.read())
+            case 1 => val b = readFully(in, 2); readFully(in, ((b(0) & 0xff) << 8) | (b(1) & 0xff))
+            case 2 =>
+              val b = readFully(in, 4)
+              readFully(in, ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff))
+            case 3 => // indeterminate: rest of input
+              val b = new ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var r = in.read(buf)
+              while (r > 0) { b.write(buf, 0, r); r = in.read(buf) }
+              b.toByteArray
+          }
+          out += ((tag, body))
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------- s2k
+
+  private def hashName(algo: Int): String = algo match {
+    case 1 => "MD5"
+    case 2 => "SHA-1"
+    case 8 => "SHA-256"
+    case 9 => "SHA-384"
+    case 10 => "SHA-512"
+    case 11 => "SHA-224"
+    case a => throw new IllegalArgumentException(s"unsupported pgp hash algorithm $a")
+  }
+
+  private def symKeyLen(algo: Int): Int = algo match {
+    case 7 => 16 // AES-128
+    case 8 => 24 // AES-192
+    case 9 => 32 // AES-256
+    case a => throw new IllegalArgumentException(s"unsupported pgp cipher algorithm $a (AES only)")
+  }
+
+  /** Iterated+salted S2K (type 3); salt=null → simple (type 0);
+    * codedCount<0 → salted (type 1). Key material longer than one digest
+    * comes from parallel contexts preloaded with i zero bytes.
+    */
+  private def s2kDerive(pass: Array[Byte], salt: Array[Byte], codedCount: Int,
+                        hashAlgo: Int, keyLen: Int): Array[Byte] = {
+    val seed = if (salt == null) pass else salt ++ pass
+    val total =
+      if (salt == null || codedCount < 0) seed.length.toLong
+      else math.max((16L + (codedCount & 15)) << ((codedCount >> 4) + 6), seed.length.toLong)
+    val out = new Array[Byte](keyLen)
+    var produced = 0
+    var ctx = 0
+    while (produced < keyLen) {
+      val md = MessageDigest.getInstance(hashName(hashAlgo))
+      var i = 0
+      while (i < ctx) { md.update(0.toByte); i += 1 }
+      var fed = 0L
+      while (fed + seed.length <= total) { md.update(seed); fed += seed.length }
+      if (fed < total) md.update(seed, 0, (total - fed).toInt)
+      val d = md.digest()
+      val n = math.min(d.length, keyLen - produced)
+      System.arraycopy(d, 0, out, produced, n)
+      produced += n
+      ctx += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ CFB + MDC
+
+  private def cfb(mode: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CFB128/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+
+  /** SEIPD v1 body from inner packet bytes. */
+  private def seipdEncrypt(key: Array[Byte], inner: Array[Byte]): Array[Byte] = {
+    val prefix = new Array[Byte](18)
+    rnd.nextBytes(prefix)
+    prefix(16) = prefix(14); prefix(17) = prefix(15)
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(prefix); md.update(inner); md.update(0xd3.toByte); md.update(0x14.toByte)
+    val mdc = md.digest()
+    val pt = new ByteArrayOutputStream(prefix.length + inner.length + 22)
+    pt.write(prefix, 0, 18); pt.write(inner, 0, inner.length)
+    pt.write(0xd3); pt.write(0x14); pt.write(mdc, 0, 20)
+    val body = new ByteArrayOutputStream()
+    body.write(1) // SEIPD version
+    val ct = cfb(Cipher.ENCRYPT_MODE, key, pt.toByteArray)
+    body.write(ct, 0, ct.length)
+    body.toByteArray
+  }
+
+  private def seipdDecrypt(key: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    require(body.nonEmpty && body(0) == 1, "unsupported SEIPD version (v1/MDC only — AEAD not implemented)")
+    val pt = cfb(Cipher.DECRYPT_MODE, key, java.util.Arrays.copyOfRange(body, 1, body.length))
+    require(pt.length >= 40, "SEIPD too short")
+    require(pt(14) == pt(16) && pt(15) == pt(17), "session key check failed (bad passphrase or key)")
+    val mdcOff = pt.length - 22
+    require((pt(mdcOff) & 0xff) == 0xd3 && (pt(mdcOff + 1) & 0xff) == 0x14, "missing MDC packet")
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(pt, 0, mdcOff + 2)
+    require(MessageDigest.isEqual(md.digest(), java.util.Arrays.copyOfRange(pt, mdcOff + 2, pt.length)),
+      "MDC integrity check failed (message modified)")
+    java.util.Arrays.copyOfRange(pt, 18, mdcOff)
+  }
+
+  // -------------------------------------------------------- literal layers
+
+  private def literalPacket(data: Array[Byte], filename: String, tsSec: Long): Array[Byte] = {
+    val fn = filename.getBytes(StandardCharsets.UTF_8)
+    require(fn.length < 256, "filename too long for literal packet")
+    val b = new ByteArrayOutputStream(data.length + fn.length + 6)
+    b.write('b') // binary
+    b.write(fn.length); b.write(fn, 0, fn.length)
+    b.write(((tsSec >> 24) & 0xff).toInt); b.write(((tsSec >> 16) & 0xff).toInt)
+    b.write(((tsSec >> 8) & 0xff).toInt); b.write((tsSec & 0xff).toInt)
+    b.write(data, 0, data.length)
+    packet(11, b.toByteArray)
+  }
+
+  private def compressedPacket(inner: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true) // ZIP = raw deflate
+    d.setInput(inner); d.finish()
+    val out = new ByteArrayOutputStream(inner.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    packet(8, Array(1.toByte) ++ out.toByteArray)
+  }
+
+  private def decompress(algo: Int, data: Array[Byte]): Array[Byte] = algo match {
+    case 0 => data
+    case 1 | 2 =>
+      val inf = new Inflater(algo == 1) // 1=ZIP raw deflate, 2=ZLIB
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(data.length * 3 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      out.toByteArray
+    case a => throw new IllegalArgumentException(s"unsupported compression algorithm $a")
+  }
+
+  /** Innermost literal data of a decrypted message body (descends through
+    * compression; ignores signature packets — see [[verify]] for those).
+    */
+  private def extractLiteral(inner: Array[Byte]): Array[Byte] = {
+    val packets = readPackets(new ByteArrayInputStream(inner))
+    packets.collectFirst { case (8, body) => body } match {
+      case Some(c) => extractLiteral(decompress(c(0) & 0xff, java.util.Arrays.copyOfRange(c, 1, c.length)))
+      case None =>
+        val lit = packets.collectFirst { case (11, body) => body }
+          .getOrElse(throw new IllegalArgumentException("no literal data packet in message"))
+        literalData(lit)
+    }
+  }
+
+  private def literalData(body: Array[Byte]): Array[Byte] = {
+    val fnLen = body(1) & 0xff
+    java.util.Arrays.copyOfRange(body, 2 + fnLen + 4, body.length)
+  }
+
+  // --------------------------------------------------------- symmetric API
+
+  private val S2kCodedCount = 0xc0 // (16 + 0) << (12 + 6) = 4,194,304 octets
+
+  /** Passphrase-encrypt: SKESK(v4, AES-256, iterated+salted SHA-1 S2K) +
+    * SEIPD(v1, MDC) over Compressed(ZIP, Literal(data)). Interoperates
+    * with `gpg --symmetric`.
+    */
+  def encryptSym(plain: Array[Byte], passphrase: Array[Char],
+                 filename: String = "", tsSec: Long = 0L): Array[Byte] = {
+    val salt = new Array[Byte](8)
+    rnd.nextBytes(salt)
+    val pass = new String(passphrase).getBytes(StandardCharsets.UTF_8)
+    val key = s2kDerive(pass, salt, S2kCodedCount, hashAlgo = 2, keyLen = 32)
+    val skeskBody = new ByteArrayOutputStream(13)
+    skeskBody.write(4)            // SKESK version
+    skeskBody.write(9)            // AES-256
+    skeskBody.write(3)            // S2K: iterated+salted
+    skeskBody.write(2)            // SHA-1
+    skeskBody.write(salt, 0, 8)
+    skeskBody.write(S2kCodedCount)
+    val inner = compressedPacket(literalPacket(plain, filename, tsSec))
+    packet(3, skeskBody.toByteArray) ++ packet(18, seipdEncrypt(key, inner))
+  }
+
+  /** Decrypt a passphrase-encrypted message (ours or gpg's). */
+  def decryptSym(msg: Array[Byte], passphrase: Array[Char]): Array[Byte] = {
+    val packets = readPackets(new ByteArrayInputStream(msg))
+    val pass = new String(passphrase).getBytes(StandardCharsets.UTF_8)
+    val seipd = packets.collectFirst { case (18, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no SEIPD packet (AEAD or plain messages unsupported)"))
+    val keys = packets.collect { case (3, body) =>
+      require(body(0) == 4, s"unsupported SKESK version ${body(0)}")
+      val cipherAlgo = body(1) & 0xff
+      val s2kType = body(2) & 0xff
+      val hashAlgo = body(3) & 0xff
+      var off = 4
+      var salt: Array[Byte] = null
+      var coded = -1
+      s2kType match {
+        case 0 =>
+        case 1 => salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
+        case 3 =>
+          salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
+          coded = body(off) & 0xff; off += 1
+        case t => throw new IllegalArgumentException(s"unsupported S2K type $t")
+      }
+      val s2kKey = s2kDerive(pass, salt, coded, hashAlgo, symKeyLen(cipherAlgo))
+      if (off == body.length) s2kKey
+      else {
+        // encrypted session key: CFB with the S2K key, zero IV
+        val esk = cfb(Cipher.DECRYPT_MODE, s2kKey, java.util.Arrays.copyOfRange(body, off, body.length))
+        val algo = esk(0) & 0xff
+        val k = java.util.Arrays.copyOfRange(esk, 1, 1 + symKeyLen(algo))
+        k
+      }
+    }
+    require(keys.nonEmpty, "no SKESK packet (not a passphrase-encrypted message)")
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    keys.foreach { k =>
+      try return extractLiteral(seipdDecrypt(k, seipd))
+      catch { case e: Exception => errors += e.getMessage }
+    }
+    throw new IllegalArgumentException(s"decryption failed: ${errors.mkString("; ")}")
+  }
+
+  // -------------------------------------------------------- public-key API
+
+  /** A v4 RSA public key parsed from a transferable public key (the bytes
+    * `gpg --export` emits). `keyId` = low 8 bytes of the SHA-1
+    * fingerprint over 0x99 || len || key-packet-body.
+    */
+  final case class PgpPublicKey(key: java.security.interfaces.RSAPublicKey,
+                                keyId: Array[Byte], fingerprint: Array[Byte])
+
+  private def readMpi(body: Array[Byte], off: Int): (java.math.BigInteger, Int) = {
+    val bits = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+    val n = (bits + 7) / 8
+    (new java.math.BigInteger(1, java.util.Arrays.copyOfRange(body, off + 2, off + 2 + n)), off + 2 + n)
+  }
+
+  private def mpi(v: java.math.BigInteger): Array[Byte] = {
+    val raw = v.toByteArray
+    val stripped = if (raw.length > 1 && raw(0) == 0) java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    val bits = v.bitLength()
+    Array(((bits >> 8) & 0xff).toByte, (bits & 0xff).toByte) ++ stripped
+  }
+
+  def parsePublicKey(transferable: Array[Byte]): PgpPublicKey = {
+    val body = readPackets(new ByteArrayInputStream(transferable))
+      .collectFirst { case (6, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no public-key packet"))
+    require(body(0) == 4, s"unsupported public key version ${body(0)}")
+    val algo = body(5) & 0xff
+    require(algo == 1 || algo == 2 || algo == 3, s"unsupported public key algorithm $algo (RSA only)")
+    val (n, off1) = readMpi(body, 6)
+    val (e, _) = readMpi(body, off1)
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(0x99.toByte)
+    md.update(((body.length >> 8) & 0xff).toByte); md.update((body.length & 0xff).toByte)
+    md.update(body)
+    val fp = md.digest()
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.RSAPublicKeySpec(n, e))
+      .asInstanceOf[java.security.interfaces.RSAPublicKey]
+    PgpPublicKey(key, java.util.Arrays.copyOfRange(fp, 12, 20), fp)
+  }
+
+  /** Public-key encrypt: PKESK(v3, RSA PKCS#1) + SEIPD(v1, MDC).
+    * Interoperates with `gpg --decrypt` for a gpg-held RSA key.
+    */
+  def encryptPk(plain: Array[Byte], recipient: PgpPublicKey,
+                filename: String = "", tsSec: Long = 0L): Array[Byte] = {
+    val session = new Array[Byte](32)
+    rnd.nextBytes(session)
+    val payload = new Array[Byte](1 + 32 + 2)
+    payload(0) = 9 // AES-256
+    System.arraycopy(session, 0, payload, 1, 32)
+    var sum = 0
+    session.foreach(b => sum = (sum + (b & 0xff)) & 0xffff)
+    payload(33) = ((sum >> 8) & 0xff).toByte
+    payload(34) = (sum & 0xff).toByte
+    val rsa = Cipher.getInstance("RSA/ECB/PKCS1Padding")
+    rsa.init(Cipher.ENCRYPT_MODE, recipient.key)
+    val wrapped = rsa.doFinal(payload)
+    val pkesk = new ByteArrayOutputStream()
+    pkesk.write(3) // PKESK version
+    pkesk.write(recipient.keyId, 0, 8)
+    pkesk.write(1) // RSA (encrypt or sign)
+    val m = mpi(new java.math.BigInteger(1, wrapped))
+    pkesk.write(m, 0, m.length)
+    val inner = compressedPacket(literalPacket(plain, filename, tsSec))
+    packet(1, pkesk.toByteArray) ++ packet(18, seipdEncrypt(session, inner))
+  }
+
+  /** Decrypt a PKESK message with a JCA RSA private key. */
+  def decryptPk(msg: Array[Byte], priv: PrivateKey): Array[Byte] = {
+    val packets = readPackets(new ByteArrayInputStream(msg))
+    val seipd = packets.collectFirst { case (18, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no SEIPD packet"))
+    val pkesk = packets.collectFirst { case (1, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no PKESK packet"))
+    require(pkesk(0) == 3, s"unsupported PKESK version ${pkesk(0)}")
+    require((pkesk(9) & 0xff) == 1 || (pkesk(9) & 0xff) == 2, "unsupported PKESK algorithm (RSA only)")
+    val (c, _) = readMpi(pkesk, 10)
+    val rsa = Cipher.getInstance("RSA/ECB/PKCS1Padding")
+    rsa.init(Cipher.DECRYPT_MODE, priv)
+    val payload = rsa.doFinal(c.toByteArray match {
+      case a if a(0) == 0 => java.util.Arrays.copyOfRange(a, 1, a.length)
+      case a => a
+    })
+    val algo = payload(0) & 0xff
+    val klen = symKeyLen(algo)
+    val session = java.util.Arrays.copyOfRange(payload, 1, 1 + klen)
+    var sum = 0
+    session.foreach(b => sum = (sum + (b & 0xff)) & 0xffff)
+    val expect = ((payload(1 + klen) & 0xff) << 8) | (payload(2 + klen) & 0xff)
+    require(sum == expect, "session key checksum mismatch")
+    extractLiteral(seipdDecrypt(session, seipd))
+  }
+
+  // ---------------------------------------------------------- signatures
+
+  private def digestInfoPrefix(hashAlgo: Int): Array[Byte] = (hashAlgo match {
+    case 2 => "3021300906052b0e03021a05000414"                 // SHA-1
+    case 8 => "3031300d060960864801650304020105000420"         // SHA-256
+    case 9 => "3041300d060960864801650304020205000430"         // SHA-384
+    case 10 => "3051300d060960864801650304020305000440"        // SHA-512
+    case a => throw new IllegalArgumentException(s"unsupported signature hash $a")
+  }).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Verify a one-pass-signed binary message (`gpg --sign`) against an
+    * RSA public key; returns the signed literal data. Handles v4
+    * signatures of type 0x00 over binary documents.
+    */
+  def verify(msg: Array[Byte], signer: PgpPublicKey): Array[Byte] = {
+    val top = readPackets(new ByteArrayInputStream(msg))
+    // gpg compresses signed messages by default: descend if needed
+    val packets = top.collectFirst { case (8, c) => c } match {
+      case Some(c) => readPackets(new ByteArrayInputStream(
+        decompress(c(0) & 0xff, java.util.Arrays.copyOfRange(c, 1, c.length))))
+      case None => top
+    }
+    val lit = packets.collectFirst { case (11, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no literal packet in signed message"))
+    val data = literalData(lit)
+    val sig = packets.collectFirst { case (2, b) => b }
+      .getOrElse(throw new IllegalArgumentException("no signature packet"))
+    require(sig(0) == 4, s"unsupported signature version ${sig(0)}")
+    val sigType = sig(1) & 0xff
+    require(sigType == 0x00, f"unsupported signature type 0x$sigType%02x (binary document only)")
+    val pkAlgo = sig(2) & 0xff
+    require(pkAlgo == 1 || pkAlgo == 3, s"unsupported signature algorithm $pkAlgo (RSA only)")
+    val hashAlgo = sig(3) & 0xff
+    val hashedLen = ((sig(4) & 0xff) << 8) | (sig(5) & 0xff)
+    val afterHashed = 6 + hashedLen
+    val unhashedLen = ((sig(afterHashed) & 0xff) << 8) | (sig(afterHashed + 1) & 0xff)
+    val sigMpiOff = afterHashed + 2 + unhashedLen + 2 // +2 left-16 bytes
+    val (s, _) = readMpi(sig, sigMpiOff)
+    val md = MessageDigest.getInstance(hashName(hashAlgo))
+    md.update(data)
+    md.update(sig, 0, afterHashed) // version..hashed subpackets
+    // v4 trailer: 0x04 0xFF || BE32(length of hashed portion)
+    val hl = afterHashed
+    md.update(Array[Byte](0x04, 0xff.toByte,
+      ((hl >> 24) & 0xff).toByte, ((hl >> 16) & 0xff).toByte,
+      ((hl >> 8) & 0xff).toByte, (hl & 0xff).toByte))
+    val digest = md.digest()
+    val ver = java.security.Signature.getInstance("NONEwithRSA")
+    ver.initVerify(signer.key)
+    ver.update(digestInfoPrefix(hashAlgo) ++ digest)
+    val raw = s.toByteArray match {
+      case a if a(0) == 0 => java.util.Arrays.copyOfRange(a, 1, a.length)
+      case a => a
+    }
+    // left-pad to modulus size for NONEwithRSA
+    val modLen = (signer.key.getModulus.bitLength() + 7) / 8
+    val padded = if (raw.length < modLen) new Array[Byte](modLen - raw.length) ++ raw else raw
+    require(ver.verify(padded), "pgp signature verification failed")
+    data
+  }
+}
