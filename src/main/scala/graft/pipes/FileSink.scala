@@ -25,8 +25,8 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * wide map, not hours of single-threaded driver I/O.
   *
   * Encrypt+sign (:384-437) is the same post-commit pass —
-  * [[CryptoStage.encryptDir]] (JCA hybrid construction; OpenPGP wire
-  * format itself needs a provider not shipped in-container).
+  * [[CryptoStage.encryptDirPgp]] (real RFC 4880 wire format, [[Pgp]]) or
+  * [[CryptoStage.encryptDir]] (JCA hybrid envelope with signatures).
   */
 object FileSink {
 
