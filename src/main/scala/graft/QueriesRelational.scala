@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational widening batch: multi-dimensional aggregation (cube),
+  * unpivot/melt, window frames (moving aggregates, lag/lead), rank
+  * statistics, and the PQ-compressed ANN search. Determinism conventions
+  * as in [[QueriesCdc]]: integer cents everywhere a value is aggregated;
+  * rank-statistic doubles are exact IEEE divisions of integers (identical
+  * in any engine); total orders under every window.
+  */
+object QueriesRelational {
+
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** CUBE over (returnflag, linestatus) with grouping_id — all 4
+    * grouping-set levels in one pass (Catalyst expands to a single
+    * Expand + hash aggregate: one shuffle for every level at once, the
+    * same plan shape a 100 TB rollup report wants).
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+
+  /** Unpivot (melt): one wide row → (metric, value) long form, the shape
+    * feature-store exports want. Narrow (Expand node), no shuffle.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .filter(col("l_orderkey") % 200 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 1000).cast("long").as("disc_milli"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("qty_cents"), col("price_cents"), col("disc_milli")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
+  /** Window frames: 7-row moving sum/min/max of value cents per user in
+    * event order, plus lag/lead neighbors. One shuffle on user_id; frame
+    * evaluation is a linear scan per partition.
+    */
+  def movingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val frame = w.rowsBetween(-6, 0)
+    events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .select(col("event_id"), col("user_id"), col("value_cents"),
+        sum(col("value_cents")).over(frame).as("mov_sum_cents"),
+        max(col("value_cents")).over(frame).as("mov_max_cents"),
+        count(lit(1)).over(frame).as("mov_n"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+  }
+
+  /** Rank statistics under a TOTAL order (value, id — ties would make
+    * ntile nondeterministic otherwise): rank, dense_rank, ntile(4),
+    * percent_rank and cume_dist per event_type. The doubles are exact
+    * IEEE divisions of integers — identical across engines.
+    */
+  def rankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents"), col("event_id"))
+    events(s, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  /** PQ-compressed ANN: train per-subspace codebooks (deterministic
+    * integer k-means), encode the corpus to 8 nibble codes, ADC-scan the
+    * CODES (not the vectors) for candidates, exact-re-rank only the
+    * candidate set. Candidates = half the corpus here so the correctness
+    * gate equals exact top-k while the plan exercises the real
+    * code-scan→re-rank shape; production tunes candidates ≪ corpus and
+    * composes with IVF cell pruning ([[graft.analytics.Ivf]]).
+    */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val m = graft.analytics.Pq.train(e, col("vec_id"), col("embedding"),
+      k = 32, iters = 8)
+    val codes = graft.analytics.Pq.encode(
+      e.filter(col("vec_id") =!= 1), col("vec_id"), col("embedding"), m)
+    val query = e.filter(col("vec_id") === 1)
+      .select(graft.analytics.Similarity.quantize(col("embedding")).as("q"))
+      .collect()(0).getAs[Seq[Long]]("q").toIndexedSeq
+    val n = codes.count()
+    graft.analytics.Pq.searchTopK(
+      e.filter(col("vec_id") =!= 1), col("vec_id"), col("embedding"),
+      codes, m, query, candidates = math.max(50, (n / 2).toInt), k = 12)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> cubeAgg _,
+    "q_unpivot" -> unpivotMetrics _,
+    "q_moving_agg" -> movingAgg _,
+    "q_rank_stats" -> rankStats _,
+    "q_pq_topk" -> pqTopk _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents,
+        |  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(ROUND(l_discount * 1000) AS BIGINT) AS disc_milli
+        |  FROM lineitem WHERE l_orderkey % 200 = 0)
+        |SELECT l_orderkey, l_linenumber, 'qty_cents' AS metric, qty_cents AS value FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_milli', disc_milli FROM b""".stripMargin,
+
+    "q_moving_agg" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, value_cents,
+        |  CAST(SUM(value_cents) OVER w7 AS BIGINT) AS mov_sum_cents,
+        |  CAST(MAX(value_cents) OVER w7 AS BIGINT) AS mov_max_cents,
+        |  CAST(COUNT(*) OVER w7 AS BIGINT) AS mov_n,
+        |  LAG(event_id, 1) OVER w AS prev_event,
+        |  LEAD(event_id, 1) OVER w AS next_event
+        |FROM b
+        |WINDOW
+        |  w7 AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+
+    "q_rank_stats" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type IN ('signup', 'error'))
+        |SELECT event_id, event_type, value_cents,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value_cents, event_id)""".stripMargin,
+
+    // candidates >= corpus/2 makes the PQ path exact on the gate data:
+    // the oracle is plain brute-force top-12 for query vector 1
+    "q_pq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(ROUND(CAST(q.qv[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |FROM embeddings e, q, generate_series(1, 64) g(i)
+        |WHERE e.vec_id <> 1
+        |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 12""".stripMargin)
+}

@@ -153,12 +153,114 @@ object QueriesTraining {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Paragraph-level boilerplate removal (RefinedWeb/CCNet-style line
+    * dedup, over 8-token chunks since the fixture corpus has no
+    * newlines): chunks whose exact text recurs in >= 5 distinct documents
+    * are boilerplate (headers, footers, nav) and are struck from every
+    * document; survivors are reassembled in order. Output is the cleaned
+    * corpus with kept/dropped counts.
+    *
+    * Scale shape: the only wide op is the chunk-frequency count keyed by
+    * chunk TEXT — bounded by corpus vocabulary, heavily map-side
+    * combined. Reassembly groups by doc_id. Chunking itself is narrow
+    * array arithmetic; document text crosses the wire once, cut into
+    * chunks (same bytes, no amplification).
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val chunked = docs(s, dir).select(col("doc_id"),
+      transform(sequence(lit(0), ((size(ws) - 1) / 8).cast("int")),
+        i => struct(i.as("idx"),
+          concat_ws(" ", slice(ws, i * 8 + 1, lit(8))).as("chunk"))).as("chunks"))
+    val exploded = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    val boiler = exploded.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("chunk"))
+    exploded.join(broadcast(boiler), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+      .join(chunked.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Gopher-style quality rules, all exact integers/booleans computed
+    * narrowly per document (zero shuffles): token count bounds, mean word
+    * length bounds (as cross-multiplied integer comparisons — no
+    * division), non-alphabetic token ratio, and stop-word presence. The
+    * `pass` column is the conjunction — the corpus gate a Gopher-like
+    * curation pipeline applies before tokenization.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+    docs(s, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_word_len"),
+        size(filter(col("ws"), w => w.rlike("^[a-z]+$") === false))
+          .cast("long").as("n_nonalpha"),
+        size(filter(col("ws"), w => array_contains(
+          array(stop.map(lit): _*), w))).cast("long").as("n_stop"))
+      .withColumn("ok_len", col("n_tok") >= 10 && col("n_tok") <= 100000L)
+      .withColumn("ok_word_len", // 2 <= mean <= 12, cross-multiplied
+        col("sum_word_len") >= col("n_tok") * 2 &&
+          col("sum_word_len") <= col("n_tok") * 12)
+      .withColumn("ok_alpha", col("n_nonalpha") * 5 <= col("n_tok"))
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("pass",
+        col("ok_len") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
+  /** Word-bigram language-model scoring: train bigram + unigram-prefix
+    * counts on the corpus, score each document by average conditional
+    * surprisal -ln P(w2|w1) with P = c(w1 w2) / c(w1 ·) (milli-quantized
+    * like BM25), alongside exact-integer signals (bigram total, rarest
+    * bigram's corpus frequency, singleton-bigram count). The perplexity
+    * bucket a CCNet-style pipeline uses to rank corpus quality.
+    *
+    * Scale shape: the model is the aggregated bigram table keyed by gram
+    * text (vocabulary-bounded, map-side combined — the classic
+    * distributed n-gram count); scoring joins each doc's distinct grams
+    * against it with multiplicity carried as an integer, so document text
+    * is never shuffled, only (gram, count) pairs.
+    */
+  def ngramLm(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = docs(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(ws, 2)).as("gram"))
+    val counted = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n")) // per-doc multiplicity, carried as int
+    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    counted
+      .join(model.join(prefix, "w1").select(col("gram"), col("c2"), col("c1")), "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        min(col("c2")).cast("long").as("rarest_freq"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).cast("long").as("n_singletons"),
+        round(sum(-log(col("c2").cast("double") / col("c1").cast("double")) * col("n"))
+          / sum(col("n")) * 1000).cast("long").as("surprisal_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate _,
     "q_repetition" -> repetition _,
     "q_domain_mix" -> domainMix _,
     "q_bm25" -> bm25 _,
-    "q_semdedup_prune" -> semdedupPrune _)
+    "q_semdedup_prune" -> semdedupPrune _,
+    "q_line_dedup" -> lineDedup _,
+    "q_gopher_rules" -> gopherRules _,
+    "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
     "q_decontaminate" ->
@@ -227,5 +329,58 @@ object QueriesTraining {
       """
         |SELECT e.vec_id, e.label FROM embeddings e
         |LEFT JOIN comp c ON c.vec_id = e.vec_id AND c.vec_id <> c.component
-        |WHERE c.vec_id IS NULL""".stripMargin))
+        |WHERE c.vec_id IS NULL""".stripMargin),
+
+    "q_line_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |         array_to_string(w[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+8)], ' ') AS chunk
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(0, (len(w)-1)//8)) AS i FROM ws)),
+        |bo AS (SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) AS df
+        |                          FROM ch GROUP BY chunk) WHERE df >= 5),
+        |kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |           string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |         FROM ch ANTI JOIN bo USING (chunk) GROUP BY doc_id),
+        |nc AS (SELECT doc_id, CAST((len(w)-1)//8 + 1 AS BIGINT) AS n_chunks FROM ws)
+        |SELECT n.doc_id, n.n_chunks,
+        |  COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.clean_text, '') AS clean_text
+        |FROM nc n LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_len,
+        |  CAST(len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_nonalpha,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','and','of','to','in','is','that'], x))) AS BIGINT) AS n_stop
+        |FROM ws)
+        |SELECT doc_id, n_tok, sum_word_len, n_nonalpha, n_stop,
+        |  n_tok >= 10 AND n_tok <= 100000 AS ok_len,
+        |  sum_word_len >= n_tok * 2 AND sum_word_len <= n_tok * 12 AS ok_word_len,
+        |  n_nonalpha * 5 <= n_tok AS ok_alpha,
+        |  n_stop >= 2 AS ok_stop,
+        |  (n_tok >= 10 AND n_tok <= 100000)
+        |    AND (sum_word_len >= n_tok * 2 AND sum_word_len <= n_tok * 12)
+        |    AND n_nonalpha * 5 <= n_tok AND n_stop >= 2 AS pass
+        |FROM t""".stripMargin,
+
+    "q_ngram_lm" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS gram
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 1)) AS i FROM ws)),
+        |pc AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram),
+        |m AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+        |m2 AS (SELECT gram, c2, string_split(gram, ' ')[1] AS w1 FROM m),
+        |p AS (SELECT w1, SUM(c2) AS c1 FROM m2 GROUP BY w1),
+        |j AS (SELECT pc.doc_id, pc.n, m2.c2, p.c1
+        |      FROM pc JOIN m2 USING (gram) JOIN p USING (w1))
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  CAST(MIN(c2) AS BIGINT) AS rarest_freq,
+        |  CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  CAST(ROUND(SUM(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * n)
+        |             / SUM(n) * 1000) AS BIGINT) AS surprisal_milli
+        |FROM j GROUP BY doc_id""".stripMargin)
 }

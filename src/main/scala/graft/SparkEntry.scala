@@ -32,7 +32,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + analytics. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
-      QueriesQuality.queries ++ QueriesPipes.queries ++ QueriesTraining.queries
+      QueriesQuality.queries ++ QueriesPipes.queries ++ QueriesTraining.queries ++
+      QueriesRelational.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -63,7 +64,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
-      QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++ Map(
+      QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++
+      QueriesRelational.oracleSql ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,

@@ -1,0 +1,167 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * search — the memory half of IVF-PQ-style ANN at corpus scale.
+  *
+  * A d-dim vector is cut into `numSub` subvectors; each subvector is
+  * k-means-quantized against a per-subspace codebook of `k` centroids, so
+  * the stored representation is `numSub` small codes (numSub=8, k=16 →
+  * 8 nibbles = 4 bytes/vector instead of 256 bytes of floats, a 64×
+  * compression). Query scoring is Asymmetric Distance Computation (ADC):
+  * per subspace, the query precomputes its dot product with every
+  * centroid (a numSub×k table, driver-side), and a vector's approximate
+  * score is `numSub` table lookups — no float math on the scan.
+  *
+  * Determinism: everything runs on milli-quantized integer components
+  * (see [[Similarity.quantize]]). k-means assignment breaks distance
+  * ties on the lower centroid id; centroid updates are exact integer
+  * sums rounded once on the driver — the trained codebook is therefore
+  * identical across partitionings and reruns (PqSpec asserts it).
+  *
+  * Scale shape: training aggregates (sub, cid, dim) integer sums — rows
+  * bounded by numSub×k×subDim, map-side combined; at 100 TB you train on
+  * a hash-sample (codebooks need ~100k vectors, not the corpus) and the
+  * corpus-wide work is only `encode` — one narrow pass emitting 4-byte
+  * codes — plus the ADC scan over codes. Candidate re-ranking reads full
+  * vectors for the candidate set only.
+  */
+object Pq {
+
+  /** Codebooks: `books(sub)(cid)(dim)` milli-quantized components. */
+  final case class Model(dims: Int, numSub: Int, k: Int,
+                         books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) {
+    def subDim: Int = dims / numSub
+  }
+
+  /** (vec_id, sub, qsub) long-form quantized subvectors. */
+  private def subvectors(emb: DataFrame, id: Column, vec: Column,
+                         dims: Int, numSub: Int): DataFrame = {
+    val subDim = dims / numSub
+    emb.select(id.as("vec_id"), Similarity.quantize(vec).as("q"))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(numSub - 1)),
+          s => struct(s.as("sub"),
+            slice(col("q"), s * subDim + 1, lit(subDim)).as("qsub")))).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.qsub").as("qsub"))
+  }
+
+  /** Nearest-centroid id for `qsub` given a per-sub codebook literal
+    * `struct(cid, cent)` array, ties to the lowest cid. Pure builtin HOFs
+    * (no UDF): L2 over integers, argmin via struct-ordered array_min.
+    */
+  private def assignExpr(booksLit: Column): Column = {
+    val cands = element_at(booksLit, col("sub") + 1)
+    array_min(transform(cands, c =>
+      struct(
+        aggregate(zip_with(col("qsub"), c.getField("cent"),
+          (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d2"),
+        c.getField("cid").as("cid"))))
+      .getField("cid")
+  }
+
+  private def booksColumn(m: Model): Column = {
+    // build array<array<struct<cid, cent>>> literal with stable names
+    val arr = m.books.map { cents =>
+      cents.zipWithIndex.map { case (c, cid) => (cid, c) }
+    }
+    transform(typedLit(arr), sub =>
+      transform(sub, s => struct(s.getField("_1").as("cid"), s.getField("_2").as("cent"))))
+  }
+
+  /** Train per-subspace codebooks with Lloyd's iterations over exact
+    * integer sums. Initial centroids: the subvectors of the `k` lowest
+    * vec_ids (deterministic seeding).
+    */
+  def train(emb: DataFrame, id: Column, vec: Column,
+            dims: Int = 64, numSub: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+    val subDim = dims / numSub
+    val sv = subvectors(emb, id, vec, dims, numSub).persist()
+    try {
+      val seed = sv.filter(col("vec_id") < k)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"), r.getAs[Seq[Long]]("qsub")))
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+        (0 until numSub).map { s =>
+          seed.filter(_._2 == s).sortBy(_._1).take(k).map(_._3.toIndexedSeq).toIndexedSeq
+        }
+      require(books.forall(_.size == k), s"need at least $k vectors to seed $k centroids")
+      var it = 0
+      while (it < iters) {
+        val m = Model(dims, numSub, k, books)
+        // one aggregation pass: (sub, cid, dim) -> exact integer sum + count
+        val assigned = sv.select(col("sub"), col("qsub"),
+          assignExpr(booksColumn(m)).as("cid"))
+        val sums = assigned
+          .select(col("sub"), col("cid"), posexplode(col("qsub")).as(Seq("dim", "v")))
+          .groupBy(col("sub"), col("cid"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = Array.tabulate(numSub, k, subDim)((s, c, d) => books(s)(c)(d))
+        sums.foreach { r =>
+          val (s, c, d) = (r.getAs[Int]("sub"), r.getAs[Int]("cid"), r.getAs[Int]("dim"))
+          next(s)(c)(d) = Math.round(r.getAs[Long]("s").toDouble / r.getAs[Long]("n"))
+        }
+        books = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+        it += 1
+      }
+      Model(dims, numSub, k, books)
+    } finally { sv.unpersist(); () }
+  }
+
+  /** Encode the corpus to PQ codes: (vec_id, codes array<int>, one code
+    * per subspace). One narrow scan + one keyed shuffle to collect the
+    * per-sub codes back into a compact row.
+    */
+  def encode(emb: DataFrame, id: Column, vec: Column, m: Model): DataFrame =
+    subvectors(emb, id, vec, m.dims, m.numSub)
+      .select(col("vec_id"), col("sub"), assignExpr(booksColumn(m)).as("cid"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+
+  /** ADC top-`candidates` by approximate dot product for a quantized
+    * query vector, computed as numSub table lookups per row against the
+    * driver-precomputed query×centroid dot table.
+    */
+  def adcCandidates(codes: DataFrame, m: Model, query: IndexedSeq[Long],
+                    candidates: Int): DataFrame = {
+    require(query.length == m.dims, s"query dim ${query.length} != ${m.dims}")
+    val subDim = m.subDim
+    val dtable: IndexedSeq[IndexedSeq[Long]] = (0 until m.numSub).map { s =>
+      (0 until m.k).map { c =>
+        var acc = 0L
+        var d = 0
+        while (d < subDim) { acc += query(s * subDim + d) * m.books(s)(c)(d); d += 1 }
+        acc
+      }
+    }
+    val dlit = typedLit(dtable)
+    codes
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m.numSub - 1)),
+            (code, s) => element_at(element_at(dlit, s + 1), code.cast("int") + 1)),
+          lit(0L), _ + _).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(candidates)
+  }
+
+  /** Full ANN path: ADC candidate generation over codes, exact
+    * integer-dot re-rank of the candidate set only. With `candidates` ≥
+    * corpus size this is exhaustive (== brute force); smaller values
+    * trade recall for a code-only scan.
+    */
+  def searchTopK(emb: DataFrame, id: Column, vec: Column, codes: DataFrame,
+                 m: Model, query: IndexedSeq[Long], candidates: Int, k: Int): DataFrame = {
+    val cand = adcCandidates(codes, m, query, candidates).select(col("vec_id"))
+    val qlit = typedLit(query)
+    emb.select(id.as("vec_id"), Similarity.quantize(vec).as("q"))
+      .join(cand, "vec_id")
+      .select(col("vec_id"), Similarity.dotQ(col("q"), qlit).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+}
