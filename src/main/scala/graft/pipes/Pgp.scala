@@ -433,6 +433,124 @@ object Pgp {
     extractLiteral(seipdDecrypt(session, seipd))
   }
 
+  // ------------------------------------------- key export + message signing
+
+  /** v4 public-key packet BODY for an RSA key (creation time + MPIs). */
+  private def publicKeyBody(pub: java.security.interfaces.RSAPublicKey, tsSec: Long): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(4)
+    b.write(((tsSec >> 24) & 0xff).toInt); b.write(((tsSec >> 16) & 0xff).toInt)
+    b.write(((tsSec >> 8) & 0xff).toInt); b.write((tsSec & 0xff).toInt)
+    b.write(1) // RSA (encrypt or sign)
+    val n = mpi(pub.getModulus); b.write(n, 0, n.length)
+    val e = mpi(pub.getPublicExponent); b.write(e, 0, e.length)
+    b.toByteArray
+  }
+
+  private def fingerprintOf(keyBody: Array[Byte]): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(0x99.toByte)
+    md.update(((keyBody.length >> 8) & 0xff).toByte); md.update((keyBody.length & 0xff).toByte)
+    md.update(keyBody)
+    md.digest()
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Raw RSA EMSA-PKCS1 signature over an already-computed digest. */
+  private def rsaSign(priv: PrivateKey, hashAlgo: Int, digest: Array[Byte]): Array[Byte] = {
+    val s = java.security.Signature.getInstance("NONEwithRSA")
+    s.initSign(priv)
+    s.update(digestInfoPrefix(hashAlgo) ++ digest)
+    s.sign()
+  }
+
+  /** v4 signature packet body: hashed subpackets = creation time + key
+    * flags (certify for 0x13, sign for 0x00); unhashed = issuer key id.
+    * `hashPreimage` feeds the digest BEFORE the signature's own hashed
+    * portion + trailer.
+    */
+  private def signaturePacketBody(sigType: Int, hashAlgo: Int, priv: PrivateKey,
+                                  keyId: Array[Byte], tsSec: Long,
+                                  hashPreimage: Array[Byte]): Array[Byte] = {
+    val hashed = new ByteArrayOutputStream()
+    // subpacket: len(1) type(1) body — type 2 = creation time
+    hashed.write(5); hashed.write(2); hashed.write(be32(tsSec), 0, 4)
+    // type 27 = key flags: 0x03 certify+sign
+    hashed.write(2); hashed.write(27); hashed.write(0x03)
+    val hashedB = hashed.toByteArray
+    val prefix = new ByteArrayOutputStream()
+    prefix.write(4); prefix.write(sigType); prefix.write(1) // v4, type, RSA
+    prefix.write(hashAlgo)
+    prefix.write((hashedB.length >> 8) & 0xff); prefix.write(hashedB.length & 0xff)
+    prefix.write(hashedB, 0, hashedB.length)
+    val prefixB = prefix.toByteArray
+    val md = MessageDigest.getInstance(hashName(hashAlgo))
+    md.update(hashPreimage)
+    md.update(prefixB)
+    md.update(Array[Byte](0x04, 0xff.toByte)); md.update(be32(prefixB.length.toLong), 0, 4)
+    val digest = md.digest()
+    val sig = rsaSign(priv, hashAlgo, digest)
+    val out = new ByteArrayOutputStream()
+    out.write(prefixB, 0, prefixB.length)
+    // unhashed subpackets: issuer key id (type 16)
+    val unhashed = new ByteArrayOutputStream()
+    unhashed.write(9); unhashed.write(16); unhashed.write(keyId, 0, 8)
+    val unhashedB = unhashed.toByteArray
+    out.write((unhashedB.length >> 8) & 0xff); out.write(unhashedB.length & 0xff)
+    out.write(unhashedB, 0, unhashedB.length)
+    out.write(digest(0)); out.write(digest(1)) // left 16 bits
+    val m = mpi(new java.math.BigInteger(1, sig))
+    out.write(m, 0, m.length)
+    out.toByteArray
+  }
+
+  /** Export a JCA RSA public key as a gpg-importable transferable public
+    * key: Public-Key packet + User ID + positive self-certification
+    * (sig type 0x13 over key + UID).
+    */
+  def exportPublicKey(kp: java.security.KeyPair, userId: String,
+                      tsSec: Long = 1700000000L): Array[Byte] = {
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    val keyBody = publicKeyBody(pub, tsSec)
+    val fp = fingerprintOf(keyBody)
+    val keyId = java.util.Arrays.copyOfRange(fp, 12, 20)
+    val uidB = userId.getBytes(StandardCharsets.UTF_8)
+    // cert hash preimage: 0x99 len2 keyBody ++ 0xB4 len4 uid
+    val pre = new ByteArrayOutputStream()
+    pre.write(0x99); pre.write((keyBody.length >> 8) & 0xff); pre.write(keyBody.length & 0xff)
+    pre.write(keyBody, 0, keyBody.length)
+    pre.write(0xb4); pre.write(be32(uidB.length.toLong), 0, 4); pre.write(uidB, 0, uidB.length)
+    val cert = signaturePacketBody(0x13, 8, kp.getPrivate, keyId, tsSec, pre.toByteArray)
+    packet(6, keyBody) ++ packet(13, uidB) ++ packet(2, cert)
+  }
+
+  /** The key id our [[exportPublicKey]] derives for a JCA keypair. */
+  def keyIdOf(kp: java.security.KeyPair, tsSec: Long = 1700000000L): Array[Byte] = {
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    java.util.Arrays.copyOfRange(fingerprintOf(publicKeyBody(pub, tsSec)), 12, 20)
+  }
+
+  /** One-pass-signed binary message (tag 4 + literal + tag 2 signature),
+    * the `gpg --sign` layout; gpg verifies it after importing
+    * [[exportPublicKey]]'s output.
+    */
+  def sign(data: Array[Byte], kp: java.security.KeyPair,
+           filename: String = "", tsSec: Long = 1700000000L): Array[Byte] = {
+    val keyId = keyIdOf(kp, tsSec)
+    val ops = new ByteArrayOutputStream()
+    ops.write(3)    // one-pass version
+    ops.write(0x00) // binary document
+    ops.write(8)    // SHA-256
+    ops.write(1)    // RSA
+    ops.write(keyId, 0, 8)
+    ops.write(1)    // nested = last one-pass
+    val sigBody = signaturePacketBody(0x00, 8, kp.getPrivate, keyId, tsSec, data)
+    packet(4, ops.toByteArray) ++ literalPacket(data, filename, tsSec) ++ packet(2, sigBody)
+  }
+
   // ---------------------------------------------------------- signatures
 
   private def digestInfoPrefix(hashAlgo: Int): Array[Byte] = (hashAlgo match {
