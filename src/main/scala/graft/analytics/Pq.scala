@@ -164,4 +164,45 @@ object Pq {
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Build the composed IVF-PQ index: coarse cell from [[Ivf]], PQ codes
+    * from this module, full vector kept for re-rank — written partitioned
+    * by `cell`. The one full pass over the corpus; probes after it read
+    * only their probed cell directories (partition pruning), and within a
+    * cell the ADC score needs only the 4-byte codes.
+    */
+  def materializeIvfPq(emb: DataFrame, id: Column, vec: Column,
+                       ivf: Ivf.Model, m: Model, path: String): Unit = {
+    val assigned = Ivf.assign(emb.select(id.as("vec_id"), vec.as("embedding")),
+      "vec_id", "embedding", ivf)
+    val codes = encode(assigned, col("vec_id"), col("embedding"), m)
+    assigned.join(codes, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe the composed index: partition-prune to `nprobe` cells, ADC
+    * over the pruned cells' CODES for `candidates`, exact re-rank of the
+    * candidates' full vectors (read from the same pruned partitions).
+    * nprobe and candidates are the two recall/latency knobs of the
+    * standard IVF-PQ serving shape.
+    */
+  def probeIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ivf: Ivf.Model, m: Model, query: IndexedSeq[Long],
+                 nprobe: Int, candidates: Int, k: Int): DataFrame = {
+    val qd = query.map(_.toDouble / 1000.0).toArray
+    val cells = ivf.nearestCells(qd, nprobe)
+    val pruned = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val cand = adcCandidates(pruned.select(col("vec_id"), col("codes")), m, query, candidates)
+      .select(col("vec_id"))
+    val qlit = typedLit(query)
+    pruned
+      .join(cand, "vec_id")
+      .select(col("vec_id"),
+        Similarity.dotQ(Similarity.quantize(col("embedding")), qlit).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -49,6 +49,44 @@ class PqSpec extends SparkSuite {
     assert(pq === exact)
   }
 
+  test("IVF-PQ: full-probe equals brute force; partial probe prunes partitions") {
+    import graft.analytics.Ivf
+    val ivf = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 5)
+    val m = Pq.train(e, col("vec_id"), col("embedding"), k = 16, iters = 4)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_spec"
+    Pq.materializeIvfPq(e, col("vec_id"), col("embedding"), ivf, m, path)
+    val query = e.filter(col("vec_id") === 0)
+      .select(Similarity.quantize(col("embedding")).as("q"))
+      .collect()(0).getAs[Seq[Long]]("q").toIndexedSeq
+    val n = e.count().toInt
+    // nprobe = all cells, candidates = corpus → exhaustive == brute force
+    val full = Pq.probeIvfPq(spark, path, ivf, m, query, nprobe = 8,
+        candidates = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = e
+      .select(col("vec_id"),
+        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query)).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full === exact)
+    // partial probe: the scan must read at most nprobe cell partitions
+    val nprobe = 3
+    val df = Pq.probeIvfPq(spark, path, ivf, m, query, nprobe, candidates = 50, k = 10)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    scan.foreach { sc =>
+      val parts = sc.metrics("numPartitions").value
+      assert(parts > 0 && parts <= nprobe, s"scan read $parts partitions, expected <= $nprobe")
+    }
+  }
+
   test("ADC candidate recall: half-corpus candidates keep most of the exact top-10") {
     val m = Pq.train(e, col("vec_id"), col("embedding"), k = 16, iters = 5)
     val corpus = e.filter(col("vec_id") =!= 0)
