@@ -401,6 +401,58 @@ object QueriesCdc {
     s.table("graft_stream_window")
   }
 
+  /** Streaming SESSION windows (30-minute gap) through the real engine:
+    * `session_window` + watermark in append mode. Append only emits a
+    * session once the watermark passes its end, so a bounded replay would
+    * withhold every user's last session — the standard fix is an
+    * end-of-stream SENTINEL event per user (2 h after the global max, >
+    * gap from any real event) that advances the watermark past all real
+    * session ends while forming its own (withheld) session. Sessions are
+    * pure gap-islands, so the DuckDB oracle is the lag/cumsum
+    * sessionization over real events.
+    *
+    * Scale shape: session state is per (user, open session), evicted at
+    * the watermark — state size follows ACTIVE users in the gap horizon,
+    * not history; the shuffle is the normal group-by-key exchange.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val src = s"${System.getProperty("java.io.tmpdir")}/graft_ssession_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val base = events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val sentinelTs = base.agg((max(unix_millis(col("ts"))) + 7200000L).as("m"))
+      .collect()(0).getAs[Long]("m")
+    val sentinels = base.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"),
+        timestamp_millis(lit(sentinelTs)).as("ts"),
+        col("user_id"), lit(0L).as("value_cents"))
+    base.unionByName(sentinels)
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema("event_id bigint, ts timestamp, user_id bigint, value_cents bigint")
+      .parquet(src)
+      .withWatermark("ts", "0 seconds")
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("cents"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssession-ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("graft_stream_session")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_session")
+      .filter(col("first_event") >= 0) // belt: sentinel sessions are withheld anyway
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("cents"), col("first_event"), col("last_event"))
+  }
+
   /** Stateful streaming dedup through `flatMapGroupsWithState`: first
     * event per user, emitted exactly once from streaming state. Single
     * AvailableNow batch makes the "first" deterministic (lowest event_id
@@ -518,6 +570,7 @@ object QueriesCdc {
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
+    "q_stream_session" -> streamSession _,
     "q_stream_join" -> streamJoin _,
     "q_state_join" -> stateJoin _)
 }

@@ -208,6 +208,19 @@ object SparkEntry {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
 
+    "q_stream_session" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |o AS (SELECT *, LAG(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM b),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS brk FROM o),
+        |sid AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM m)
+        |SELECT user_id, MIN(tms) AS session_start_ms,
+        |  MAX(tms) + 1800000 AS session_end_ms,
+        |  COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM sid GROUP BY user_id, sess""".stripMargin,
+
     "q_stream_join" ->
       """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
         |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
