@@ -94,6 +94,79 @@ object QueriesRelational {
     * code-scan→re-rank shape; production tunes candidates ≪ corpus and
     * composes with IVF cell pruning ([[graft.analytics.Ivf]]).
     */
+  /** RANGE frame (value-based, not row-based): per-user sum/count of
+    * purchases in the trailing ONE HOUR of event time — the "activity in
+    * the last N minutes" shape. Row frames count rows; range frames bound
+    * by the ORDER BY value, so ties and gaps behave correctly.
+    */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      .rangeBetween(-3600000L, 0L)
+    events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("tms"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .select(col("event_id"), col("user_id"), col("tms"),
+        sum(col("value_cents")).over(w).as("hour_cents"),
+        count(lit(1)).over(w).as("hour_n"))
+  }
+
+  /** TPC-H Q5-shaped 6-way join: region/nation dims broadcast, customer
+    * bushy side, orders⋈lineitem the fact-fact hash join — the optimizer
+    * stress shape (join reorder + broadcast selection + partial aggs).
+    */
+  def multiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = li(s, dir)
+    val sup = Tables.supplier(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** EXISTS-style semi join: orders having at least one high-quantity
+    * line (Catalyst plans a LeftSemi, no row duplication).
+    */
+  def existsSemi(s: SparkSession, dir: String): DataFrame = {
+    val heavy = li(s, dir).filter(col("l_quantity") > 48).select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+  }
+
+  /** Correlated scalar subqueries (decorrelated by Catalyst into
+    * aggregates + joins): customers whose balance exceeds their nation's
+    * average. The above-average test is CROSS-MULTIPLIED onto exact
+    * integer cents (bal × count > sum) — an FP average compare could
+    * flip a borderline row between engines; integers cannot. SQL-text
+    * form so the decorrelation rules themselves run.
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_rel_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM graft_rel_customer c1
+        |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM graft_rel_customer c2
+        |       WHERE c2.c_nationkey = c1.c_nationkey)
+        |    > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+        |       FROM graft_rel_customer c3
+        |       WHERE c3.c_nationkey = c1.c_nationkey)""".stripMargin)
+  }
+
   // train-once, probe-many is the PQ serving contract; training is
   // bit-deterministic (PqSpec), so memoizing the model per dataset is
   // observationally transparent — repeated runs measure the serving path
@@ -122,6 +195,10 @@ object QueriesRelational {
     "q_unpivot" -> unpivotMetrics _,
     "q_moving_agg" -> movingAgg _,
     "q_rank_stats" -> rankStats _,
+    "q_range_frame" -> rangeFrame _,
+    "q_multi_join" -> multiJoin _,
+    "q_exists_semi" -> existsSemi _,
+    "q_scalar_subq" -> scalarSubquery _,
     "q_pq_topk" -> pqTopk _)
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +250,49 @@ object QueriesRelational {
         |  CUME_DIST() OVER w AS cdist
         |FROM b
         |WINDOW w AS (PARTITION BY event_type ORDER BY value_cents, event_id)""".stripMargin,
+
+    "q_range_frame" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, tms,
+        |  CAST(SUM(value_cents) OVER w AS BIGINT) AS hour_cents,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS hour_n
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_multi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_exists_semi" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)""".stripMargin,
+
+    "q_scalar_subq" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer c1
+        |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c1.c_nationkey)
+        |    > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |       FROM customer c3
+        |       WHERE c3.c_nationkey = c1.c_nationkey)""".stripMargin,
 
     // candidates >= corpus/2 makes the PQ path exact on the gate data:
     // the oracle is plain brute-force top-12 for query vector 1

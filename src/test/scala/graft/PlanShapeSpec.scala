@@ -62,4 +62,44 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange"),
       "per-doc repetition math must stay narrow (scan -> project):\n" + p.take(3000))
   }
+
+  test("6-way join broadcasts the dims; ASIA filter reaches the region scan") {
+    val p = plan("q_multi_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name"), p.take(3000))
+    // the two fact tables must NOT broadcast (they scale with the corpus)
+    val broadcasts = p.linesIterator.filter(_.contains("BroadcastExchange")).size
+    assert(broadcasts >= 1, p.take(3000))
+  }
+
+  test("EXISTS plans as a semi join — no row duplication then dedup") {
+    val p = plan("q_exists_semi")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("boilerplate chunk removal anti-joins against a BROADCAST boiler set") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("gopher rules compute with ZERO shuffles") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Exchange"),
+      "per-doc quality rules must stay narrow (scan -> project):\n" + p.take(3000))
+  }
+
+  test("cube computes all grouping sets in ONE aggregate pass (single Expand)") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    // one shuffle for the aggregate, not one per grouping set
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected a single aggregate exchange (+AQE read), got $exchanges:\n" + p.take(3000))
+  }
+
+  test("unpivot stays narrow (Expand, no shuffle)") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), p.take(3000))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
 }
