@@ -196,7 +196,24 @@ object QueriesExtra {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("bits_per_sample"), col("frames"))
 
+  /** Video path, all REAL: synthesize an animated GIF per doc (a genuine
+    * multi-frame container), demux it with ImageIO, sample 2
+    * evenly-strided frames, PNG re-encode each, header-decode the
+    * result. Frame count, sampled indices and dimensions are pure
+    * functions of doc_id, so the oracle recomputes the whole contract —
+    * container demux, stride arithmetic, and decode — from the id alone.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Multimodal.extractFeatures(
+        graft.analytics.Multimodal.frameSample(
+          syntheticMedia(s, dir)(graft.analytics.Multimodal.syntheticGif), n = 2))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_video" -> multimodalVideo _,
     "q_corpus_clean" -> corpusClean _,
     "q_sample_hash" -> sampleHash _,
     "q_pack_sequences" -> packSequences _,
@@ -297,6 +314,20 @@ object QueriesExtra {
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_multimodal_video" ->
+      // the synthetic GIF contract: n_frames = 2 + id%3, w = 8 + id%5,
+      // h = 6 + id%4; sampling 2 frames at stride max(1, n/2) gives
+      // indices (0,1) for 2-3 frames and (0,2) for 4
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS n_frames,
+        |  8 + doc_id % 5 AS width, 6 + doc_id % 4 AS height FROM documents)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  'png' AS format
+        |FROM f, (VALUES (0), (1)) s(k),
+        |  LATERAL (SELECT CASE WHEN k = 0 THEN 0
+        |                       WHEN n_frames = 4 THEN 2 ELSE 1 END AS idx) i""".stripMargin,
 
     "q_multimodal_features" ->
       // the synthetic PNG contract: w = id%16+1, h = id%12+1, RGBA when

@@ -12,11 +12,11 @@ import org.apache.spark.sql.types._
   * (width/height/channels/format, header-only — pixels are not
   * materialized) and [[resize]] does a full decode → scale → PNG
   * re-encode. Audio header decode is REAL too — `javax.sound.sampled`
-  * (WAV/AIFF/AU) backs [[extractAudioFeatures]]. The one remaining stub
-  * is video frame sampling
-  * ([[frameSampleStub]]): container demux genuinely needs codec libraries
-  * absent from this container, so it slices deterministically and is
-  * clearly marked.
+  * (WAV/AIFF/AU) backs [[extractAudioFeatures]]. Video frame sampling is
+  * REAL as well ([[sampleContainerFrames]]): multi-frame container demux
+  * via ImageIO (animated GIF in pure JDK; the call shape serves any
+  * format a reader plugin provides — an MP4 plugin would slot in
+  * unchanged). No stubs remain in this module.
   *
   * Scale design: media bytes stay columnar (never `collect`ed), partitions
   * are sized by `spark.sql.files.maxPartitionBytes` at the scan, decode
@@ -196,21 +196,70 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: split a "video" payload into `n` evenly-spaced
-    * fake frames (byte slices). Real impl: container demux + keyframe
-    * index. Emitted as one row per frame — downstream image ops apply
-    * unchanged.
+  /** Deterministic multi-frame "video" fixture: a REAL animated GIF
+    * (n_frames = 2 + id%3 frames of (8 + id%5) × (6 + id%4), fixed
+    * arithmetic pixel pattern varying per frame) — a genuine multi-frame
+    * container that pure-JDK ImageIO can both WRITE and DEMUX, so the
+    * video path needs no stub: dimensions and frame count are pure
+    * functions of `id` for the oracle to recompute.
     */
-  def frameSampleStub(bytes: Array[Byte], n: Int): Seq[(Int, Array[Byte])] =
-    if (bytes == null || bytes.isEmpty || n <= 0) Seq.empty
-    else {
-      val stride = math.max(1, bytes.length / n)
-      (0 until math.min(n, bytes.length)).map { i =>
-        val start = i * stride
-        (i, java.util.Arrays.copyOfRange(bytes, start,
-          math.min(start + stride, bytes.length)))
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt
+    val h = 6 + (id % 4).toInt
+    val n = 2 + (id % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + f * 101 + x * 31 + y * 17) & 0xffffff) | 0xff000000L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
       }
-    }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** REAL video-container demux: count + decode frames of a multi-frame
+    * container via ImageIO (GIF in pure JDK; the same call shape serves
+    * any format a reader plugin provides). Samples `n` evenly-strided
+    * frames (stride = total/n, floored, min 1), re-encoding each sampled
+    * frame as PNG so every downstream image operator applies unchanged.
+    */
+  def sampleContainerFrames(bytes: Array[Byte], n: Int): Seq[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.isEmpty || n <= 0) return Seq.empty
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val total = r.getNumImages(true)
+        val stride = math.max(1, total / n)
+        (0 until math.min(n, total))
+          .map(_ * stride)
+          .filter(_ < total)
+          .map(i => (i, total, encodePng(r.read(i))))
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      finally r.dispose()
+    } finally iis.close()
+  }
 
   /** Distributed resize over media blobs (narrow, per-partition batches).
     * Undecodable blobs surface as null media — fail-visible, not dropped.
@@ -226,18 +275,22 @@ object Multimodal {
     }(enc)
   }
 
-  /** Distributed frame sampling: one output row per sampled frame, media
-    * column replaced by the frame bytes plus a `frame_idx` column. Fan-out
-    * is bounded by `n` — partition sizing accounts for the multiplier.
+  /** Distributed frame sampling: REAL container demux per blob
+    * ([[sampleContainerFrames]]), one output row per sampled frame — the
+    * media column replaced by the frame's PNG bytes plus `frame_idx` and
+    * `n_frames` columns. Fan-out is bounded by `n` — partition sizing
+    * accounts for the multiplier.
     */
   def frameSample(df: DataFrame, n: Int): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(StructField("frame_idx", IntegerType)))
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("n_frames", IntegerType)))
     val mediaIdx = df.schema.fieldIndex("media")
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.flatMap { row =>
-        frameSampleStub(row.getAs[Array[Byte]](mediaIdx), n).map { case (i, frame) =>
-          Row.fromSeq(row.toSeq.updated(mediaIdx, frame) :+ i)
+        sampleContainerFrames(row.getAs[Array[Byte]](mediaIdx), n).map {
+          case (i, total, frame) =>
+            Row.fromSeq(row.toSeq.updated(mediaIdx, frame) :+ i :+ total)
         }
       }
     }(enc)
