@@ -314,17 +314,29 @@ class MultimodalSpec extends SparkSuite {
     assert(bad.isNullAt(bad.fieldIndex("sample_rate")))
   }
 
-  test("frame-sample plumbing: schema, fan-out, determinism (stub demux)") {
-    val df = Multimodal.asMediaColumn(
-      Seq((1L, "0123456789abcdef" * 8)).toDF("id", "payload"), "payload", "video")
+  test("frame-sample: real GIF demux, stride sampling, PNG re-encode") {
+    val df = (1L to 6L).map(id => (id, Multimodal.syntheticGif(id)))
+      .toDF("id", "media").repartition(3)
     val frames = Multimodal.frameSample(df, 4)
-    assert(frames.columns.contains("frame_idx"))
-    val rows = frames.select(col("frame_idx"), col("media")).collect()
-    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
-    assert(rows.map(_.getAs[Array[Byte]](1).length).sum == 128) // frames tile the payload
-    // frames feed the image ops unchanged (non-image slices -> null features)
+    val byId = frames.select(col("id"), col("frame_idx"), col("n_frames"), col("media"))
+      .collect().groupBy(_.getAs[Long]("id"))
+    (1L to 6L).foreach { id =>
+      val total = 2 + (id % 3).toInt // syntheticGif contract
+      val rows = byId(id).sortBy(_.getAs[Int]("frame_idx"))
+      assert(rows.length == math.min(4, total))
+      assert(rows.forall(_.getAs[Int]("n_frames") == total))
+      assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == (0 until rows.length))
+      rows.foreach { r => // each sampled frame is a decodable PNG at source dims
+        val info = Multimodal.decodeImage(r.getAs[Array[Byte]]("media")).get
+        assert(info.format == "png")
+        assert(info.width == 8 + (id % 5).toInt && info.height == 6 + (id % 4).toInt)
+      }
+    }
+    // frames feed the image ops unchanged: real dims, no nulls
     val feats = Multimodal.extractFeatures(frames)
-    assert(feats.count() == 4)
-    assert(feats.filter(col("width").isNull).count() == 4)
+    assert(feats.filter(col("width").isNull).count() == 0)
+    // non-container bytes demux to zero rows, not failures
+    assert(Multimodal.frameSample(
+      Seq((9L, "not a container".getBytes)).toDF("id", "media"), 4).count() == 0)
   }
 }
