@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -26,6 +27,14 @@ object QueriesTraining {
 
   /** Word n-grams from a token array, built narrowly (index arithmetic
     * over the array, no shuffle). Empty array below n tokens.
+    *
+    * `ws` MUST be a materialized attribute (a projected `col("ws")`), not
+    * an inline `split(...)`: expressions inside a higher-order-function
+    * lambda re-evaluate PER ELEMENT, so an inline split would re-tokenize
+    * the document once per produced gram — O(tokens²) work per doc,
+    * measured 7× slower at sf0.1. Catalyst's CollapseProject keeps the
+    * two-step projection (it refuses to inline non-cheap multi-use
+    * aliases), so materializing first is stable, not an accident.
     */
   private def wordNgrams(ws: Column, n: Int): Column =
     when(size(ws) >= n,
@@ -47,8 +56,9 @@ object QueriesTraining {
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(split(col("text"), " "), 4))).as("gram"))
+        explode(array_distinct(wordNgrams(col("ws"), 4))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 29 === 0)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % 29 =!= 0)
@@ -68,10 +78,9 @@ object QueriesTraining {
     * sort-then-max-run, same answer, O(n log n).
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val tri = wordNgrams(ws, 3)
     docs(s, dir)
-      .select(col("doc_id"), ws.as("ws"), tri.as("tri"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), wordNgrams(col("ws"), 3).as("tri"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tok"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct_tok"),
@@ -108,10 +117,12 @@ object QueriesTraining {
     */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
-    val ws = split(col("text"), " ")
-    val perDoc = docs(s, dir).select(
-      col("doc_id") +: size(ws).cast("long").as("dl") +:
-        terms.map(t => size(filter(ws, w => w === t)).cast("long").as(s"tf_$t")): _*)
+    val ws = col("ws")
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id") +: size(ws).cast("long").as("dl") +:
+          terms.map(t => size(filter(ws, w => w === t)).cast("long").as(s"tf_$t")): _*)
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_tok") +:
         terms.map(t =>
@@ -167,11 +178,13 @@ object QueriesTraining {
     * chunks (same bytes, no amplification).
     */
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val chunked = docs(s, dir).select(col("doc_id"),
-      transform(sequence(lit(0), ((size(ws) - 1) / 8).cast("int")),
-        i => struct(i.as("idx"),
-          concat_ws(" ", slice(ws, i * 8 + 1, lit(8))).as("chunk"))).as("chunks"))
+    val ws = col("ws")
+    val chunked = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), ((size(ws) - 1) / 8).cast("int")),
+          i => struct(i.as("idx"),
+            concat_ws(" ", slice(ws, i * 8 + 1, lit(8))).as("chunk"))).as("chunks"))
     val exploded = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
       .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
     val boiler = exploded.groupBy(col("chunk"))
@@ -234,16 +247,23 @@ object QueriesTraining {
     * is never shuffled, only (gram, count) pairs.
     */
   def ngramLm(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
     val grams = docs(s, dir)
-      .select(col("doc_id"), explode(wordNgrams(ws, 2)).as("gram"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), 2)).as("gram"))
     val counted = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("n")) // per-doc multiplicity, carried as int
-    val model = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-    val prefix = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // The model counts ATTACH by window sums over the per-doc counts
+    // (c2 = corpus count of the gram, c1 = corpus count of its prefix)
+    // instead of materializing a model table and joining it back: the
+    // explode runs once, nothing is broadcast (a 100 TB corpus's bigram
+    // model is itself huge — collecting it to the driver is the
+    // anti-pattern), and every stage is a keyed shuffle of the
+    // already-reduced (doc, gram, n) triples.
+    val wGram = Window.partitionBy(col("gram"))
+    val wPrefix = Window.partitionBy(substring_index(col("gram"), " ", 1))
     counted
-      .join(model.join(prefix, "w1").select(col("gram"), col("c2"), col("c1")), "gram")
+      .withColumn("c2", sum(col("n")).over(wGram))
+      .withColumn("c1", sum(col("n")).over(wPrefix))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         min(col("c2")).cast("long").as("rarest_freq"),
