@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Physical-layout operators: the data-ORGANIZATION layer that decides
+  * whether a 100 TB table is scannable — bucketed co-located joins (the
+  * shuffle you pay once at write time instead of on every join), partition
+  * pruning (directories as a coarse index), Z-order multi-dimensional
+  * clustering (min/max file skipping on two keys at once), bloom-filter
+  * semi-join pruning (the eval-set join that scales past broadcastable),
+  * and SCD2 history build (what a CDC changelog becomes in the lake).
+  *
+  * The reference ships data INTO a lake (HDFS/S3 file sinks,
+  * /root/reference/pipe/file.go) but leaves layout to the reader; these
+  * operators are that missing half, Spark-first.
+  *
+  * Fixture writes (bucketed tables, partitioned dirs) go to pid-unique
+  * tmpdir paths — concurrent Verify/Bench JVMs never race one another —
+  * and are memoized per (path) inside a JVM so bench repeats measure the
+  * READ side, the way a production job reads a layout written once.
+  */
+object QueriesLayout {
+
+  private def dirKey(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private val writtenPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureWritten(path: String)(write: => Unit): Unit = {
+    if (!writtenPaths.contains(path)) synchronized {
+      if (!writtenPaths.contains(path)) { write; writtenPaths.add(path) }
+    }
+  }
+
+  // ------------------------------------------------------------- bucketing
+
+  /** Bucketed co-located join: lineitem and orders both written bucketed
+    * (and sorted) by order key into 8 buckets, then sort-merge joined.
+    * Neither side shuffles — the plan's only Exchange is the tiny
+    * post-join rollup. This is THE big-table-join answer at 100 TB: the
+    * keyed shuffle is paid once at ingest (a pipeline that lands CDC
+    * output bucketed amortizes it over every downstream join); bucket
+    * count scales with data volume, and co-bucketed tables join with
+    * zero data movement forever after. Guarded by LayoutSpec: no
+    * Exchange anywhere under the SortMergeJoin.
+    */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${dirKey(dir)}_$pid"
+    def ensureTable(name: String, df: DataFrame, keyCol: String): String = {
+      val table = s"graft_bkt_${name}_${dirKey(dir)}"
+      if (!s.catalog.tableExists(table)) {
+        df.write.mode("overwrite")
+          .bucketBy(8, keyCol).sortBy(keyCol)
+          .option("path", s"$base/$name")
+          .format("parquet").saveAsTable(table)
+      }
+      table
+    }
+    val li = s.table(ensureTable("lineitem",
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")), "l_orderkey"))
+    val ord = s.table(ensureTable("orders",
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey"))
+    li.hint("merge") // force SMJ so the co-located layout (not a broadcast) is what's exercised
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+  }
+
+  // ----------------------------------------------------- partition pruning
+
+  /** Partition-pruned scan: events written `partitionBy(event_type)` (the
+    * directory layout a streaming file sink produces), then read with a
+    * partition-key predicate + rollup. The filter resolves at PLANNING
+    * time against directory names — the scan never opens a file of
+    * another partition, which at 100 TB is the difference between
+    * reading one event type and reading all of them. LayoutSpec asserts
+    * the predicate lands in PartitionFilters, not in post-scan Filter.
+    */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_partev_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    ensureWritten(path) {
+      Tables.events(s, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
+  // --------------------------------------------------------------- z-order
+
+  /** Z-order clustering stats: interleave the bits of two join/filter
+    * dimensions (part key, supplier key) into one Morton code, cluster by
+    * its high bits, and emit each cluster's count + per-dimension min/max
+    * bounding box. Range-partitioning files by zval is how a lake table
+    * serves selective queries on EITHER dimension from one layout: the
+    * bounding boxes ARE the parquet row-group min/max stats a reader
+    * skips with, and interleaving keeps both boxes tight simultaneously
+    * (a single-column sort keeps one tight and lets the other span the
+    * whole domain). Pure integer bit arithmetic — identical in any
+    * engine, so the DuckDB oracle recomputes it exactly.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val zx = col("zx")
+    val zy = col("zy")
+    val zval = (0 until 16).map { i =>
+      shiftleft(shiftright(zx, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(zy, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 65536).cast("long").as("zx"),
+        (col("l_suppkey") % 65536).cast("long").as("zy"))
+      .select(zx, zy, zval.as("zval"))
+      .groupBy(shiftright(col("zval"), 16).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+        min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+  }
+
+  /** DuckDB side of the Morton interleave, generated from the same loop
+    * so the two engines can never drift.
+    */
+  private[graft] def zvalSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  // ---------------------------------------------------- bloom-filter prune
+
+  /** Bloom-pruned decontamination: the eval-set gram join
+    * ([[QueriesTraining.decontaminate]]) with a bloom-filter pre-pass.
+    * The eval grams aggregate into a ~1.2-byte-per-item sketch on the
+    * driver, broadcast everywhere, and the corpus side drops non-matching
+    * grams BEFORE the exact join; the exact join then kills the false
+    * positives, so the result is bit-identical to the exact query. At
+    * 100 TB this is what keeps the pattern alive when the eval/blocklist
+    * side outgrows a broadcastable hash relation: a 100 M-gram suite is
+    * a ~150 MB bloom vs many GB of broadcast hash map, and the sketch
+    * prunes the (explode-amplified) corpus stream at scan speed.
+    */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(QueriesTraining.wordNgrams(col("ws"), 3))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 17 === 0)
+      .select(col("gram")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("gram", 1 << 17, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    grams.filter(col("doc_id") % 17 =!= 0)
+      .filter(mightContain(col("gram"))) // sketch pre-prune (false positives possible)
+      .join(broadcast(evalGrams), "gram") // exact verify: false positives die here
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  // ------------------------------------------------------------------ scd2
+
+  /** SCD type-2 history build: per-user purchase value as a versioned
+    * dimension — consecutive duplicate values collapse (no-op updates
+    * emit no version), each surviving change opens an interval
+    * [valid_from, valid_to) closed by the next change, latest row flagged
+    * current. This is what a CDC changelog BECOMES in the lake: the
+    * reference streams row images ([/root/reference/changelog/mysql.go]);
+    * the warehouse wants queryable history.
+    *
+    * One shuffle total: both window passes and the change-collapse filter
+    * share the (user_id) partitioning, so lag-dedup, versioning and
+    * interval close run in a single exchanged sort.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("prev_cents", lag(col("value_cents"), 1).over(w))
+      .filter(col("prev_cents").isNull || col("prev_cents") =!= col("value_cents"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("tms"), 1).over(w))
+      .select(col("user_id"), col("version"), col("value_cents"),
+        col("tms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join" -> bucketJoin _,
+    "q_partition_prune" -> partitionPrune _,
+    "q_zorder" -> zorderLayout _,
+    "q_bloom_prune" -> bloomPrune _,
+    "q_scd2" -> scd2 _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH d AS (SELECT CAST(l_partkey % 65536 AS BIGINT) AS zx,
+         |  CAST(l_suppkey % 65536 AS BIGINT) AS zy FROM lineitem),
+         |z AS (SELECT zx, zy, ${zvalSql("zx", "zy")} AS zval FROM d)
+         |SELECT CAST(zval >> 16 AS BIGINT) AS zbucket, COUNT(*) AS n,
+         |  CAST(MIN(zx) AS BIGINT) AS min_x, CAST(MAX(zx) AS BIGINT) AS max_x,
+         |  CAST(MIN(zy) AS BIGINT) AS min_y, CAST(MAX(zy) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "q_bloom_prune" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] || ' ' ||
+        |  w[CAST(pos AS INT) + 2] AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS pos FROM ws)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+        |SELECT doc_id, COUNT(*) AS n_hit_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, LAG(value_cents) OVER
+        |        (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM b),
+        |f AS (SELECT user_id, event_id, tms, value_cents FROM c
+        |      WHERE prev IS NULL OR prev <> value_cents)
+        |SELECT user_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, value_cents,
+        |  tms AS valid_from, LEAD(tms) OVER w AS valid_to,
+        |  LEAD(tms) OVER w IS NULL AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)""".stripMargin)
+}

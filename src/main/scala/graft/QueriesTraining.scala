@@ -36,7 +36,7 @@ object QueriesTraining {
     * two-step projection (it refuses to inline non-cheap multi-use
     * aliases), so materializing first is stable, not an accident.
     */
-  private def wordNgrams(ws: Column, n: Int): Column =
+  private[graft] def wordNgrams(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))

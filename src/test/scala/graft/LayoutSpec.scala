@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value- and plan-level guards for the physical-layout operators
+  * ([[QueriesLayout]]): the scale claims here are about WHERE work
+  * happens (no shuffle under a co-located join, pruning at planning
+  * time, tight per-cluster bounding boxes), which the value oracle
+  * cannot see.
+  */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def executed(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed join: NO exchange under the sort-merge join") {
+    val p = executed("q_bucket_join")
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // the rollup above the join may exchange (on o_orderpriority); the
+    // join inputs must not — no exchange keyed on either join key.
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed co-located join must not shuffle either side:\n" + p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+  }
+
+  test("partition-pruned scan: predicate resolves in PartitionFilters, not post-scan") {
+    val p = executed("q_partition_prune")
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLines.contains("event_type"),
+      "event_type must prune at planning time:\n" + p.take(3000))
+    // no data-filter on the partition column anywhere in the plan
+    val dataFilters = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString
+    assert(!dataFilters.contains("event_type"), p.take(3000))
+  }
+
+  test("z-order buckets have exact 256x256 bounding boxes on BOTH dimensions") {
+    val rows = SparkEntry.queries("q_zorder")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"))
+      val (minY, maxY) = (r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))
+      // zbucket fixes bits 8+ of x AND y simultaneously — the property a
+      // single-column sort cannot give both dimensions at once
+      assert(minX >> 8 == maxX >> 8, s"x box spans blocks: $r")
+      assert(minY >> 8 == maxY >> 8, s"y box spans blocks: $r")
+    }
+  }
+
+  test("bloom pre-prune is transparent: equals the exact join, and prunes the stream") {
+    val exact = {
+      val grams = graft.core.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(array_distinct(QueriesTraining.wordNgrams(col("ws"), 3))).as("gram"))
+      val ev = grams.filter(col("doc_id") % 17 === 0).select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 17 =!= 0).join(ev, "gram")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val got = SparkEntry.queries("q_bloom_prune")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == exact)
+  }
+
+  test("scd2 invariants: contiguous versions, chained intervals, one current, no no-op versions") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length).toSeq,
+        s"user $user versions not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+            s"user $user intervals must chain")
+          assert(a.getAs[Long]("value_cents") != b.getAs[Long]("value_cents"),
+            s"user $user no-op update survived collapse")
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"user $user current rows")
+      assert(sorted.last.getAs[Boolean]("is_current") && sorted.last.isNullAt(
+        sorted.last.fieldIndex("valid_to")), s"user $user last version must be open")
+    }
+  }
+}
