@@ -216,6 +216,31 @@ object QueriesAnalytics {
           numHashes = 8, rowsPerBand = 4),
         "doc_id"))
 
+  /** Quality-aware canonical selection: which member of each duplicate
+    * cluster to KEEP. `dupClusters` keeps the min-id root; a real
+    * curation pipeline keeps the BEST copy (longest text here, via the
+    * `n_chars` quality signal; ties break to the lowest id for
+    * determinism). One aggregate over (cluster member, quality): the
+    * argmax travels as a single struct through a map-side-combinable
+    * `max` — no window sort over cluster partitions, so a pathological
+    * million-member cluster still reduces in one combine tree.
+    */
+  def clusterKeeper(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val comp = Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(
+        Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8, numHashes = 8,
+          rowsPerBand = 4),
+        "doc_id"))
+    comp.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("n_docs"),
+        (-col("best.nid")).cast("long").as("keep_id"),
+        col("best.c").cast("long").as("keep_chars"))
+  }
+
   /** n-gram Jaccard over consecutive-id pairs (stands in for LSH candidate
     * pairs, which are data-dependent and may be empty on this corpus).
     */
@@ -334,6 +359,7 @@ object QueriesAnalytics {
     "q_minhash_lsh" -> minhashLsh _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_cluster_keeper" -> clusterKeeper _,
     "q_simhash_pairs" -> simhashPairs _,
     "q_range_join" -> rangeJoin _,
     "q_dedup_pipeline" -> dedupPipeline _,

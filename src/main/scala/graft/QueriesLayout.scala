@@ -146,19 +146,34 @@ object QueriesLayout {
     * side outgrows a broadcastable hash relation: a 100 M-gram suite is
     * a ~150 MB bloom vs many GB of broadcast hash map, and the sketch
     * prunes the (explode-amplified) corpus stream at scan speed.
+    *
+    * Sketch build AND probe are Spark's own codegen'd bloom expressions
+    * (the machinery behind AQE runtime filters) over `xxhash64(gram)` —
+    * no Scala closure anywhere in the probe path, so the pre-prune stays
+    * inside whole-stage codegen. The sketch travels as a binary literal
+    * in the plan (metadata-sized, exactly like an injected runtime
+    * filter); the probe column is hashed once and checked against bits.
     */
   def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val registry = s.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs.head, (1L << 17): Long), "built-in")
+    registry.createOrReplaceTempFunction("graft_might_contain",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(array_distinct(QueriesTraining.wordNgrams(col("ws"), 3))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 17 === 0)
       .select(col("gram")).distinct()
-    val bloom = evalGrams.stat.bloomFilter("gram", 1 << 17, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val sketch = evalGrams
+      .agg(call_function("graft_bloom_agg", xxhash64(col("gram"))).as("bf"))
+      .head.getAs[Array[Byte]](0)
     grams.filter(col("doc_id") % 17 =!= 0)
-      .filter(mightContain(col("gram"))) // sketch pre-prune (false positives possible)
+      // sketch pre-prune (false positives possible), codegen'd bit probe
+      .filter(call_function("graft_might_contain", lit(sketch), xxhash64(col("gram"))))
       .join(broadcast(evalGrams), "gram") // exact verify: false positives die here
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
@@ -194,7 +209,66 @@ object QueriesLayout {
         col("valid_to").isNull.as("is_current"))
   }
 
+  // ---------------------------------------------------- copy-on-write merge
+
+  /** Copy-on-write CDC upsert into a partitioned lake table — the write
+    * side of what the reference's file sinks feed: a keyed state table
+    * partitioned by `bucket = user_id % 16`, a CDC delta merged in by
+    * REWRITING ONLY THE PARTITIONS THE DELTA TOUCHES, and a versioned
+    * layout (v0 base + v1 rewrites) whose reader resolves
+    * latest-version-per-partition — the Hudi/Iceberg COW shape in plain
+    * Spark + parquet.
+    *
+    * Every driver-side step is metadata-sized (the touched-bucket list —
+    * the role a table format's manifest plays); the data path is two
+    * keyed aggregations and one partition-pruned state read. At 100 TB a
+    * delta touching 4 of 16 buckets reads and rewrites 1/4 of the table;
+    * the untouched partitions are never opened — LayoutSpec asserts the
+    * merge scan carries the bucket predicate in PartitionFilters and
+    * that v1 holds only the touched buckets.
+    *
+    * Fixture writes are memoized per JVM like the other layout queries
+    * (the merge is NOT idempotent — re-merging the same delta would
+    * double-count — which is exactly why real COW tables fence commits
+    * with a manifest version; `ensureWritten` is that fence here).
+    */
+  def cowUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    val v0 = s"$base/v0"
+    val v1 = s"$base/v1"
+    ensureWritten(base) {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (col("user_id") % 16).cast("int").as("bucket"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+      // the delta: late-arriving events, concentrated on buckets 0-3
+      val isDelta = (col("event_id") % 5 === 4) && (col("user_id") % 16 < 4)
+      def rollup(df: DataFrame) = df.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      rollup(ev.filter(!isDelta))
+        .write.mode("overwrite").partitionBy("bucket").parquet(v0)
+      val delta = rollup(ev.filter(isDelta))
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted // manifest-sized (<= 16 values)
+      val state = s.read.parquet(v0)
+        .filter(col("bucket").isin(touched.map(Int.box): _*)) // partition-pruned
+      state.unionByName(delta)
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(v1)
+    }
+    // reader: v1 partitions shadow v0 (latest-version-per-partition)
+    val v1Buckets = s.read.parquet(v1).select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)) // partition listing, no data columns read
+    s.read.parquet(v0)
+      .filter(!col("bucket").isin(v1Buckets.map(Int.box): _*))
+      .unionByName(s.read.parquet(v1))
+      .select(col("user_id"), col("bucket").cast("long").as("bucket"),
+        col("n_events"), col("cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cow_upsert" -> cowUpsert _,
     "q_bucket_join" -> bucketJoin _,
     "q_partition_prune" -> partitionPrune _,
     "q_zorder" -> zorderLayout _,
@@ -202,6 +276,11 @@ object QueriesLayout {
     "q_scd2" -> scd2 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cow_upsert" ->
+      """SELECT user_id, user_id % 16 AS bucket, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_bucket_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)

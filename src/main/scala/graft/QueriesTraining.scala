@@ -272,7 +272,73 @@ object QueriesTraining {
           / sum(col("n")) * 1000).cast("long").as("surprisal_milli"))
   }
 
+  /** Exact repeated-substring dedup (the window-granular operator of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every `w`-token window whose exact text recurs in >= 2
+    * distinct documents is a duplicated span. Per document: total
+    * windows, duplicated windows, and the number of TOKENS covered by
+    * the UNION of duplicated windows (overlapping spans counted once) —
+    * the signal a curation pipeline thresholds to drop or trim documents
+    * that are mostly boilerplate copied from elsewhere in the corpus.
+    *
+    * Scale shape: windows shuffle as (md5, doc_id, pos) — a fixed 32-char
+    * key, never the w-token text — keyed by the hash for the
+    * document-frequency count; the hit join reuses the same key (exchange
+    * reuse). The interval-union coverage is a NARROW sorted fold
+    * (`aggregate` over the per-doc position list): positions are bounded
+    * by document length, so no explode-by-w amplification and no second
+    * wide op. md5 (not a 64-bit hash) keys the shuffle so the oracle can
+    * recompute the exact same grouping; at 128 bits collisions are not a
+    * correctness consideration.
+    */
+  private[graft] def substringDedupOn(d: DataFrame, w: Int): DataFrame = {
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"), col("ws"))
+    val wins = base.select(col("doc_id"),
+      when(size(col("ws")) >= w,
+        transform(sequence(lit(1), size(col("ws")) - (w - 1)),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ",
+              (0 until w).map(k => element_at(col("ws"), i + k)): _*)).as("h"))))
+        .otherwise(array().cast("array<struct<pos:bigint,h:string>>")).as("wa"))
+    val windows = wins.select(col("doc_id"), explode(col("wa")).as("wp"))
+      .select(col("doc_id"), col("wp.pos").as("pos"), col("wp.h").as("h"))
+    val dup = windows.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val hits = windows.join(dup, "h")
+    // interval-union coverage: sorted positions folded left to right;
+    // each window [p, p+w-1] contributes only tokens past the furthest
+    // end seen so far, so overlaps never double-count
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        aggregate(col("ps"),
+          struct(lit(0L).as("covered"), lit(0L).as("last_end")),
+          (acc, p) => {
+            val start = greatest(p, acc.getField("last_end") + 1)
+            val end = p + lit((w - 1).toLong)
+            struct(
+              (acc.getField("covered") + greatest(end - start + 1, lit(0L)))
+                .as("covered"),
+              greatest(acc.getField("last_end"), end).as("last_end"))
+          },
+          acc => acc.getField("covered")).as("n_covered_tokens"))
+    base.select(col("doc_id"), col("n_tok"),
+        greatest(col("n_tok") - (w - 1), lit(0L)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"))
+  }
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOn(docs(s, dir), w = 12)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dedup" -> substringDedup _,
     "q_decontaminate" -> decontaminate _,
     "q_repetition" -> repetition _,
     "q_domain_mix" -> domainMix _,
@@ -283,6 +349,26 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_substring_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        md5(array_to_string(w[CAST(pos AS INT):(CAST(pos AS INT) + 11)], ' ')) AS h
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 11)) AS pos FROM ws)),
+        |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+        |                       FROM g GROUP BY h) WHERE df >= 2),
+        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows FROM hits GROUP BY doc_id),
+        |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_covered_tokens FROM
+        |         (SELECT doc_id, unnest(generate_series(pos, pos + 11)) AS t FROM hits)
+        |        GROUP BY doc_id),
+        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |         CAST(GREATEST(len(w) - 11, 0) AS BIGINT) AS n_windows FROM ws)
+        |SELECT nw.doc_id, nw.n_tok, nw.n_windows,
+        |  COALESCE(nd.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(cov.n_covered_tokens, 0) AS n_covered_tokens
+        |FROM nw LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
     "q_decontaminate" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id,

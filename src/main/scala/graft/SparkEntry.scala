@@ -357,6 +357,33 @@ object SparkEntry {
           |SELECT component, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
           |FROM comp GROUP BY component""".stripMargin),
 
+    "q_cluster_keeper" ->
+      (minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bk a
+          |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+          |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst <> r.src),
+          |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+          |         FROM reach GROUP BY src)
+          |SELECT component, n_docs, doc_id AS keep_id, n_chars AS keep_chars FROM (
+          |  SELECT c.component, COUNT(*) OVER (PARTITION BY c.component) AS n_docs,
+          |    c.doc_id, d.n_chars,
+          |    row_number() OVER (PARTITION BY c.component
+          |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          |  FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1""".stripMargin),
+
     "q_dedup_pipeline" ->
       (minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """,

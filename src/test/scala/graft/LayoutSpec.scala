@@ -68,6 +68,54 @@ class LayoutSpec extends SparkSuite {
     assert(got == exact)
   }
 
+  test("bloom pre-prune probe is a native codegen expression, not a Scala UDF") {
+    val p = executed("q_bloom_prune")
+    assert(p.contains("might_contain"), "probe must be BloomFilterMightContain:\n" + p.take(3000))
+    assert(!p.contains("UDF"), "no Scala closure in the probe path:\n" + p.take(3000))
+  }
+
+  test("cow upsert: equals the full aggregate; v1 holds ONLY the touched buckets") {
+    val got = SparkEntry.queries("q_cow_upsert")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = graft.core.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg((first(col("user_id")) % 16).as("bucket"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "merged COW table must equal the one-shot aggregate")
+
+    // the rewrite wrote only the delta's partitions: v1 = buckets 0-3
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_" +
+      sf0001.replaceAll("[^a-zA-Z0-9]", "_") + s"_${ProcessHandle.current().pid()}"
+    val v1Dirs = new java.io.File(s"$base/v1").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(v1Dirs == Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"),
+      s"COW must rewrite only touched partitions, got $v1Dirs")
+    // every bucket the data populates exists in v0 (the untouched ones
+    // were never rewritten and are served from there)
+    val v0Dirs = new java.io.File(s"$base/v0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val populated = want.values.map(v => s"bucket=${v._1}").toSet
+    assert(populated.forall(v0Dirs.contains), s"v0: $v0Dirs vs data: $populated")
+
+    // the merge-side state read prunes partitions at planning time: same
+    // scan shape the operator used (v0 + touched-bucket predicate)
+    val merge = spark.read.parquet(s"$base/v0")
+      .filter(col("bucket").isin(0, 1, 2, 3))
+    merge.collect()
+    val mp = merge.queryExecution.executedPlan.toString
+    val pf = mp.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("bucket"), "bucket predicate must land in PartitionFilters:\n" + mp.take(3000))
+
+    // and the catalog reader's v0 leg prunes the shadowed buckets the same way
+    val reader = SparkEntry.queries("q_cow_upsert")(spark, sf0001)
+    reader.collect()
+    val rp = reader.queryExecution.executedPlan.toString
+    assert(rp.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString.contains("bucket"), rp.take(3000))
+  }
+
   test("scd2 invariants: contiguous versions, chained intervals, one current, no no-op versions") {
     val rows = SparkEntry.queries("q_scd2")(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("user_id"))

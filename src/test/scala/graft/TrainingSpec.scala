@@ -99,6 +99,72 @@ class TrainingSpec extends SparkSuite {
       "a real mix keeps some and drops some")
   }
 
+  test("substring dedup: window counts and interval-union coverage by hand") {
+    // w=3 windows. doc1 "a b c d e f": windows abc,bcd,cde,def; doc2
+    // shares abc (pos 3) and bcd (pos 4); doc3's only window is unique;
+    // doc4 is below the window size.
+    val dir = docDir(Seq(
+      1L -> "a b c d e f",
+      2L -> "x x a b c d y",
+      3L -> "z z z",
+      4L -> "q w"))
+    val out = QueriesTraining.substringDedupOn(
+        graft.core.Tables.documents(spark, dir), w = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(2) == 4L, "doc1 windows")
+    assert(r1.getLong(3) == 2L, "doc1 dup windows: abc,bcd")
+    // [1..3] U [2..4] -> tokens 1-4
+    assert(r1.getLong(4) == 4L, "doc1 covered tokens")
+    val r2 = out(2L)
+    assert(r2.getLong(2) == 5L && r2.getLong(3) == 2L, "doc2 windows")
+    // [3..5] U [4..6] -> tokens 3-6
+    assert(r2.getLong(4) == 4L, "doc2 covered tokens")
+    assert(out(3L).getLong(3) == 0L && out(3L).getLong(4) == 0L, "unique doc")
+    assert(out(4L).getLong(2) == 0L && out(4L).getLong(4) == 0L, "short doc")
+  }
+
+  test("substring dedup: identical docs are fully covered; overlaps never double-count") {
+    val dir = docDir(Seq(
+      7L -> "m n o p q r s",
+      8L -> "m n o p q r s",   // identical twin: every window duplicated
+      9L -> "h i j k l"))      // unrelated
+    val out = QueriesTraining.substringDedupOn(
+        graft.core.Tables.documents(spark, dir), w = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(7L, 8L).foreach { id =>
+      val r = out(id)
+      assert(r.getLong(3) == r.getLong(2), s"doc $id: all windows dup")
+      // 5 overlapping windows, union = the whole 7-token doc, not 15
+      assert(r.getLong(4) == r.getLong(1), s"doc $id fully covered")
+    }
+    assert(out(9L).getLong(4) == 0L)
+  }
+
+  test("cluster keeper: keeps the longest member, ties to the lowest id") {
+    val keepers = QueriesAnalytics.clusterKeeper(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(keepers.nonEmpty, "fixture corpus has dup clusters")
+    val comp = graft.analytics.Dedup.connectedComponents(
+      graft.analytics.Dedup.lshCandidatePairs(
+        graft.analytics.Dedup.lshBandKeys(
+          graft.core.Tables.documents(spark, sf0001), "doc_id",
+          org.apache.spark.sql.functions.col("text"), k = 8, numHashes = 8,
+          rowsPerBand = 4), "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.groupBy(_._2).foreach { case (component, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(id => (chars(id), -id)).max
+      val r = keepers(component)
+      assert(r.getLong(1) == ids.length.toLong, s"cluster $component size")
+      assert(r.getLong(2) == -best._2, s"cluster $component keeper id")
+      assert(r.getLong(3) == best._1, s"cluster $component keeper chars")
+    }
+  }
+
   test("semdedup prune: drops exactly the non-root cluster members") {
     val pruned = QueriesTraining.semdedupPrune(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
