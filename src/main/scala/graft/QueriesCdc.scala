@@ -588,6 +588,51 @@ object QueriesCdc {
     s.table("graft_stream_join")
   }
 
+  /** Stream-STATIC broadcast enrichment: a streaming fact joined to a
+    * bounded dimension — the lookup-table pattern (user profile, schema
+    * registry, routing config) every CDC consumer runs. The dim is a
+    * batch DataFrame broadcast into each micro-batch's plan; no state
+    * store, no watermark — stream-static inner joins are stateless by
+    * construction (each batch joins against the dim as-of that batch).
+    * Replay is 2 files → 2 micro-batches, so the broadcast re-resolution
+    * across batches is what's exercised; the oracle is the static join.
+    *
+    * Scale shape: dim ships once per executor per batch (Spark re-uses
+    * the broadcast across a batch's tasks); a dim too big to broadcast
+    * flips to a shuffle join without changing semantics. State cost:
+    * zero.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val src = memoFixture(s"senrich_$dir") {
+      val p = fixturePath("senrich_src", dir)
+      events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val dim = events(s, dir).groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").cast("string").as("first_seen"),
+        countDistinct(col("event_type")).as("n_types"))
+    val stream = s.readStream
+      .schema("event_id bigint, ts timestamp, user_id bigint, event_type string, cents bigint")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), "user_id")
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("first_seen"), col("n_types"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-senrich-ckpt").toString
+    val q = stream.writeStream.format("memory").queryName("graft_stream_enrich")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_enrich")
+  }
+
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
     * dims broadcast.
     */
@@ -625,5 +670,6 @@ object QueriesCdc {
     "q_stream_dedup" -> streamDedup _,
     "q_stream_session" -> streamSession _,
     "q_stream_join" -> streamJoin _,
+    "q_stream_enrich" -> streamEnrich _,
     "q_state_join" -> stateJoin _)
 }

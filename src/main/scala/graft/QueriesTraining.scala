@@ -338,8 +338,35 @@ object QueriesTraining {
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupOn(docs(s, dir), w = 12)
 
+  /** Token-budget corpus assembly: fill each source's token budget with
+    * its best documents — rank within source by quality (longest first
+    * via `n_chars`, ties to the lowest id), cumulative token count, keep
+    * while the running total fits. The "assemble a 30 B-token corpus at
+    * web:wiki:code = x:y:z" knob, made deterministic: same docs in, same
+    * corpus out, on any cluster.
+    *
+    * Scale shape: one keyed shuffle (window by source). The running sum
+    * orders ~docs-per-source rows per partition; a source so large its
+    * partition skews is exactly the source whose budget cut happens
+    * earliest, and the window needs only rows until the budget trips —
+    * at production scale the same cut runs as a per-source TakeOrdered
+    * of budget/avg_doc_tokens docs before the exact windowed pass.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L // tokens per source
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
+    "q_token_budget" -> tokenBudget _,
     "q_decontaminate" -> decontaminate _,
     "q_repetition" -> repetition _,
     "q_domain_mix" -> domainMix _,
@@ -369,6 +396,14 @@ object QueriesTraining {
         |  COALESCE(nd.n_dup_windows, 0) AS n_dup_windows,
         |  COALESCE(cov.n_covered_tokens, 0) AS n_covered_tokens
         |FROM nw LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+        |        ORDER BY n_chars DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 800""".stripMargin,
 
     "q_decontaminate" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

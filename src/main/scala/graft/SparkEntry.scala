@@ -229,6 +229,16 @@ object SparkEntry {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin,
 
+    "q_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_seen,
+        |    COUNT(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+        |  d.first_seen, d.n_types
+        |FROM events e JOIN dim d ON d.user_id = e.user_id
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+
     "q_state_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
          |  ${centsSum.format("c_acctbal * 100")} AS bal_cents
