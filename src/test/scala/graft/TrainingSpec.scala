@@ -99,6 +99,18 @@ class TrainingSpec extends SparkSuite {
       "a real mix keeps some and drops some")
   }
 
+  test("repetition: native TokenStats equals the composed HOF form, edges included") {
+    val edge = docDir(Seq(
+      11L -> "a  b c ",          // empty interior + trailing empty token
+      12L -> "日本 語 日本 語 x",  // multi-byte, repeated tokens
+      13L -> ""))                 // empty text -> one empty token
+    Seq(sf0001, edge).foreach { dir =>
+      val n = QueriesTraining.repetition(spark, dir)
+      val c = QueriesTraining.repetitionComposed(spark, dir)
+      assert(n.exceptAll(c).isEmpty && c.exceptAll(n).isEmpty, s"parity at $dir")
+    }
+  }
+
   test("substring dedup: window counts and interval-union coverage by hand") {
     // w=3 windows. doc1 "a b c d e f": windows abc,bcd,cde,def; doc2
     // shares abc (pos 3) and bcd (pos 4); doc3's only window is unique;
