@@ -588,6 +588,59 @@ object QueriesCdc {
     s.table("graft_stream_join")
   }
 
+  /** Incremental aggregate maintenance with RETRACTIONS: the changelog →
+    * materialized-view bridge. Each CDC op becomes a signed delta against
+    * a per-user aggregate — insert contributes (+1 row, +cents), update
+    * contributes the value DIFF (before-image convention as in
+    * [[binlogBinary]]: before = cents - 1, so an update nets +1), delete
+    * retracts (-1 row, -cents) — and the streaming engine folds the
+    * deltas into the maintained view across micro-batches. Complete-mode
+    * memory sink makes the final state oracle-checkable; the
+    * production form is update mode into a keyed sink (JDBC MERGE /
+    * COW partitions), same aggregate, bounded emission.
+    *
+    * Scale shape: deltas are (user_id, ±long) pairs — map-side combined
+    * like any sum; state is one row per live group, independent of
+    * changelog length. This is why an MV over a 100 TB changelog is
+    * cheap: the stream is integrals' DERIVATIVE, and the engine only
+    * keeps the integral.
+    */
+  def streamRetract(s: SparkSession, dir: String): DataFrame = {
+    val src = memoFixture(s"sretract_$dir") {
+      val p = fixturePath("sretract_src", dir)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val deltas = s.readStream
+      .schema("event_id bigint, user_id bigint, event_type string, cents bigint")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(col("user_id"),
+        when(col("event_type") === "signup", 1L)
+          .when(col("event_type") === "click", 0L)
+          .otherwise(-1L).as("d_rows"),
+        when(col("event_type") === "signup", col("cents"))
+          .when(col("event_type") === "click", lit(1L)) // update: cents - before
+          .otherwise(-col("cents")).as("d_cents"))
+    val mv = deltas.groupBy(col("user_id"))
+      .agg(sum(col("d_rows")).as("n_live"), sum(col("d_cents")).as("net_cents"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sretract-ckpt").toString
+    withStatePartitions(s, 8) {
+      val q = mv.writeStream.format("memory").queryName("graft_stream_retract")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table("graft_stream_retract")
+  }
+
   /** Stream-STATIC broadcast enrichment: a streaming fact joined to a
     * bounded dimension — the lookup-table pattern (user profile, schema
     * registry, routing config) every CDC consumer runs. The dim is a
@@ -671,5 +724,6 @@ object QueriesCdc {
     "q_stream_session" -> streamSession _,
     "q_stream_join" -> streamJoin _,
     "q_stream_enrich" -> streamEnrich _,
+    "q_stream_retract" -> streamRetract _,
     "q_state_join" -> stateJoin _)
 }

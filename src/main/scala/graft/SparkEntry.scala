@@ -229,6 +229,17 @@ object SparkEntry {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR""".stripMargin,
 
+    "q_stream_retract" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE event_type WHEN 'signup' THEN 1
+        |                           WHEN 'error' THEN -1 ELSE 0 END) AS BIGINT) AS n_live,
+        |  CAST(SUM(CASE event_type
+        |             WHEN 'signup' THEN CAST(ROUND(value * 100) AS BIGINT)
+        |             WHEN 'click' THEN 1
+        |             ELSE -CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS net_cents
+        |FROM events WHERE event_type IN ('signup', 'click', 'error')
+        |GROUP BY user_id""".stripMargin,
+
     "q_stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_seen,
