@@ -102,4 +102,46 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Expand"), p.take(3000))
     assert(!p.contains("Exchange"), p.take(3000))
   }
+
+  // executed AQE plan, Final Plan section only (the string repeats every
+  // node under "== Initial Plan ==", which double-counts exchanges)
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    s.indexOf("== Initial Plan ==") match {
+      case -1 => s
+      case i => s.substring(0, i)
+    }
+  }
+
+  test("substring dedup shuffles window HASHES only — never window text") {
+    val p = finalPlan("q_substring_dedup")
+    // every exchange keys on the md5 column or doc_id, never a gram/text col
+    val badKeys = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(l => l.contains("h#") || l.contains("doc_id#")).toSeq
+    assert(badKeys.isEmpty, "unexpected shuffle keys:\n" + badKeys.mkString("\n"))
+    // window rows cross the wire once into the dup-frequency aggregate
+    // ((h, doc_id) partial then h); the hit side must reuse or broadcast,
+    // never re-shuffle the window stream a second time
+    val winExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(h#"))
+    assert(winExchanges <= 2 || p.contains("ReusedExchange"),
+      "window rows shuffled more than once per side:\n" + p.take(3000))
+  }
+
+  test("token budget is ONE keyed shuffle (window by source)") {
+    val p = finalPlan("q_token_budget")
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n" + p.take(3000))
+  }
+
+  test("cluster keeper aggregates the argmax map-side (no window sort over clusters)") {
+    val df = SparkEntry.queries("q_cluster_keeper")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "keeper selection must not sort cluster partitions:\n" + p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(3000))
+  }
 }
