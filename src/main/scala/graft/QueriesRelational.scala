@@ -167,6 +167,37 @@ object QueriesRelational {
         |       WHERE c3.c_nationkey = c1.c_nationkey)""".stripMargin)
   }
 
+  /** Ordered conversion funnel (sequence-pattern matching): per user, the
+    * earliest signup → the earliest view AFTER it → the earliest purchase
+    * after that, matched on strict event POSITION (row_number over
+    * (ts, event_id)) so tie handling is identical in any engine. Output:
+    * stage reached (1-3) + the matched positions. The classic
+    * product-analytics funnel, built as one keyed window + three filtered
+    * min-aggregates re-joined on user — every wide op shares the user_id
+    * key, so the window exchange is reused and nothing reshuffles on a
+    * new key.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val e = events(s, dir)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("r1"))
+    val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("rn") > col("r1"))
+      .groupBy(col("user_id")).agg(min(col("rn")).as("r2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("rn") > col("r2"))
+      .groupBy(col("user_id")).agg(min(col("rn")).as("r3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("r1"), col("r2"), col("r3"),
+        (lit(1L) + when(col("r2").isNotNull, 1L).otherwise(0L)
+          + when(col("r3").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   // train-once, probe-many is the PQ serving contract; training is
   // bit-deterministic (PqSpec), so memoizing the model per dataset is
   // observationally transparent — repeated runs measure the serving path
@@ -198,6 +229,7 @@ object QueriesRelational {
     "q_range_frame" -> rangeFrame _,
     "q_multi_join" -> multiJoin _,
     "q_exists_semi" -> existsSemi _,
+    "q_funnel" -> funnel _,
     "q_scalar_subq" -> scalarSubquery _,
     "q_pq_topk" -> pqTopk _)
 
@@ -282,6 +314,23 @@ object QueriesRelational {
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS rn
+        |  FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+        |a1 AS (SELECT user_id, MIN(rn) AS r1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |a2 AS (SELECT e.user_id, MIN(rn) AS r2 FROM e JOIN a1 USING (user_id)
+        |       WHERE event_type = 'view' AND rn > r1 GROUP BY e.user_id),
+        |a3 AS (SELECT e.user_id, MIN(rn) AS r3 FROM e JOIN a2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND rn > r2 GROUP BY e.user_id)
+        |SELECT a1.user_id, r1, r2, r3,
+        |  CAST(1 + (CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+        |FROM a1 LEFT JOIN a2 USING (user_id) LEFT JOIN a3 USING (user_id)""".stripMargin,
 
     "q_scalar_subq" ->
       """SELECT c_custkey, c_nationkey,
