@@ -267,7 +267,41 @@ object QueriesLayout {
         col("n_events"), col("cents"))
   }
 
+  // ------------------------------------------------------- schema evolution
+
+  /** Schema-evolution read: a lake table whose early files predate a
+    * column (the lake half of DDL propagation — O9 ships the ALTER
+    * through the stream; the files already written never change). Old
+    * files carry (user_id, cents); post-ALTER files add event_type.
+    * `mergeSchema` unifies at read time: the union schema, nulls for the
+    * column the old files lack — no rewrite of historical data, which at
+    * 100 TB is the only acceptable answer to ADD COLUMN.
+    *
+    * The aggregate separates rows by whether the evolved column is
+    * present, so the oracle checks the null-fill semantics, not just the
+    * union schema.
+    */
+  def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_schmerge_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    ensureWritten(path) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_type"))
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("cents")) // pre-ALTER schema
+        .write.mode("overwrite").parquet(s"$path/old")
+      ev.filter(col("event_id") % 2 === 1) // post-ALTER: + event_type
+        .write.mode("overwrite").parquet(s"$path/new")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/old", s"$path/new")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents"),
+        count(col("event_type")).as("n_typed"), // nulls (old files) don't count
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_merge" -> schemaMerge _,
     "q_cow_upsert" -> cowUpsert _,
     "q_bucket_join" -> bucketJoin _,
     "q_partition_prune" -> partitionPrune _,
@@ -276,6 +310,13 @@ object QueriesLayout {
     "q_scd2" -> scd2 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_schema_merge" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_typed,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type END) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_cow_upsert" ->
       """SELECT user_id, user_id % 16 AS bucket, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
