@@ -53,4 +53,45 @@ class StreamOpsSpec extends SparkSuite {
     assert(streaming.count() > 0)
     assert(streaming.exceptAll(batch).isEmpty && batch.exceptAll(streaming).isEmpty)
   }
+
+  test("retraction MV survives a stop/restart: checkpointed state folds late data") {
+    // the incremental-MV aggregate (signed deltas per CDC op) stopped
+    // after the first half of the changelog and restarted from the same
+    // checkpoint over the full input must equal the one-shot aggregate —
+    // i.e. the maintained state, not a reread, carries the first half
+    val src = Files.createTempDirectory("graft-retract-src").toString
+    val ckpt = Files.createTempDirectory("graft-retract-ckpt").toString
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100)
+          .cast("long").as("cents"))
+    def deltas(df: org.apache.spark.sql.DataFrame) = df.select(col("user_id"),
+      when(col("event_type") === "signup", 1L)
+        .when(col("event_type") === "click", 0L).otherwise(-1L).as("d_rows"),
+      when(col("event_type") === "signup", col("cents"))
+        .when(col("event_type") === "click", lit(1L))
+        .otherwise(-col("cents")).as("d_cents"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id bigint, user_id bigint, event_type string, cents bigint")
+        .parquet(src)
+      val q = deltas(stream).groupBy(col("user_id"))
+        .agg(sum(col("d_rows")).as("n_live"), sum(col("d_cents")).as("net_cents"))
+        .writeStream.format("memory").queryName("retract_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    runOnce() // first half committed to the checkpoint
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    runOnce() // restart: only the new files replay, state folds them in
+    val got = spark.table("retract_out")
+    val want = deltas(ev).groupBy(col("user_id"))
+      .agg(sum(col("d_rows")).as("n_live"), sum(col("d_cents")).as("net_cents"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
