@@ -228,11 +228,13 @@ object QueriesTraining {
     * `pass` column is the conjunction — the corpus gate a Gopher-like
     * curation pipeline applies before tokenization.
     */
-  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(docs(s, dir))
+
+  private[graft] def gopherRulesOn(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
-    docs(s, dir)
-      .select(col("doc_id"), ws.as("ws"))
+    d.select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tok"),
         aggregate(transform(col("ws"), w => length(w).cast("long")),
@@ -382,7 +384,60 @@ object QueriesTraining {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
   }
 
+  /** The FULL curation pipeline composed end to end in ONE plan — what a
+    * real corpus build runs, stage order included: Gopher quality gate →
+    * exact dedup (keep-first per content hash) → benchmark
+    * decontamination (drop eval docs and anything sharing a 4-gram with
+    * them) → per-source token-budget cut. Output: the assembled corpus
+    * with per-doc token counts and running totals.
+    *
+    * Composition is the point: every stage is the already-oracle-gated
+    * operator, chained through semi/anti joins on doc_id — Catalyst sees
+    * one plan, so scans fuse (the gate and the hash run off one read)
+    * and each stage's shuffle feeds the next without materialization.
+    * Stage ORDER is the scale lesson: the narrow gate runs first (cheap,
+    * biggest volume cut), content-hash dedup before gram explosion
+    * (fewer docs pay the 4-gram cost), the budget window last (smallest
+    * input).
+    */
+  def curationE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // 1. Gopher gate (narrow, first)
+    val gated = d.join(
+      gopherRulesOn(d).filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 2. exact dedup: keep the lowest id per content hash
+    val deduped = gated.join(
+      gated.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 3. decontamination: eval set = doc_id % 29 == 0 over the FULL
+    // corpus (the benchmark exists independently of what the gate kept);
+    // eval docs leave the corpus, contaminated docs are dropped
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("ws"), 4))).as("gram"))
+    val evalGrams = grams(d.filter(col("doc_id") % 29 === 0))
+      .select(col("gram")).distinct()
+    val contaminated = grams(deduped.filter(col("doc_id") % 29 =!= 0))
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.filter(col("doc_id") % 29 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. token budget per source (smallest input last)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clean
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 800)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_e2e" -> curationE2e _,
     "q_substring_dedup" -> substringDedup _,
     "q_token_budget" -> tokenBudget _,
     "q_decontaminate" -> decontaminate _,
@@ -395,6 +450,38 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_curation_e2e" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gq AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_len,
+        |  CAST(len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_nonalpha,
+        |  CAST(len(list_filter(w, x -> list_contains(
+        |    ['the','a','and','of','to','in','is','that'], x))) AS BIGINT) AS n_stop
+        |FROM ws),
+        |pass AS (SELECT doc_id FROM gq
+        |  WHERE n_tok >= 10 AND n_tok <= 100000
+        |    AND sum_word_len >= n_tok * 2 AND sum_word_len <= n_tok * 12
+        |    AND n_nonalpha * 5 <= n_tok AND n_stop >= 2),
+        |gd AS (SELECT d.* FROM documents d JOIN pass USING (doc_id)),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM gd GROUP BY md5(text)),
+        |kd AS (SELECT gd.* FROM gd JOIN keep USING (doc_id)),
+        |g AS (SELECT DISTINCT doc_id,
+        |  w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] || ' ' ||
+        |  w[CAST(pos AS INT) + 2] || ' ' || w[CAST(pos AS INT) + 3] AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS pos FROM ws)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+        |flag AS (SELECT DISTINCT g.doc_id FROM g
+        |         JOIN kd USING (doc_id) JOIN ev USING (gram)
+        |         WHERE g.doc_id % 29 <> 0),
+        |cc AS (SELECT * FROM kd WHERE doc_id % 29 <> 0
+        |       AND doc_id NOT IN (SELECT doc_id FROM flag)),
+        |t AS (SELECT doc_id, source, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM cc),
+        |c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+        |        ORDER BY n_chars DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 800""".stripMargin,
+
     "q_substring_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
