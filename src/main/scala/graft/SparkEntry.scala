@@ -355,6 +355,16 @@ object SparkEntry {
           |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
           |FROM bk GROUP BY band, band_key""".stripMargin),
 
+    // incremental index == full recompute is exactly the claim under
+    // test, so the oracle IS the full-corpus bucket summary
+    "q_incr_index" ->
+      (minhashSigCte +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig)
+          |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+          |FROM bk GROUP BY band, band_key""".stripMargin),
+
     "q_dedup_clusters" ->
       (minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """,

@@ -100,8 +100,17 @@ object Dedup {
     * Computed straight off the wide signatures — no per-seed shuffle.
     */
   def lshBandKeys(docs: DataFrame, idCol: String, text: Column, k: Int,
-                  numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val wide = minhashWideNative(docs, idCol, text, k, numHashes)
+                  numHashes: Int, rowsPerBand: Int): DataFrame =
+    bandKeysFromWide(minhashWideNative(docs, idCol, text, k, numHashes),
+      idCol, numHashes, rowsPerBand)
+
+  /** Band keys off an EXISTING wide-signature table (m0..m{n-1} columns) —
+    * the entry point for signature STORES: a corpus's signatures are
+    * computed once and persisted; new documents extend the index by
+    * computing only their own signatures and unioning before banding.
+    */
+  def bandKeysFromWide(wide: DataFrame, idCol: String,
+                       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     wide.select(col(idCol),
         explode(array((0 until numBands).map { b =>
