@@ -302,7 +302,13 @@ object QueriesCdc {
           .when(col("event_type") === "click", "update")
           .otherwise("delete").as("op"),
         unix_millis(col("ts")).as("ts_ms"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.binlog"
+    // pid-unique like every other fixture path: concurrent Verify/Bench
+    // JVMs must never overwrite a log the other is mid-replay on
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
+    // row count rides an accumulator off the encode pass itself — sizing
+    // maxEventsPerTrigger must not cost a second full job (window shuffle
+    // included) over the same derivation
+    val nAcc = s.sparkContext.longAccumulator("graft_binlog_binary_rows")
     // single ordered partition: a binlog IS one ordered stream per cluster
     base.repartition(1).sortWithinPartitions(col("event_id"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -313,6 +319,7 @@ object QueriesCdc {
           BinlogWire.Col("value_cents", BinlogWire.T.LONGLONG),
           BinlogWire.Col("value_dec", BinlogWire.T.NEWDECIMAL, meta = (12 << 8) | 2)))
         val entries = it.map { r =>
+          nAcc.add(1)
           val cents = r.getAs[Long]("value_cents")
           val img: IndexedSeq[Any] = IndexedSeq(
             java.lang.Long.valueOf(r.getAs[Long]("event_id")),
@@ -334,7 +341,7 @@ object QueriesCdc {
         graft.sources.BinlogFixture.writeBinary(path, entries)
       }
     val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-binary-ckpt").toString
-    val nEvents = base.count()
+    val nEvents = nAcc.value.longValue()
     val q = s.readStream.format("graft-binlog")
       .option("path", path)
       .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))

@@ -86,14 +86,6 @@ object QueriesRelational {
         cume_dist().over(w).as("cdist"))
   }
 
-  /** PQ-compressed ANN: train per-subspace codebooks (deterministic
-    * integer k-means), encode the corpus to 8 nibble codes, ADC-scan the
-    * CODES (not the vectors) for candidates, exact-re-rank only the
-    * candidate set. Candidates = half the corpus here so the correctness
-    * gate equals exact top-k while the plan exercises the real
-    * code-scan→re-rank shape; production tunes candidates ≪ corpus and
-    * composes with IVF cell pruning ([[graft.analytics.Ivf]]).
-    */
   /** RANGE frame (value-based, not row-based): per-user sum/count of
     * purchases in the trailing ONE HOUR of event time — the "activity in
     * the last N minutes" shape. Row frames count rows; range frames bound
@@ -198,6 +190,14 @@ object QueriesRelational {
           + when(col("r3").isNotNull, 1L).otherwise(0L)).as("stage"))
   }
 
+  /** PQ-compressed ANN: train per-subspace codebooks (deterministic
+    * integer k-means), encode the corpus to 8 nibble codes, ADC-scan the
+    * CODES (not the vectors) for candidates, exact-re-rank only the
+    * candidate set. Candidates = half the corpus here so the correctness
+    * gate equals exact top-k while the plan exercises the real
+    * code-scan→re-rank shape; production tunes candidates ≪ corpus and
+    * composes with IVF cell pruning ([[graft.analytics.Ivf]]).
+    */
   // train-once, probe-many is the PQ serving contract; training is
   // bit-deterministic (PqSpec), so memoizing the model per dataset is
   // observationally transparent — repeated runs measure the serving path

@@ -33,6 +33,9 @@ object Pq {
   /** Codebooks: `books(sub)(cid)(dim)` milli-quantized components. */
   final case class Model(dims: Int, numSub: Int, k: Int,
                          books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) {
+    // a non-divisible split would silently drop the trailing dims from
+    // slicing, training, encoding AND the ADC table — fail loud instead
+    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
     def subDim: Int = dims / numSub
   }
 
@@ -77,6 +80,7 @@ object Pq {
     */
   def train(emb: DataFrame, id: Column, vec: Column,
             dims: Int = 64, numSub: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+    require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
     val subDim = dims / numSub
     val sv = subvectors(emb, id, vec, dims, numSub).persist()
     try {

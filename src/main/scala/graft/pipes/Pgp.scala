@@ -303,36 +303,42 @@ object Pgp {
     val pass = new String(passphrase).getBytes(StandardCharsets.UTF_8)
     val seipd = packets.collectFirst { case (18, b) => b }
       .getOrElse(throw new IllegalArgumentException("no SEIPD packet (AEAD or plain messages unsupported)"))
+    // each SKESK decodes LAZILY inside the trial loop: with a wrong
+    // passphrase an encrypted-session-key decode yields garbage whose
+    // first byte is an arbitrary "algorithm" — that must register as this
+    // key's failure (and the next SKESK still gets tried), not abort the
+    // whole message from inside the decode
     val keys = packets.collect { case (3, body) =>
-      require(body(0) == 4, s"unsupported SKESK version ${body(0)}")
-      val cipherAlgo = body(1) & 0xff
-      val s2kType = body(2) & 0xff
-      val hashAlgo = body(3) & 0xff
-      var off = 4
-      var salt: Array[Byte] = null
-      var coded = -1
-      s2kType match {
-        case 0 =>
-        case 1 => salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
-        case 3 =>
-          salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
-          coded = body(off) & 0xff; off += 1
-        case t => throw new IllegalArgumentException(s"unsupported S2K type $t")
-      }
-      val s2kKey = s2kDerive(pass, salt, coded, hashAlgo, symKeyLen(cipherAlgo))
-      if (off == body.length) s2kKey
-      else {
-        // encrypted session key: CFB with the S2K key, zero IV
-        val esk = cfb(Cipher.DECRYPT_MODE, s2kKey, java.util.Arrays.copyOfRange(body, off, body.length))
-        val algo = esk(0) & 0xff
-        val k = java.util.Arrays.copyOfRange(esk, 1, 1 + symKeyLen(algo))
-        k
+      () => {
+        require(body(0) == 4, s"unsupported SKESK version ${body(0)}")
+        val cipherAlgo = body(1) & 0xff
+        val s2kType = body(2) & 0xff
+        val hashAlgo = body(3) & 0xff
+        var off = 4
+        var salt: Array[Byte] = null
+        var coded = -1
+        s2kType match {
+          case 0 =>
+          case 1 => salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
+          case 3 =>
+            salt = java.util.Arrays.copyOfRange(body, off, off + 8); off += 8
+            coded = body(off) & 0xff; off += 1
+          case t => throw new IllegalArgumentException(s"unsupported S2K type $t")
+        }
+        val s2kKey = s2kDerive(pass, salt, coded, hashAlgo, symKeyLen(cipherAlgo))
+        if (off == body.length) s2kKey
+        else {
+          // encrypted session key: CFB with the S2K key, zero IV
+          val esk = cfb(Cipher.DECRYPT_MODE, s2kKey, java.util.Arrays.copyOfRange(body, off, body.length))
+          val algo = esk(0) & 0xff
+          java.util.Arrays.copyOfRange(esk, 1, 1 + symKeyLen(algo))
+        }
       }
     }
     require(keys.nonEmpty, "no SKESK packet (not a passphrase-encrypted message)")
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    keys.foreach { k =>
-      try return extractLiteral(seipdDecrypt(k, seipd))
+    keys.foreach { mkKey =>
+      try return extractLiteral(seipdDecrypt(mkKey(), seipd))
       catch { case e: Exception => errors += e.getMessage }
     }
     throw new IllegalArgumentException(s"decryption failed: ${errors.mkString("; ")}")

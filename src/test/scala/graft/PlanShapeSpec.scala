@@ -66,10 +66,16 @@ class PlanShapeSpec extends SparkSuite {
   test("6-way join broadcasts the dims; ASIA filter reaches the region scan") {
     val p = plan("q_multi_join")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name"), p.take(3000))
-    // the two fact tables must NOT broadcast (they scale with the corpus)
-    val broadcasts = p.linesIterator.filter(_.contains("BroadcastExchange")).size
-    assert(broadcasts >= 1, p.take(3000))
+    // the filter must be IN the scan's pushed-filter list, not merely
+    // mentioned somewhere in the plan string
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("r_name"), "ASIA filter not pushed to the region scan:\n" + pushed)
+    // note: whether orders x lineitem broadcasts is SIZE-driven — at
+    // sf0.001 everything fits under the broadcast threshold, so the
+    // facts-never-broadcast property only manifests at scale and is not
+    // assertable here; what IS structural is that the join exists on the
+    // order key at all
+    assert(p.contains("l_orderkey"), p.take(3000))
   }
 
   test("EXISTS plans as a semi join — no row duplication then dedup") {
