@@ -65,7 +65,31 @@ object QueriesQuality {
       .select(col("user_id"), col("day_ms"), col("event_id"), col("event_type"))
   }
 
+  /** Semi-structured extraction: the JSON `props` payload parsed through
+    * the TYPED path (`from_json` with an explicit schema — codegen'd
+    * struct access, not per-call string probing) and profiled per event
+    * type. The shape every ingest layer needs for event payloads: declare
+    * the fields you use, let the scan prune the rest, aggregate on the
+    * extracted column like any other. At 100 TB the schema declaration is
+    * what keeps JSON columns from becoming a per-row parser bottleneck —
+    * one parse per row into a struct, every downstream reference free.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> jsonExtract _,
     "q_fk_audit" -> fkAudit _,
     "q_null_audit" -> nullAudit _,
     "q_pk_audit" -> pkAudit _,
@@ -73,6 +97,15 @@ object QueriesQuality {
     "q_first_per_day" -> firstPerDay _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_parsed,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_fk_audit" ->
       """SELECT COUNT(*) AS n_lineitems,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
