@@ -250,21 +250,30 @@ object QueriesLayout {
       val delta = rollup(ev.filter(isDelta))
       val touched = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted // manifest-sized (<= 16 values)
-      val state = s.read.parquet(v0)
-        .filter(col("bucket").isin(touched.map(Int.box): _*)) // partition-pruned
-      state.unionByName(delta)
-        .groupBy(col("user_id"), col("bucket"))
-        .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(v1)
+      // an empty delta is a no-op commit: write no v1 at all (an empty
+      // partitioned dir would break the reader's schema inference)
+      if (touched.nonEmpty) {
+        val state = s.read.parquet(v0)
+          .filter(col("bucket").isin(touched.map(Int.box): _*)) // partition-pruned
+        state.unionByName(delta)
+          .groupBy(col("user_id"), col("bucket"))
+          .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(v1)
+      }
     }
-    // reader: v1 partitions shadow v0 (latest-version-per-partition)
-    val v1Buckets = s.read.parquet(v1).select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)) // partition listing, no data columns read
-    s.read.parquet(v0)
-      .filter(!col("bucket").isin(v1Buckets.map(Int.box): _*))
-      .unionByName(s.read.parquet(v1))
-      .select(col("user_id"), col("bucket").cast("long").as("bucket"),
-        col("n_events"), col("cents"))
+    // reader: v1 partitions shadow v0 (latest-version-per-partition); when
+    // the delta was empty there is no v1 and the base version serves alone
+    val merged =
+      if (!new java.io.File(v1).isDirectory) s.read.parquet(v0)
+      else {
+        val v1Buckets = s.read.parquet(v1).select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)) // partition listing, no data columns read
+        s.read.parquet(v0)
+          .filter(!col("bucket").isin(v1Buckets.map(Int.box): _*))
+          .unionByName(s.read.parquet(v1))
+      }
+    merged.select(col("user_id"), col("bucket").cast("long").as("bucket"),
+      col("n_events"), col("cents"))
   }
 
   // ------------------------------------------------------- schema evolution

@@ -325,9 +325,13 @@ object QueriesTraining {
     val windows = d.select(col("doc_id"),
         explode(graft.functions.TokenWindowHashes.column(col("text"), w)).as("wp"))
       .select(col("doc_id"), col("wp.pos").as("pos"), col("wp.h").as("h"))
+    // "appears in >= 2 distinct documents" needs only min != max over
+    // doc_id — ONE h-keyed shuffle with 16-byte map-side partials. A
+    // countDistinct here expands to two exchanges ((h, doc_id) dedup then
+    // h count) that haul the whole window stream across the wire twice.
     val dup = windows.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("h"))
     val hits = windows.join(dup, "h")
     // interval-union coverage: sorted positions folded left to right;

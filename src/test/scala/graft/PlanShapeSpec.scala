@@ -132,7 +132,7 @@ class PlanShapeSpec extends SparkSuite {
     // never re-shuffle the window stream a second time
     val winExchanges = p.linesIterator
       .count(l => l.contains("Exchange hashpartitioning(h#"))
-    assert(winExchanges <= 2 || p.contains("ReusedExchange"),
+    assert(winExchanges == 1 || (winExchanges <= 2 && p.contains("ReusedExchange")),
       "window rows shuffled more than once per side:\n" + p.take(3000))
   }
 
