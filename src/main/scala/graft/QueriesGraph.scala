@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Similarity
+import graft.core.Tables
+
+/** Graph / evaluation-layer operators for the training-data pipeline:
+  * iterative PageRank over an entity graph, k-NN auto-labeling of a
+  * held-out embedding split, and a deterministic stratified corpus
+  * split. Same determinism conventions as [[QueriesCdc]] — every
+  * computation that crosses the oracle boundary is integer-exact.
+  */
+object QueriesGraph {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  // ------------------------------------------------------------- pagerank
+
+  /** Integer fixed-point PageRank (d=0.85, 10 rounds) over the
+    * customer–supplier graph induced by lineitem×orders: an edge links a
+    * customer to every supplier it bought from, traversed in both
+    * directions so rank circulates through the bipartite structure.
+    *
+    * All arithmetic is 64-bit integer fixed point (total mass 10^12,
+    * truncating division) so Spark and the oracle agree BIT-exactly —
+    * float PageRank sums in engine-dependent order and would drift in
+    * the last digits. Truncation leaks a few units of mass per round;
+    * that loss is part of the operator's contract, identically on both
+    * engines.
+    *
+    * Scale shape: classic Pregel-on-DataFrames. Per round, ONE shuffle —
+    * contributions keyed by edge destination — then a keyed join back to
+    * the (small relative to edges) node table; the edge table itself is
+    * built once and reused across all 10 rounds. Rounds are unrolled into
+    * a single declarative plan, so Catalyst sees every stage (and AQE
+    * re-plans each join at runtime). At 100 TB the node and edge tables
+    * both exceed memory: every join here is a keyed shuffle join, nothing
+    * is collected, and no step needs the whole graph co-resident.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val iters = 10
+    val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    // edges and nodes feed every round; localCheckpoint materializes them
+    // ONCE with truncated lineage so the 10 unrolled rounds neither
+    // re-run the lineitem×orders lineage nor re-analyze a growing plan.
+    // (A plain .cache() here measured *slower* than no cache at sf0.1:
+    // the pinned 32-partition blocks defeat AQE's coalescing of these
+    // metadata-sized shuffles. See Dedup.connectedComponents for the
+    // same pattern and the reliable-checkpoint variant at cluster scale.)
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nTotal = deg.agg(count(lit(1)).as("cnt"))
+    val nodes = deg.crossJoin(broadcast(nTotal))
+      .select(col("src").as("node"), col("deg"),
+        expr("1000000000000 div cnt").as("init"))
+      .withColumn("base", expr("(15 * init) div 100"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("r", col("init"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("node").as("sn"), expr("r div deg").as("share"))
+        .join(edges, col("sn") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("sc"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("init"), col("base"),
+          (col("base") + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p AS dst FROM pairs UNION ALL SELECT p, c FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM deg),
+        |p0 AS (SELECT src AS node, deg,
+        |              1000000000000 // cnt AS init,
+        |              (15 * (1000000000000 // cnt)) // 100 AS base,
+        |              1000000000000 // cnt AS r
+        |       FROM deg, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT b.node, b.deg, b.init, b.base,
+         |  b.base + (85 * COALESCE(c.sc, 0)) // 100 AS r
+         |  FROM p0 b LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // p.deg) AS BIGINT) AS sc
+         |    FROM p${i - 1} p JOIN e ON e.src = p.node GROUP BY e.dst) c
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node, r AS rank_fp FROM p$iters"
+  }
+
+  // --------------------------------------------------------- kNN classify
+
+  /** k-NN auto-labeling (the evaluation/autolabel layer over the ANN
+    * machinery): vectors with `vec_id % 5 == 0` are a held-out set,
+    * classified by majority vote of their 5 nearest training neighbors
+    * under the exact quantized-integer dot product; ties break to the
+    * smaller label, neighbor ties to the smaller id.
+    *
+    * Scale shape: the eval set is broadcast (an eval/calibration set is
+    * small by construction — this is NOT an all-pairs join), the
+    * training corpus streams through one pass, and the per-query top-5
+    * is a rank window that Spark's WindowGroupLimit rewrites into
+    * map-side top-k partials before the single tid-keyed shuffle — no
+    * executor ever holds more than 5 candidates per query per partition.
+    * For corpus-scale query sets, the IVF path (q_ivf_probe) replaces
+    * the broadcast; this operator is the exact-scoring twin.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = emb(s, dir).select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"), col("label"))
+    val test = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("tid"), col("qv").as("tq"), col("label").as("tlabel"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nid"), col("qv").as("nq"), col("label").as("nlabel"))
+    val scored = train.crossJoin(broadcast(test))
+      .select(col("tid"), col("tlabel"), col("nid"), col("nlabel"),
+        graft.functions.QDot.column(col("tq"), col("nq")).as("dot"))
+    val wTop = Window.partitionBy(col("tid")).orderBy(col("dot").desc, col("nid"))
+    val top5 = scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+    top5.groupBy(col("tid"), col("tlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("tid"), col("tlabel"))
+      .agg(max(struct(col("votes").as("v"), (-col("nlabel")).as("negl"))).as("win"))
+      .select(col("tid").as("vec_id"), col("tlabel").as("label"),
+        (-col("win.negl")).as("pred"))
+      .withColumn("correct", (col("label") === col("pred")).cast("boolean"))
+  }
+
+  private val knnOracle: String =
+    """WITH t AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      |tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |g AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |dots AS (
+      |  SELECT t.vec_id AS tid, t.label AS tlabel, tr.vec_id AS nid, tr.label AS nlabel,
+      |    CAST(SUM(CAST(ROUND(CAST(t.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+      |           * CAST(ROUND(CAST(tr.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+      |  FROM t, tr, g
+      |  GROUP BY t.vec_id, t.label, tr.vec_id, tr.label),
+      |top5 AS (SELECT tid, tlabel, nid, nlabel,
+      |  row_number() OVER (PARTITION BY tid ORDER BY dot DESC, nid) AS rn FROM dots),
+      |votes AS (SELECT tid, tlabel, nlabel, COUNT(*) AS votes
+      |  FROM top5 WHERE rn <= 5 GROUP BY tid, tlabel, nlabel),
+      |pick AS (SELECT tid, tlabel, nlabel,
+      |  row_number() OVER (PARTITION BY tid ORDER BY votes DESC, nlabel) AS pr FROM votes)
+      |SELECT tid AS vec_id, tlabel AS label, nlabel AS pred, (tlabel = nlabel) AS correct
+      |FROM pick WHERE pr = 1""".stripMargin
+
+  // ----------------------------------------------------- stratified split
+
+  /** Deterministic stratified train/val/test split: within each
+    * (source, lang) stratum, documents are ranked by content hash (so
+    * the split is reproducible from the data alone — no RNG state to
+    * persist) and assigned 10% test / 10% val / 80% train by rank
+    * modulus, which hits the target proportions exactly per stratum,
+    * not just in expectation. Output is the per-stratum split manifest.
+    *
+    * Scale shape: one shuffle keyed by stratum for the rank window, one
+    * map-side-combined aggregate. A skewed stratum serializes its rank
+    * scan; at corpus scale where exact proportions stop mattering, the
+    * gate `md5(text) % 10` does the same split with ZERO shuffles —
+    * this operator is the exact-proportion form.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("split",
+        when(col("rn") % 10 === 1, "test")
+          .when(col("rn") % 10 === 2, "val")
+          .otherwise("train"))
+      .groupBy(col("source"), col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  private val splitOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    row_number() OVER (PARTITION BY source, lang
+      |                       ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents),
+      |tagged AS (
+      |  SELECT *, CASE WHEN rn % 10 = 1 THEN 'test'
+      |                 WHEN rn % 10 = 2 THEN 'val'
+      |                 ELSE 'train' END AS split
+      |  FROM ranked)
+      |SELECT source, lang, split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  MIN(doc_id) AS first_doc
+      |FROM tagged GROUP BY source, lang, split""".stripMargin
+
+  // ---------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pagerank _),
+    "q_knn_classify" -> (knnClassify _),
+    "q_stratified_split" -> (stratifiedSplit _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle(10),
+    "q_knn_classify" -> knnOracle,
+    "q_stratified_split" -> splitOracle)
+}

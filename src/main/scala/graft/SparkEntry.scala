@@ -33,7 +33,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
       QueriesQuality.queries ++ QueriesPipes.queries ++ QueriesTraining.queries ++
-      QueriesRelational.queries ++ QueriesLayout.queries
+      QueriesRelational.queries ++ QueriesLayout.queries ++ QueriesGraph.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -65,7 +65,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
       QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++
-      QueriesRelational.oracleSql ++ QueriesLayout.oracleSql ++ Map(
+      QueriesRelational.oracleSql ++ QueriesLayout.oracleSql ++
+      QueriesGraph.oracleSql ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the graph/evaluation operators beyond the DuckDB hash
+  * match: PageRank mass conservation and determinism, kNN vote
+  * integrity, exact stratified-split proportions, and the plan shapes
+  * the scale claims rest on.
+  */
+class GraphSpec extends SparkSuite {
+
+  test("pagerank: positive ranks, one row per node, mass ~conserved") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0), "every rank positive")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per node")
+    // truncating fixed-point leaks a bounded number of units per round:
+    // total mass stays within 1% of 10^12 and never exceeds it materially
+    val mass = rows.map(_.getLong(1)).sum
+    assert(mass > 990_000_000_000L && mass < 1_001_000_000_000L, s"mass=$mass")
+  }
+
+  test("pagerank: bit-identical across two runs (integer fixed point)") {
+    def m() = SparkEntry.queries("q_pagerank")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m() == m())
+  }
+
+  test("pagerank: high-degree nodes outrank the median node") {
+    val ranks = SparkEntry.queries("q_pagerank")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.core.Tables.lineitem(spark, sf0001)
+      .join(graft.core.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val deg = pairs.select(col("c").as("n")).unionAll(pairs.select(col("p").as("n")))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top = deg.maxBy(_._2)._1
+    val med = ranks.values.toSeq.sorted.apply(ranks.size / 2)
+    assert(ranks(top) > med, s"hub rank ${ranks(top)} should exceed median $med")
+  }
+
+  test("knn classify: one prediction per held-out vector, labels in domain") {
+    val labels = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    val nTest = graft.core.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 5 === 0).count()
+    val out = SparkEntry.queries("q_knn_classify")(spark, sf0001).collect()
+    assert(out.length == nTest, s"${out.length} predictions for $nTest held-out vectors")
+    assert(out.forall(r => labels.contains(r.getInt(2))), "pred drawn from label domain")
+  }
+
+  test("knn classify: broadcast eval set + rank-limit pushdown (no all-pairs shuffle)") {
+    val df = SparkEntry.queries("q_knn_classify")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "eval set must broadcast:\n" + p.take(3000))
+    assert(p.contains("WindowGroupLimit"),
+      "top-5 must push into map-side partial top-k:\n" + p.take(3000))
+  }
+
+  test("stratified split: exact per-stratum proportions by rank modulus") {
+    val out = SparkEntry.queries("q_stratified_split")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    val totals = graft.core.Tables.documents(spark, sf0001)
+      .groupBy(col("source"), col("lang")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    totals.foreach { case ((src, lang), n) =>
+      def cnt(split: String) = out.getOrElse((src, lang, split), 0L)
+      // rn%10==1 → test, ==2 → val: ceil((n-k+10)/10)-style exact counts
+      def expect(k: Long) = if (n >= k) (n - k) / 10 + 1 else 0L
+      assert(cnt("test") == expect(1), s"($src,$lang) test ${cnt("test")} != ${expect(1)}")
+      assert(cnt("val") == expect(2), s"($src,$lang) val ${cnt("val")} != ${expect(2)}")
+      assert(cnt("train") + cnt("test") + cnt("val") == n, s"($src,$lang) split total")
+    }
+  }
+}
