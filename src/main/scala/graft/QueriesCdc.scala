@@ -707,6 +707,68 @@ object QueriesCdc {
         sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
   }
 
+  /** Streaming near-dup gating: MinHash signatures (native expression)
+    * computed per arriving document, banded into 2 LSH keys, and checked
+    * against band-bucket state that tracks the earliest doc id per
+    * bucket ([[graft.stream.StreamingLsh]]) — a document is a near-dup
+    * candidate when ANY of its bands was already occupied by an earlier
+    * document. The ingest-time gate a curation pipeline runs BEFORE
+    * admitting a document to the corpus; the batch signature store
+    * (q_incr_index) is the at-rest form of the same index.
+    *
+    * The replay is range-split by doc_id into 2 files → 2 micro-batches
+    * in id order, so cross-batch hits must come from the state store.
+    * State per bucket is one long; the per-doc verdict aggregates the
+    * per-band hits after the stateful stage.
+    */
+  def streamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val src = memoFixture(s"sneardup_$dir") {
+      val p = fixturePath("sneardup_src", dir)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // The file source orders batches by file MODIFICATION TIME, so a
+      // single repartitionByRange write can replay the halves in either
+      // order (StreamOpsSpec caught the reversed case dropping every
+      // cross-range hit). Two sequential writes pin mtime order to id
+      // order: low half strictly before high half.
+      val mid = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+      d.filter(col("doc_id") <= mid).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      d.filter(col("doc_id") > mid).coalesce(1)
+        .write.mode("append").parquet(p)
+      p
+    }
+    val sigs = s.readStream.schema("doc_id bigint, text string")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.signature(col("text"), 8, 8).as("sig"))
+    // band keys exactly as Dedup.bandKeysFromWide / the q_minhash_lsh oracle:
+    // md5 over the concatenated 4-hash signature slice per band
+    def bandKey(b: Int) =
+      md5(concat((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
+    val bands = sigs.select(col("doc_id"),
+        explode(array(Seq(0, 1).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("band_key"))): _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.band_key").as("bandKey"),
+        col("doc_id").as("docId"))
+      .as[graft.stream.StreamingLsh.BandRow]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt").toString
+    withStatePartitions(s, 8) {
+      val q = graft.stream.StreamingLsh.firstInBucket(s, bands)
+        .writeStream.format("memory").queryName("graft_stream_neardup")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table("graft_stream_neardup")
+      .groupBy(col("docId"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+      .select(col("docId").as("doc_id"), col("n_hit_bands"),
+        (col("n_hit_bands") > 0).as("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_scan" -> snapshotScan _,
     "q_snapshot_rowfilter" -> snapshotRowFilter _,
@@ -732,5 +794,6 @@ object QueriesCdc {
     "q_stream_join" -> streamJoin _,
     "q_stream_enrich" -> streamEnrich _,
     "q_stream_retract" -> streamRetract _,
+    "q_stream_neardup" -> streamNeardup _,
     "q_state_join" -> stateJoin _)
 }

@@ -356,6 +356,22 @@ object SparkEntry {
           |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
           |FROM bk GROUP BY band, band_key""".stripMargin),
 
+    // streaming band-bucket state == batch first-in-bucket is exactly the
+    // claim under test, so the oracle recomputes first-per-bucket over
+    // the whole corpus and flags every later bucket-mate
+    "q_stream_neardup" ->
+      (minhashSigCte +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |firsts AS (SELECT band, band_key, MIN(doc_id) AS first_doc
+          |           FROM bk GROUP BY band, band_key)
+          |SELECT bk.doc_id,
+          |  CAST(SUM(CASE WHEN bk.doc_id > f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bands,
+          |  (SUM(CASE WHEN bk.doc_id > f.first_doc THEN 1 ELSE 0 END) > 0) AS is_dup
+          |FROM bk JOIN firsts f USING (band, band_key)
+          |GROUP BY bk.doc_id""".stripMargin),
+
     // incremental index == full recompute is exactly the claim under
     // test, so the oracle IS the full-corpus bucket summary
     "q_incr_index" ->

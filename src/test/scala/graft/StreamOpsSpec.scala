@@ -94,4 +94,27 @@ class StreamOpsSpec extends SparkSuite {
     assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("streaming LSH near-dup equals batch first-in-bucket; hits cross batches") {
+    val out = SparkEntry.queries("q_stream_neardup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch recompute with the same banding machinery
+    val bands = graft.analytics.Dedup.lshBandKeys(
+      Tables.documents(spark, sf0001), "doc_id", col("text"), k = 8,
+      numHashes = 8, rowsPerBand = 4)
+    val want = bands.as("b")
+      .join(bands.groupBy(col("band"), col("band_key"))
+        .agg(min(col("doc_id")).as("first_doc")), Seq("band", "band_key"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == want, "streaming band state must equal batch first-in-bucket")
+    // the replay is range-split by doc_id: at least one hit must involve a
+    // bucket whose first occupant arrived in the earlier micro-batch
+    // (otherwise the state store was never actually exercised across batches)
+    val split = Tables.documents(spark, sf0001).agg(
+      (max(col("doc_id")) / 2).cast("long")).collect()(0).getLong(0)
+    assert(out.exists { case (id, hits) => hits > 0 && id > split },
+      "no cross-batch state hit — replay split did not exercise the store")
+  }
 }
