@@ -32,14 +32,16 @@ object QueriesGraph {
     * that loss is part of the operator's contract, identically on both
     * engines.
     *
-    * Scale shape: classic Pregel-on-DataFrames. Per round, ONE shuffle —
-    * contributions keyed by edge destination — then a keyed join back to
-    * the (small relative to edges) node table; the edge table itself is
-    * built once and reused across all 10 rounds. Rounds are unrolled into
-    * a single declarative plan, so Catalyst sees every stage (and AQE
-    * re-plans each join at runtime). At 100 TB the node and edge tables
-    * both exceed memory: every join here is a keyed shuffle join, nothing
-    * is collected, and no step needs the whole graph co-resident.
+    * Scale shape: classic Pregel-on-DataFrames at the message-passing
+    * shuffle floor — per round, one src-keyed join producing
+    * contributions plus ONE node-keyed aggregation folding them with a
+    * carrier row of static node attributes (no join back to the node
+    * table). The edge table is materialized once and reused by all 10
+    * rounds; each round's rank state is localCheckpointed because the
+    * union references it twice (see SCALE.md: dual-referenced loop
+    * state). At 100 TB the node and edge tables both exceed memory:
+    * every step is a keyed shuffle, nothing is collected, and no step
+    * needs the whole graph co-resident.
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val iters = 10
