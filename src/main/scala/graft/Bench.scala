@@ -87,7 +87,11 @@ object Bench {
     // head gets truncated and the driver records parsed:null (this happened
     // in rounds 4-5). Emit a compact line — headline subset, 3-decimal
     // values — and write the complete per-query map to BENCH_FULL.json.
-    def j(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 68,700 — malformed JSON, the very parsed:null failure this
+    // compact line exists to fix
+    def j(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val headline = Seq(
       "q1_agg", "q3_join_topk", "q_dedup_minhash", "q_minhash_lsh",
       "q_dedup_pipeline", "q_embed_clusters", "q_embed_topk", "q_ivf_probe",
@@ -105,11 +109,14 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"repeats":$repeats,"sf":"$sfDir"}"""
+    // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
+    // record with a partial map
+    val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullName),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"repeats":$repeats,"nq":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"repeats":$repeats,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

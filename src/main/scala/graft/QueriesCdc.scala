@@ -735,23 +735,30 @@ object QueriesCdc {
       val mid = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       d.filter(col("doc_id") <= mid).coalesce(1)
         .write.mode("overwrite").parquet(p)
+      val lowFiles = new java.io.File(p).listFiles().map(_.getName).toSet
       d.filter(col("doc_id") > mid).coalesce(1)
         .write.mode("append").parquet(p)
+      // sequential writes usually order mtimes already, but a same-ms tie
+      // on a fast filesystem would let the source replay the halves
+      // reversed — pin the order explicitly
+      val t0 = System.currentTimeMillis()
+      new java.io.File(p).listFiles().foreach { f =>
+        f.setLastModified(if (lowFiles(f.getName)) t0 - 60000 else t0)
+      }
       p
     }
     val sigs = s.readStream.schema("doc_id bigint, text string")
       .option("maxFilesPerTrigger", "1").parquet(src)
       .select(col("doc_id"),
         graft.functions.MinHashSignature.signature(col("text"), 8, 8).as("sig"))
-    // band keys exactly as Dedup.bandKeysFromWide / the q_minhash_lsh oracle:
-    // md5 over the concatenated 4-hash signature slice per band
-    def bandKey(b: Int) =
-      md5(concat((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
-    val bands = sigs.select(col("doc_id"),
-        explode(array(Seq(0, 1).map(b =>
-          struct(lit(b).as("band"), bandKey(b).as("band_key"))): _*)).as("e"))
-      .select(col("e.band").as("band"), col("e.band_key").as("bandKey"),
-        col("doc_id").as("docId"))
+    // widen to the m0..m7 store shape and reuse the ONE authoritative
+    // band-key derivation (Dedup.bandKeysFromWide) — the streaming gate
+    // must bucket identically to the batch signature store / oracle
+    val wide = sigs.select(col("doc_id") +:
+      (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    val bands = graft.analytics.Dedup
+      .bandKeysFromWide(wide, "doc_id", numHashes = 8, rowsPerBand = 4)
+      .select(col("band"), col("band_key").as("bandKey"), col("doc_id").as("docId"))
       .as[graft.stream.StreamingLsh.BandRow]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt").toString
     withStatePartitions(s, 8) {

@@ -30,12 +30,8 @@ object Similarity {
     * closures per element per PAIR, which dominates candidate-verify and
     * re-rank scans (kNN measured 4.4 s -> 1.1 s at sf0.1 on the swap).
     */
-  def dotQ(a: Column, b: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_qdot", exprs => graft.functions.QDot(exprs(0), exprs(1)), "built-in")
-    call_function("graft_qdot", a, b)
-  }
+  def dotQ(a: Column, b: Column): Column =
+    graft.functions.QDot.column(a, b)(org.apache.spark.sql.SparkSession.active)
 
   /** Brute-force top-k by quantized dot product against one query vector.
     * `queryVec` must be a 1-row DataFrame with column `qv` (already

@@ -23,10 +23,16 @@ case class QDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    // Parity with the composed form's null algebra: zip_with pads the
+    // shorter array with nulls and `acc + null` is null, so unequal
+    // lengths or any null element must yield NULL — not a prefix/zeroed
+    // dot that could silently enter a top-k
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getLong(i) * ys.getLong(i)
       i += 1
     }

@@ -73,3 +73,28 @@ class QDotSpec extends SparkSuite {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 }
+
+class QDotNullParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("QDot matches composed-form null algebra: unequal lengths and null elements -> NULL") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), Some(2L)), Seq[Option[Long]](Some(3L))),          // unequal
+      (Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(3L), Some(4L))),    // null elem left
+      (Seq[Option[Long]](Some(1L), Some(2L)), Seq[Option[Long]](None, Some(4L))),    // null elem right
+      (Seq[Option[Long]](Some(1L), Some(2L)), Seq[Option[Long]](Some(3L), Some(4L))) // clean
+    ).toDF("a", "b")
+    val native = df.select(graft.functions.QDot.column(col("a"), col("b"))).collect()
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)).collect()
+    (0 until 4).foreach { i =>
+      assert(native(i).isNullAt(0) == composed(i).isNullAt(0), s"row $i null parity")
+      if (!native(i).isNullAt(0))
+        assert(native(i).getLong(0) == composed(i).getLong(0), s"row $i value")
+    }
+    assert(native(0).isNullAt(0) && native(1).isNullAt(0) && native(2).isNullAt(0))
+    assert(native(3).getLong(0) == 11L)
+  }
+}

@@ -88,7 +88,9 @@ class LayoutSpec extends SparkSuite {
     // the rewrite wrote only the delta's partitions: v1 = buckets 0-3
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_" +
       sf0001.replaceAll("[^a-zA-Z0-9]", "_") + s"_${ProcessHandle.current().pid()}"
-    val v1Dirs = new java.io.File(s"$base/v1").listFiles()
+    // Option-guard: an all-empty delta writes no v1 dir at all
+    val v1Dirs = Option(new java.io.File(s"$base/v1").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     // expected touched buckets derived from the operator's own isDelta
     // predicate over the fixture, not hardcoded — a data regeneration that
