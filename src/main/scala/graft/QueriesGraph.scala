@@ -45,6 +45,13 @@ object QueriesGraph {
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val iters = 10
+    // lineage truncation: reliable checkpoint when a dir is configured
+    // (an executor loss after truncation would otherwise lose the
+    // blocks), cheap localCheckpoint in local mode — same trade as
+    // Dedup.connectedComponents
+    def trunc(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -57,16 +64,15 @@ object QueriesGraph {
     // the pinned 32-partition blocks defeat AQE's coalescing of these
     // metadata-sized shuffles. See Dedup.connectedComponents for the
     // same pattern and the reliable-checkpoint variant at cluster scale.)
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .localCheckpoint()
+    val edges = trunc(pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst"))))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.agg(count(lit(1)).as("cnt"))
     val nodes = deg.crossJoin(broadcast(nTotal))
       .select(col("src").as("node"), col("deg"),
         expr("1000000000000 div cnt").as("init"))
       .withColumn("base", expr("(15 * init) div 100"))
-      .localCheckpoint()
+      .transform(trunc)
     // Shuffle-minimal Pregel round: contributions (ranks ⋈ edges) are
     // UNIONED with a per-node carrier row holding the static attributes
     // (deg, base), and ONE dst-keyed aggregation produces the next rank
@@ -92,7 +98,7 @@ object QueriesGraph {
           sum(when(!col("isCarrier"), col("v"))).as("sc"))
         .select(col("node"), col("deg"), col("base"),
           (col("base") + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
-        .localCheckpoint()
+        .transform(trunc)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
