@@ -27,6 +27,22 @@ class GraphSpec extends SparkSuite {
     assert(m() == m())
   }
 
+  test("pagerank survives cache eviction under a reliable checkpoint dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val want = SparkEntry.queries("q_pagerank")(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val df = SparkEntry.queries("q_pagerank")(spark, sf0001)
+      // evict every cached block: a localCheckpoint-backed result would now
+      // be unrecoverable on a real cluster; the reliable checkpoint
+      // re-reads from the checkpoint dir
+      spark.catalog.clearCache()
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("pagerank: high-degree nodes outrank the median node") {
     val ranks = SparkEntry.queries("q_pagerank")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
