@@ -440,7 +440,72 @@ object QueriesTraining {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
   }
 
+  /** Segmented inverted-index build — the index-side complement of the
+    * BM25 query path: per (term, shard) postings segment, emit the
+    * digest a real index writer persists (document frequency, collection
+    * frequency, doc-id range, max delta-gap — the quantity that sizes
+    * delta-varint compression — and the top-impact document for
+    * impact-ordered early termination).
+    *
+    * Scale shape: two keyed shuffles of already-reduced rows — the
+    * (term, doc) wordcount, then the (term, shard) segment fold. Sharding
+    * by doc id bounds every collected posting list to one segment (real
+    * indexes are built per-segment and merged, never as one global list);
+    * the gap fold is arithmetic-only over the bounded segment array.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val postings = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard", (col("doc_id") % 16).cast("long"))
+    postings.groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max(struct(col("tf").as("tf"), (-col("doc_id")).as("negd"))).as("_top"),
+        array_sort(collect_list(col("doc_id"))).as("_ps"))
+      .select(col("term"), col("shard"), col("df"), col("cf"),
+        col("first_doc"), col("last_doc"),
+        aggregate(col("_ps"), struct(lit(-1L).as("prev"), lit(0L).as("mg")),
+          (acc, p) => struct(p.as("prev"),
+            when(acc.getField("prev") < 0, acc.getField("mg"))
+              .otherwise(greatest(acc.getField("mg"), p - acc.getField("prev")))
+              .as("mg")),
+          acc => acc.getField("mg")).as("max_gap"),
+        (-col("_top.negd")).as("top_doc"))
+  }
+
+  /** Skip-gram training-pair generation (word2vec-style, window 2): for
+    * every token, its next-1 and next-2 neighbors become (center,
+    * context) pairs, counted corpus-wide — the sample table an embedding
+    * trainer consumes.
+    *
+    * Scale shape: pair construction is NARROW array arithmetic over each
+    * document's token array (no self-join on position — the join form
+    * shuffles the token table twice and is quadratic-prone under skew);
+    * the only shuffle is the final vocabulary-bounded pair count,
+    * map-side combined like any wordcount.
+    */
+  def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    def pairsAt(d: Int) = when(size(ws) > d,
+      transform(sequence(lit(1), size(ws) - d),
+        i => struct(element_at(ws, i).as("center"),
+          element_at(ws, i + d).as("context"))))
+      .otherwise(array().cast("array<struct<center:string,context:string>>"))
+    docs(s, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> invertedIndex _,
+    "q_skipgram_pairs" -> skipgramPairs _,
     "q_curation_e2e" -> curationE2e _,
     "q_substring_dedup" -> substringDedup _,
     "q_token_budget" -> tokenBudget _,
@@ -454,6 +519,29 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |p AS (SELECT term, doc_id % 16 AS shard, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |      FROM t GROUP BY 1, 2, 3),
+        |g AS (SELECT term, shard, doc_id, tf,
+        |        doc_id - lag(doc_id) OVER (PARTITION BY term, shard ORDER BY doc_id) AS gap,
+        |        row_number() OVER (PARTITION BY term, shard ORDER BY tf DESC, doc_id) AS rn
+        |      FROM p)
+        |SELECT term, shard, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS top_doc
+        |FROM g GROUP BY term, shard""".stripMargin,
+
+    "q_skipgram_pairs" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |pos AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM tk),
+        |pr AS (SELECT ws[CAST(i AS INT)] AS center, ws[CAST(i + d.d AS INT)] AS context
+        |       FROM pos, (SELECT unnest([1, 2]) AS d) d
+        |       WHERE i + d.d <= len(ws))
+        |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr GROUP BY center, context""".stripMargin,
+
     "q_curation_e2e" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |gq AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
