@@ -94,3 +94,44 @@ class GraphSpec extends SparkSuite {
     }
   }
 }
+
+/** Plan guards + invariants for the round-6 second batch. */
+class IndexOpsSpec extends SparkSuite {
+
+  test("inverted index: shard digests merge to global df; singleton segments have gap 0") {
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sf0001).collect()
+    // df==1 segments must report max_gap 0
+    assert(rows.filter(_.getLong(2) == 1L).forall(_.getLong(6) == 0L))
+    // sum of segment df over shards == global document frequency per term
+    val byTerm = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val global = graft.core.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("term"))
+      .distinct().groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTerm == global, "segment dfs must partition the global df")
+  }
+
+  test("skipgram pairs: one count shuffle, narrow pair construction (no self-join)") {
+    val df = SparkEntry.queries("q_skipgram_pairs")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==") match { case -1 => p; case i => p.substring(0, i) }
+    val exchanges = cut.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n" + cut.take(3000))
+    assert(!cut.contains("Join"), "pair construction must not self-join:\n" + cut.take(3000))
+  }
+
+  test("skipgram pairs: total pair mass equals sum over docs of (2n-3) for n>=2") {
+    val total = SparkEntry.queries("q_skipgram_pairs")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val want = graft.core.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0)).filter(_ >= 2).map(n => (n - 1).toLong + math.max(n - 2, 0).toLong).sum
+    assert(total == want)
+  }
+}
