@@ -215,7 +215,7 @@ object QueriesRelational {
     val query = e.filter(col("vec_id") === 1)
       .select(graft.analytics.Similarity.quantize(col("embedding")).as("q"))
       .collect()(0).getAs[Seq[Long]]("q").toIndexedSeq
-    val n = codes.count()
+    val n = e.filter(col("vec_id") =!= 1).count() // corpus size: cheap parquet count
     graft.analytics.Pq.searchTopK(
       e.filter(col("vec_id") =!= 1), col("vec_id"), col("embedding"),
       codes, m, query, candidates = math.max(50, (n / 2).toInt), k = 12)

@@ -119,7 +119,23 @@ object Pq {
     * per subspace). One narrow scan + one keyed shuffle to collect the
     * per-sub codes back into a compact row.
     */
-  def encode(emb: DataFrame, id: Column, vec: Column, m: Model): DataFrame =
+  def encode(emb: DataFrame, id: Column, vec: Column, m: Model): DataFrame = {
+    // native one-eval encoder: no subvector explode, no reassembly
+    // shuffle — encode is a narrow scan (PqSpec pins parity with the
+    // composed assignExpr path)
+    val spark = emb.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => graft.functions.PqEncode(exprs.head, m.books), "built-in")
+    emb.select(id.as("vec_id"),
+      call_function("graft_pq_encode", Similarity.quantize(vec)).as("codes"))
+  }
+
+  /** The composed-builtins encoder the native path must match — kept as
+    * the parity reference for PqSpec.
+    */
+  private[graft] def encodeComposed(emb: DataFrame, id: Column, vec: Column,
+                                    m: Model): DataFrame =
     subvectors(emb, id, vec, m.dims, m.numSub)
       .select(col("vec_id"), col("sub"), assignExpr(booksColumn(m)).as("cid"))
       .groupBy(col("vec_id"))

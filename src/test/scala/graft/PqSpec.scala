@@ -105,4 +105,23 @@ class PqSpec extends SparkSuite {
     val recall = exactIds.intersect(candIds).size.toDouble / exactIds.size
     assert(recall >= 0.8, s"ADC recall@${n / 2} = $recall")
   }
+
+  test("native PqEncode codes == composed assignExpr codes (bit parity)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val m = Pq.train(e, col("vec_id"), col("embedding"), k = 16, iters = 3)
+    val native = Pq.encode(e, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val composed = Pq.encodeComposed(e, col("vec_id"), col("embedding"), m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(native == composed)
+  }
+
+  test("native encode is a narrow scan (no exchange in the encode plan)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val m = Pq.train(e, col("vec_id"), col("embedding"), k = 16, iters = 3)
+    val df = Pq.encode(e, col("vec_id"), col("embedding"), m)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "encode must not shuffle:\n" + p.take(2000))
+  }
 }
