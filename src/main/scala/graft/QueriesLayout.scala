@@ -340,7 +340,46 @@ object QueriesLayout {
       "doc_id")
   }
 
+  /** Small-file compaction — the lake-maintenance operator every
+    * long-running CDC sink needs: a partitioned table fragmented into
+    * dozens of tiny files per partition (micro-batch sinks produce one
+    * file per trigger per partition) is rewritten with one task per
+    * partition value and a records-per-file cap, so each partition dir
+    * lands exactly ceil(rows / cap) right-sized files. At 100 TB the
+    * cap maps to the parquet row-group / HDFS-block sweet spot and the
+    * rewrite is one keyed shuffle of the fragmented partitions only
+    * (here the whole fixture for the oracle's sake).
+    *
+    * The catalog row proves READ-BACK correctness (compacted content ==
+    * source, via the DuckDB aggregate); LayoutSpec proves the layout
+    * property (file counts before/after, cap honored).
+    */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    val v0 = s"$base/v0"
+    val v1 = s"$base/v1"
+    ensureWritten(base) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      // fragmented state: many tiny files per partition dir
+      ev.repartition(24).write.mode("overwrite")
+        .partitionBy("event_type").parquet(v0)
+      // compaction: one task per partition value + records-per-file cap
+      s.read.parquet(v0)
+        .repartition(col("event_type"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2500)
+        .partitionBy("event_type").parquet(v1)
+    }
+    s.read.parquet(v1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction" -> compaction _,
     "q_incr_index" -> incrIndex _,
     "q_schema_merge" -> schemaMerge _,
     "q_cow_upsert" -> cowUpsert _,
@@ -351,6 +390,12 @@ object QueriesLayout {
     "q_scd2" -> scd2 _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_schema_merge" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,

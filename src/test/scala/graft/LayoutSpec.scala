@@ -125,6 +125,36 @@ class LayoutSpec extends SparkSuite {
       .mkString.contains("bucket"), rp.take(3000))
   }
 
+  test("compaction: fewer files per partition, cap honored, content preserved") {
+    // run the query first (writes the fixture + compacted layout)
+    val got = SparkEntry.queries("q_compaction")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.core.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "compacted content must equal the source")
+
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      sf0001.replaceAll("[^a-zA-Z0-9]", "_") + s"_${ProcessHandle.current().pid()}"
+    def parquetFiles(v: String): Map[String, Int] =
+      Option(new java.io.File(s"$base/$v").listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = parquetFiles("v0")
+    val after = parquetFiles("v1")
+    assert(before.keySet == after.keySet, "partition dirs preserved")
+    after.foreach { case (dir, nAfter) =>
+      assert(nAfter <= before(dir),
+        s"$dir: compaction must not increase file count ($nAfter vs ${before(dir)})")
+      val rows = want(dir.stripPrefix("event_type="))._1
+      val expect = math.ceil(rows / 2500.0).toInt
+      assert(nAfter == expect, s"$dir: ${nAfter} files for $rows rows at cap 2500, want $expect")
+    }
+    // the fragmented state really was fragmented (the fixture is honest)
+    assert(before.values.sum > after.values.sum, s"$before -> $after")
+  }
+
   test("scd2 invariants: contiguous versions, chained intervals, one current, no no-op versions") {
     val rows = SparkEntry.queries("q_scd2")(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("user_id"))
