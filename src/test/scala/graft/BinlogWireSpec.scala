@@ -136,6 +136,34 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC32"))
   }
 
+  test("EXHAUSTIVE corruption fuzz: every single-byte flip fails loudly, none mis-parses") {
+    // Every byte of the wire format is integrity-covered: the 4 magic
+    // bytes gate the header check, and every event's header+body+CRC
+    // field participates in the CRC32 comparison. So flipping ANY single
+    // byte must throw — a flip that parsed into different entries would
+    // be a silent-corruption hole in the format.
+    val bos = new ByteArrayOutputStream()
+    BinlogWire.write(bos, Iterator(
+      Txn(uuidA, 1L, 0L, table.copy(cols = table.cols.take(1)),
+        Seq(Row("insert", None, Some(IndexedSeq(java.lang.Long.valueOf(7L)))),
+          Row("delete", Some(IndexedSeq(java.lang.Long.valueOf(7L))), None)))))
+    val clean = bos.toByteArray
+    val baseline = BinlogWire.parse(new ByteArrayInputStream(clean))
+    val silent = (0 until clean.length).flatMap { i =>
+      val mutated = clean.clone()
+      mutated(i) = (mutated(i) ^ 0x40).toByte
+      try {
+        val parsed = BinlogWire.parse(new ByteArrayInputStream(mutated))
+        // parse "succeeded": only acceptable if it equals the baseline,
+        // which a bit flip cannot (it would mean the byte is dead weight)
+        if (parsed.toString == baseline.toString) Some(s"byte $i: flip invisible")
+        else Some(s"byte $i: silently parsed DIFFERENT content")
+      } catch { case _: Exception => None } // loud failure = correct
+    }
+    assert(silent.isEmpty,
+      s"${silent.size} byte positions corrupt silently:\n" + silent.take(10).mkString("\n"))
+  }
+
   test("bad magic is rejected") {
     val ex = intercept[IllegalArgumentException] {
       BinlogWire.parse(new ByteArrayInputStream(Array[Byte](1, 2, 3, 4)))
