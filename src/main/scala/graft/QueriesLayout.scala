@@ -343,32 +343,42 @@ object QueriesLayout {
   /** Small-file compaction — the lake-maintenance operator every
     * long-running CDC sink needs: a partitioned table fragmented into
     * dozens of tiny files per partition (micro-batch sinks produce one
-    * file per trigger per partition) is rewritten with one task per
-    * partition value and a records-per-file cap, so each partition dir
-    * lands exactly ceil(rows / cap) right-sized files. At 100 TB the
-    * cap maps to the parquet row-group / HDFS-block sweet spot and the
-    * rewrite is one keyed shuffle of the fragmented partitions only
-    * (here the whole fixture for the oracle's sake).
+    * file per trigger per partition) is rewritten into right-sized
+    * files. Slot count per partition value comes from the partition's
+    * row count (metadata-sized driver state, the role a table format's
+    * manifest plays); rows shuffle ONCE keyed by (partition, slot), so
+    * a 10-billion-row partition compacts through ceil(rows/cap)
+    * PARALLEL tasks — never through one task per partition value, which
+    * is the naive repartition(partitionCol) trap at 100 TB. The
+    * records-per-file cap backstops slot skew.
     *
     * The catalog row proves READ-BACK correctness (compacted content ==
     * source, via the DuckDB aggregate); LayoutSpec proves the layout
-    * property (file counts before/after, cap honored).
+    * property (file counts shrink to ~slot count, cap honored).
     */
   def compaction(s: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dirKey(dir)}_${ProcessHandle.current().pid()}"
     val v0 = s"$base/v0"
     val v1 = s"$base/v1"
+    val cap = 2500L
     ensureWritten(base) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       // fragmented state: many tiny files per partition dir
       ev.repartition(24).write.mode("overwrite")
         .partitionBy("event_type").parquet(v0)
-      // compaction: one task per partition value + records-per-file cap
+      // compaction plan: slots per partition value from row counts
+      // (manifest-sized: one row per partition value)
+      val slots = s.read.parquet(v0).groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> math.max(1L, (r.getLong(1) + cap - 1) / cap))
+        .toMap
+      val slotExpr = slots.foldLeft(lit(0L)) { case (acc, (t, n)) =>
+        when(col("event_type") === t, pmod(col("event_id"), lit(n))).otherwise(acc)
+      }
       s.read.parquet(v0)
-        .repartition(col("event_type"))
+        .repartition(col("event_type"), slotExpr)
         .write.mode("overwrite")
-        .option("maxRecordsPerFile", 2500)
+        .option("maxRecordsPerFile", cap)
         .partitionBy("event_type").parquet(v1)
     }
     s.read.parquet(v1)

@@ -148,8 +148,11 @@ class LayoutSpec extends SparkSuite {
       assert(nAfter <= before(dir),
         s"$dir: compaction must not increase file count ($nAfter vs ${before(dir)})")
       val rows = want(dir.stripPrefix("event_type="))._1
-      val expect = math.ceil(rows / 2500.0).toInt
-      assert(nAfter == expect, s"$dir: ${nAfter} files for $rows rows at cap 2500, want $expect")
+      val slots = math.ceil(rows / 2500.0).toInt
+      // cap guarantees >= ceil(rows/cap) files; hash-slot/task alignment
+      // can split a slot across tasks, adding at most one file per slot
+      assert(nAfter >= slots && nAfter <= 2 * slots,
+        s"$dir: ${nAfter} files for $rows rows at cap 2500, want in [$slots, ${2 * slots}]")
     }
     // the fragmented state really was fragmented (the fixture is honest)
     assert(before.values.sum > after.values.sum, s"$before -> $after")
