@@ -27,20 +27,38 @@ object StreamingLsh {
 
   final case class BandHit(docId: Long, band: Int, hit: Boolean)
 
-  def firstInBucket(spark: SparkSession, ds: Dataset[BandRow]): Dataset[BandHit] = {
+  /** @param idleTimeoutMs bucket-state retention; <= 0 disables the
+    *                      timeout (unbounded state — right for bounded
+    *                      replays and tests; production sets a retention
+    *                      window, same contract as [[StatefulDedup]],
+    *                      so buckets idle past the window are evicted
+    *                      and the store tracks the ACTIVE corpus)
+    */
+  def firstInBucket(spark: SparkSession, ds: Dataset[BandRow],
+                    idleTimeoutMs: Long = 0L): Dataset[BandHit] = {
     import spark.implicits._
+    val timeout =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(r => r.band + ":" + r.bandKey)
-      .flatMapGroupsWithState[Long, BandHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Long, BandHit](OutputMode.Append, timeout) {
         (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
-          var minSeen = state.getOption.getOrElse(Long.MaxValue)
-          val out = rows.toSeq.sortBy(_.docId).map { r =>
-            val hit = minSeen < r.docId
-            if (r.docId < minSeen) minSeen = r.docId
-            BandHit(r.docId, r.band, hit)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var minSeen = state.getOption.getOrElse(Long.MaxValue)
+            val out = rows.toSeq.sortBy(_.docId).map { r =>
+              val hit = minSeen < r.docId
+              if (r.docId < minSeen) minSeen = r.docId
+              BandHit(r.docId, r.band, hit)
+            }
+            state.update(minSeen)
+            // GroupState cancels the previously-set timeout on every
+            // invocation — re-arm for sliding idle-window semantics
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(minSeen)
-          out.iterator
       }
   }
 }
