@@ -776,7 +776,47 @@ object QueriesCdc {
         (col("n_hit_bands") > 0).as("is_dup"))
   }
 
+  /** Snapshot diff — the INVERSE of the engine's core operation: given
+    * two versions of a keyed table, recover the changelog (insert /
+    * update with before-image / delete) that a CDC stream would have
+    * produced between them. The lake-side form of change-data-feed: when
+    * a source cannot stream (bulk-loaded vendor dumps, periodic full
+    * exports), diffing consecutive snapshots IS the changelog.
+    *
+    * Two versions are derived from the events fixture by different
+    * exclusion predicates, so all three op kinds occur. Plan shape: two
+    * keyed rollups then a full outer join on the SAME key — the join
+    * reuses the aggregation's partitioning, so the diff costs the two
+    * rollup shuffles and nothing more; unchanged rows are dropped
+    * before the sink.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // the versions diverge on BOTH membership (userExcl: rows for some
+    // users exist only in one snapshot → inserts and deletes) and
+    // content (eventExcl: shared users aggregate different event sets →
+    // updates), so every op kind occurs
+    def version(eventExcl: Int, userExcl: Int) = events(s, dir)
+      .filter(col("event_id") % eventExcl =!= 0 && col("user_id") % userExcl =!= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val v0 = version(3, 7).select(col("user_id"),
+      col("n").as("n_before"), col("cents").as("cents_before"))
+    val v1 = version(5, 11).select(col("user_id").as("uid1"),
+      col("n").as("n_after"), col("cents").as("cents_after"))
+    v0.join(v1, col("user_id") === col("uid1"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("uid1")).as("user_id"),
+        when(col("user_id").isNull, "insert")
+          .when(col("uid1").isNull, "delete")
+          .otherwise("update").as("op"),
+        col("n_before"), col("cents_before"), col("n_after"), col("cents_after"))
+      .filter(col("op") =!= "update" ||
+        col("cents_before") =!= col("cents_after") || col("n_before") =!= col("n_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> snapshotDiff _,
     "q_snapshot_scan" -> snapshotScan _,
     "q_snapshot_rowfilter" -> snapshotRowFilter _,
     "q_projection_pk" -> projectionPk _,

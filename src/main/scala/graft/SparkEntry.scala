@@ -356,6 +356,22 @@ object SparkEntry {
           |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
           |FROM bk GROUP BY band, band_key""".stripMargin),
 
+    "q_snapshot_diff" ->
+      """WITH v0 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_before
+        |  FROM events WHERE event_id % 3 <> 0 AND user_id % 7 <> 0 GROUP BY user_id),
+        |v1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_after
+        |  FROM events WHERE event_id % 5 <> 0 AND user_id % 11 <> 0 GROUP BY user_id)
+        |SELECT COALESCE(v0.user_id, v1.user_id) AS user_id,
+        |  CASE WHEN v0.user_id IS NULL THEN 'insert'
+        |       WHEN v1.user_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  n_before, cents_before, n_after, cents_after
+        |FROM v0 FULL OUTER JOIN v1 ON v0.user_id = v1.user_id
+        |WHERE NOT (v0.user_id IS NOT NULL AND v1.user_id IS NOT NULL
+        |           AND cents_before = cents_after AND n_before = n_after)""".stripMargin,
+
     // streaming band-bucket state == batch first-in-bucket is exactly the
     // claim under test, so the oracle recomputes first-per-bucket over
     // the whole corpus and flags every later bucket-mate

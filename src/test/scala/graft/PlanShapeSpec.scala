@@ -136,6 +136,18 @@ class PlanShapeSpec extends SparkSuite {
       "window rows shuffled more than once per side:\n" + p.take(3000))
   }
 
+  test("snapshot diff: full outer join reuses the rollup partitioning (two exchanges only)") {
+    val df = SparkEntry.queries("q_snapshot_diff")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==") match { case -1 => p; case i => p.substring(0, i) }
+    val exchanges = cut.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"diff must cost only the two rollup shuffles, got $exchanges:\n" + cut.take(3000))
+    assert(cut.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("FullOuter")),
+      cut.take(3000))
+  }
+
   test("token budget is ONE keyed shuffle (window by source)") {
     val p = finalPlan("q_token_budget")
     val exchanges = p.linesIterator.count(l =>
