@@ -48,7 +48,10 @@ object QueriesGraph {
     // lineage truncation: reliable checkpoint when a dir is configured
     // (an executor loss after truncation would otherwise lose the
     // blocks), cheap localCheckpoint in local mode — same trade as
-    // Dedup.connectedComponents
+    // Dedup.connectedComponents. A checkpointed invocation writes ~12
+    // checkpoint RDD dirs (edges, nodes, 10 rounds); long-lived sessions
+    // should set spark.cleaner.referenceTracking.cleanCheckpoints=true
+    // so GC reclaims them, or scope the checkpoint dir per job.
     def trunc(df: DataFrame): DataFrame =
       if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()

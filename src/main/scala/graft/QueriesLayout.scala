@@ -356,8 +356,11 @@ object QueriesLayout {
     * source, via the DuckDB aggregate); LayoutSpec proves the layout
     * property (file counts shrink to ~slot count, cap honored).
     */
+  private[graft] def compactionBase(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+
   def compaction(s: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    val base = compactionBase(dir)
     val v0 = s"$base/v0"
     val v1 = s"$base/v1"
     val cap = 2500L

@@ -122,13 +122,16 @@ object Pq {
   def encode(emb: DataFrame, id: Column, vec: Column, m: Model): DataFrame = {
     // native one-eval encoder: no subvector explode, no reassembly
     // shuffle — encode is a narrow scan (PqSpec pins parity with the
-    // composed assignExpr path)
+    // composed assignExpr path). The registered name is unique PER MODEL:
+    // a fixed name would let a concurrent encode with a different model
+    // rebind the function between registration and analysis and silently
+    // produce codes for the wrong codebooks.
     val spark = emb.sparkSession
+    val fname = s"graft_pq_encode_${System.identityHashCode(m).toHexString}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_encode",
-      exprs => graft.functions.PqEncode(exprs.head, m.books), "built-in")
+      fname, exprs => graft.functions.PqEncode(exprs.head, m.books), "built-in")
     emb.select(id.as("vec_id"),
-      call_function("graft_pq_encode", Similarity.quantize(vec)).as("codes"))
+      call_function(fname, Similarity.quantize(vec)).as("codes"))
   }
 
   /** The composed-builtins encoder the native path must match — kept as

@@ -34,6 +34,29 @@ object StreamingLsh {
     *                      so buckets idle past the window are evicted
     *                      and the store tracks the ACTIVE corpus)
     */
+  /** The per-group fold, exposed for direct unit testing with
+    * `TestGroupState` (the timed-out branch cannot be driven
+    * deterministically through a live stream).
+    */
+  private[graft] def foldGroup(rows: Iterator[BandRow], state: GroupState[Long],
+                               idleTimeoutMs: Long): Iterator[BandHit] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var minSeen = state.getOption.getOrElse(Long.MaxValue)
+      val out = rows.toSeq.sortBy(_.docId).map { r =>
+        val hit = minSeen < r.docId
+        if (r.docId < minSeen) minSeen = r.docId
+        BandHit(r.docId, r.band, hit)
+      }
+      state.update(minSeen)
+      // GroupState cancels the previously-set timeout on every
+      // invocation — re-arm for sliding idle-window semantics
+      if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+      out.iterator
+    }
+
   def firstInBucket(spark: SparkSession, ds: Dataset[BandRow],
                     idleTimeoutMs: Long = 0L): Dataset[BandHit] = {
     import spark.implicits._
@@ -43,22 +66,7 @@ object StreamingLsh {
     ds.groupByKey(r => r.band + ":" + r.bandKey)
       .flatMapGroupsWithState[Long, BandHit](OutputMode.Append, timeout) {
         (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var minSeen = state.getOption.getOrElse(Long.MaxValue)
-            val out = rows.toSeq.sortBy(_.docId).map { r =>
-              val hit = minSeen < r.docId
-              if (r.docId < minSeen) minSeen = r.docId
-              BandHit(r.docId, r.band, hit)
-            }
-            state.update(minSeen)
-            // GroupState cancels the previously-set timeout on every
-            // invocation — re-arm for sliding idle-window semantics
-            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
-            out.iterator
-          }
+          foldGroup(rows, state, idleTimeoutMs)
       }
   }
 }

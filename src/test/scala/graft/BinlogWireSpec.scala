@@ -149,17 +149,22 @@ class BinlogWireSpec extends AnyFunSuite {
           Row("delete", Some(IndexedSeq(java.lang.Long.valueOf(7L))), None)))))
     val clean = bos.toByteArray
     val baseline = BinlogWire.parse(new ByteArrayInputStream(clean))
-    val silent = (0 until clean.length).flatMap { i =>
-      val mutated = clean.clone()
-      mutated(i) = (mutated(i) ^ 0x40).toByte
-      try {
+    // several deltas per position: a single fixed bit could miss a field
+    // where only some bits are integrity-covered
+    val deltas = Seq(0x01, 0x40, 0x80, 0xFF)
+    val silent = for {
+      i <- 0 until clean.length
+      d <- deltas
+      mutated = clean.clone()
+      _ = mutated(i) = (mutated(i) ^ d).toByte
+      msg <- try {
         val parsed = BinlogWire.parse(new ByteArrayInputStream(mutated))
         // parse "succeeded": only acceptable if it equals the baseline,
-        // which a bit flip cannot (it would mean the byte is dead weight)
-        if (parsed.toString == baseline.toString) Some(s"byte $i: flip invisible")
-        else Some(s"byte $i: silently parsed DIFFERENT content")
+        // which a byte change cannot (it would mean the byte is dead weight)
+        if (parsed.toString == baseline.toString) Some(s"byte $i ^$d: flip invisible")
+        else Some(s"byte $i ^$d: silently parsed DIFFERENT content")
       } catch { case _: Exception => None } // loud failure = correct
-    }
+    } yield msg
     assert(silent.isEmpty,
       s"${silent.size} byte positions corrupt silently:\n" + silent.take(10).mkString("\n"))
   }

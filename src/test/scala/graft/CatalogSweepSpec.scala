@@ -20,15 +20,19 @@ class CatalogSweepSpec extends SparkSuite {
     "q_stream_retract", "q_stream_neardup", "q_crypto_roundtrip",
     "q_pgp_roundtrip", "q_msgpack_framed")
 
-  test("no cartesian product and no UDF in any catalog query plan") {
+  private def sweep(pick: String => Boolean): Unit = {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => slow.contains(n) }
+      .filter { case (n, _) => pick(n) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
         val bad = offenses(plan)
         if (bad.isEmpty) Nil else List(s"$name: ${bad.mkString(",")}")
       }
     assert(offenders.isEmpty, "anti-patterns found:\n" + offenders.mkString("\n"))
+  }
+
+  test("no cartesian product and no UDF in any catalog query plan") {
+    sweep(n => !slow.contains(n))
   }
 
   // "ScalaUDF" is the plan node of a real sql.functions.udf; the typed
@@ -42,13 +46,6 @@ class CatalogSweepSpec extends SparkSuite {
     .collect { case (tag, true) => tag }
 
   test("slow/streaming queries also carry no cartesian product or UDF") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => slow.contains(n) }
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
-        val bad = offenses(plan)
-        if (bad.isEmpty) Nil else List(s"$name: ${bad.mkString(",")}")
-      }
-    assert(offenders.isEmpty, "anti-patterns found:\n" + offenders.mkString("\n"))
+    sweep(slow.contains)
   }
 }

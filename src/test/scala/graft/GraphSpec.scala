@@ -27,20 +27,28 @@ class GraphSpec extends SparkSuite {
     assert(m() == m())
   }
 
-  test("pagerank survives cache eviction under a reliable checkpoint dir") {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckpt)
+  test("pagerank survives block eviction under a reliable checkpoint dir") {
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
       val want = SparkEntry.queries("q_pagerank")(spark, sf0001)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val df = SparkEntry.queries("q_pagerank")(spark, sf0001)
-      // evict every cached block: a localCheckpoint-backed result would now
-      // be unrecoverable on a real cluster; the reliable checkpoint
-      // re-reads from the checkpoint dir
-      spark.catalog.clearCache()
+      // evict every persisted BLOCK (clearCache() only clears Dataset
+      // caches and would leave localCheckpoint blocks alive — making the
+      // test pass even without reliable checkpoints): with truncated
+      // lineage, a localCheckpoint-backed result is now unrecoverable,
+      // while the reliable checkpoint re-reads its files
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      // reliable checkpoints are only auto-cleaned with
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true; scrub the
+      // test's dir explicitly
+      org.apache.commons.io.FileUtils.deleteQuietly(ckptPath.toFile)
+    }
   }
 
   test("pagerank: high-degree nodes outrank the median node") {

@@ -135,8 +135,7 @@ class LayoutSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want, "compacted content must equal the source")
 
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-      sf0001.replaceAll("[^a-zA-Z0-9]", "_") + s"_${ProcessHandle.current().pid()}"
+    val base = QueriesLayout.compactionBase(sf0001)
     def parquetFiles(v: String): Map[String, Int] =
       Option(new java.io.File(s"$base/$v").listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory)

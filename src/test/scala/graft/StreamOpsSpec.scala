@@ -117,4 +117,43 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.exists { case (id, hits) => hits > 0 && id > split },
       "no cross-batch state hit — replay split did not exercise the store")
   }
+
+  test("streaming LSH fold: hit logic, timeout re-arm, and timed-out eviction (TestGroupState)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.stream.StreamingLsh.{BandRow, BandHit, foldGroup}
+    // NOTE: Optional.ofNullable(null: java.lang.Long) silently unboxes to
+    // Some(0) through the scala.Long type parameter — build the empty
+    // case explicitly
+    def fresh(timeoutMs: Long, init: Option[Long]) = TestGroupState.create[Long](
+      optionalState = init.map(v => org.apache.spark.api.java.Optional.of(v))
+        .getOrElse(org.apache.spark.api.java.Optional.empty[Long]()),
+      timeoutConf = if (timeoutMs > 0)
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+      else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+
+    // empty state: first doc is no hit, later docs in the batch hit; min kept
+    val s1 = fresh(3600000L, None)
+    val out1 = foldGroup(Iterator(BandRow(0, "k", 12L), BandRow(0, "k", 10L)),
+      s1, 3600000L).toList
+    assert(out1 == List(BandHit(10L, 0, hit = false), BandHit(12L, 0, hit = true)))
+    assert(s1.get == 10L && s1.isUpdated)
+    // re-arm happened: a timeout is registered on every invocation
+    assert(s1.getTimeoutTimestampMs.isPresent)
+
+    // existing state: every larger doc hits, min preserved
+    val s2 = fresh(0L, Some(5L))
+    val out2 = foldGroup(Iterator(BandRow(1, "k", 7L)), s2, 0L).toList
+    assert(out2 == List(BandHit(7L, 1, hit = true)) && s2.get == 5L)
+
+    // timed-out invocation: state evicted, nothing emitted
+    val s3 = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.of(Long.box(5L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    assert(foldGroup(Iterator.empty, s3, 3600000L).isEmpty)
+    assert(s3.isRemoved)
+  }
 }
