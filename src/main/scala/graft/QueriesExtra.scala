@@ -111,16 +111,36 @@ object QueriesExtra {
 
   /** Sketch-based stats — THE 100 TB path (HLL++ distinct counts +
     * Greenwald-Khanna quantiles, both mergeable partial aggregates: fixed
-    * memory per group regardless of group size). Not DuckDB-expressible
-    * (different sketch algorithms) => rows-only check; the exact twins
-    * above are the correctness anchor, and ApproxStatsSpec asserts the
-    * sketch estimates stay within their published error bounds of them.
+    * memory per group regardless of group size). Raw sketch values differ
+    * per engine, so the hashable contract is: exact twin anchors (the
+    * oracle recomputes them) plus `within_bound` booleans asserting the
+    * sketch landed inside its published error bound of the exact value —
+    * `approx_percentile(_, p, 1000)` guarantees rank error <= n/1000 (we
+    * gate at the 47th..53rd exact percentiles, 30x slack), HLL++ at
+    * default rsd 0.05 is within 15% (3 sigma). The oracle emits TRUE for
+    * both flags; a sketch falling outside its bound hash-mismatches.
+    * ApproxStatsSpec pins the tight bounds; this row makes the contract
+    * part of the correctness gate.
     */
   def approxStats(s: SparkSession, dir: String): DataFrame =
-    li(s, dir).groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        count(lit(1)).as("n"))
+    li(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(cents, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(cents, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(cents, 0.47)").as("p_lo"),
+        expr("percentile(cents, 0.53)").as("p_hi"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_p50"),
+        col("n"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.15).as("orders_within_bound"),
+        (col("approx_p50") >= col("p_lo")
+          && col("approx_p50") <= col("p_hi")).as("p50_within_bound"))
 
   /** Full corpus-cleaning composition: length gate -> language gate ->
     * fingerprint dedup -> stats. One Catalyst plan, one shuffle.
@@ -419,7 +439,17 @@ object QueriesExtra {
         |  quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS p50,
         |  quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.95) AS p95,
         |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Sketch internals aren't oracle-computable; the exact anchors are,
+    // and the bound flags are TRUE by the sketches' published guarantees.
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS exact_p50,
+        |  COUNT(*) AS n,
+        |  TRUE AS orders_within_bound,
+        |  TRUE AS p50_within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
-    // q_approx_stats: intentionally no oracle (sketches differ per engine)
   )
 }

@@ -15,10 +15,16 @@ import graft.pipes.Pgp
   * evidence that the packets are spec-conformant, not just
   * self-consistent.
   */
-class PgpSpec extends AnyFunSuite {
+class PgpSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private val gpg: Option[String] =
     Seq("/usr/bin/gpg", "/usr/local/bin/gpg").find(p => new java.io.File(p).canExecute)
+
+  // Every homedir gpg touches auto-spawns a gpg-agent daemon holding two
+  // inotify instances; left alive they exhaust fs.inotify.max_user_instances
+  // across test runs (observed: 114 stale agents blocking sbt startup). Track
+  // the homedirs and `gpgconf --kill` each agent when the suite ends.
+  private val homes = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   private def gpgHome(): Path = {
     val d = Files.createTempDirectory("graft-gnupg")
@@ -28,7 +34,16 @@ class PgpSpec extends AnyFunSuite {
         java.nio.file.attribute.PosixFilePermission.OWNER_READ,
         java.nio.file.attribute.PosixFilePermission.OWNER_WRITE,
         java.nio.file.attribute.PosixFilePermission.OWNER_EXECUTE))
+    homes.synchronized { homes += d }
     d
+  }
+
+  override def afterAll(): Unit = {
+    homes.synchronized { homes.foreach { h =>
+      try Seq("gpgconf", "--homedir", h.toString, "--kill", "gpg-agent").!
+      catch { case _: Throwable => () }
+    } }
+    super.afterAll()
   }
 
   private def run(cmd: Seq[String], stdin: Array[Byte]): (Int, Array[Byte], String) = {
