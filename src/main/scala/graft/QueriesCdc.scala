@@ -760,15 +760,18 @@ object QueriesCdc {
       .bandKeysFromWide(wide, "doc_id", numHashes = 8, rowsPerBand = 4)
       .select(col("band"), col("band_key").as("bandKey"), col("doc_id").as("docId"))
       .as[graft.stream.StreamingLsh.BandRow]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt").toString
-    withStatePartitions(s, 8) {
+    // fresh checkpoint per run (replay must start from scratch), deleted
+    // after termination — bench repeats (x3) and the catalog sweep would
+    // otherwise each orphan a state-store tree in tmp
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt")
+    try withStatePartitions(s, 8) {
       val q = graft.stream.StreamingLsh.firstInBucket(s, bands)
         .writeStream.format("memory").queryName("graft_stream_neardup")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckptPath.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
+    } finally graft.core.Tmp.deleteRecursively(ckptPath)
     s.table("graft_stream_neardup")
       .groupBy(col("docId"))
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))

@@ -32,7 +32,8 @@ object QueriesExtra {
     pairs
       .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa")), "vec_a")
       .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), Similarity.dotQ(col("qa"), col("qb")).as("dot"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.dotQ(col("qa"), col("qb"))(s).as("dot"))
       .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors
   }
 

@@ -43,15 +43,17 @@ object QueriesGraph {
     * every step is a keyed shuffle, nothing is collected, and no step
     * needs the whole graph co-resident.
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.core.Checkpoints.scoped(s) { pagerankBody(s, dir) }
+
+  private def pagerankBody(s: SparkSession, dir: String): DataFrame = {
     val iters = 10
     // lineage truncation: reliable checkpoint when a dir is configured
     // (an executor loss after truncation would otherwise lose the
     // blocks), cheap localCheckpoint in local mode — same trade as
-    // Dedup.connectedComponents. A checkpointed invocation writes ~12
-    // checkpoint RDD dirs (edges, nodes, 10 rounds); long-lived sessions
-    // should set spark.cleaner.referenceTracking.cleanCheckpoints=true
-    // so GC reclaims them, or scope the checkpoint dir per job.
+    // Dedup.connectedComponents. The ~12 per-invocation checkpoint trees
+    // (edges, nodes, 10 rounds) live in a Checkpoints.scoped subdir that
+    // is deleted before pagerank returns — nothing survives the call.
     def trunc(df: DataFrame): DataFrame =
       if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()

@@ -255,7 +255,12 @@ object Dedup {
     *
     * Returns (doc_id, component) for every doc that appears in `pairs`.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    graft.core.Checkpoints.scoped(pairs.sparkSession) {
+      connectedComponentsBody(pairs, maxIter)
+    }
+
+  private def connectedComponentsBody(pairs: DataFrame, maxIter: Int): DataFrame = {
     // Undirected edge list, both directions, in ONE pass over `pairs`: a
     // union of two projections would compute the (expensive) upstream
     // candidate-pair plan twice on materialization; the explode is narrow.
@@ -315,7 +320,9 @@ object Dedup {
     // localCheckpoint stores blocks on executors only, so an executor
     // loss after the loop would make the result unrecoverable (lineage
     // was truncated). local-mode runs without a checkpoint dir keep the
-    // cheap local form.
+    // cheap local form. The checkpoint files land in the enclosing
+    // Checkpoints.scoped subdir: the result is pinned to the replicated
+    // cache and the files are deleted before connectedComponents returns.
     val result =
       if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
         labels.checkpoint(true)

@@ -122,17 +122,30 @@ object Pq {
   def encode(emb: DataFrame, id: Column, vec: Column, m: Model): DataFrame = {
     // native one-eval encoder: no subvector explode, no reassembly
     // shuffle — encode is a narrow scan (PqSpec pins parity with the
-    // composed assignExpr path). The registered name is unique PER MODEL:
-    // a fixed name would let a concurrent encode with a different model
-    // rebind the function between registration and analysis and silently
-    // produce codes for the wrong codebooks.
+    // composed assignExpr path). The registered name is unique PER CALL
+    // (process-wide counter — identityHashCode is 31-bit and can collide
+    // across live models): a shared name would let a concurrent encode
+    // with a different model rebind the function between registration and
+    // analysis and silently produce codes for the wrong codebooks. The
+    // binding is dropped as soon as the plan is analyzed, so a long-lived
+    // session does not accumulate one registry entry per model.
     val spark = emb.sparkSession
-    val fname = s"graft_pq_encode_${System.identityHashCode(m).toHexString}"
+    val fname = s"graft_pq_encode_${encodeNameCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fname, exprs => graft.functions.PqEncode(exprs.head, m.books), "built-in")
-    emb.select(id.as("vec_id"),
-      call_function(fname, Similarity.quantize(vec)).as("codes"))
+    try {
+      val out = emb.select(id.as("vec_id"),
+        call_function(fname, Similarity.quantize(vec)).as("codes"))
+      out.queryExecution.analyzed // resolve while the binding is live
+      out
+    } finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+      ()
+    }
   }
+
+  private val encodeNameCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The composed-builtins encoder the native path must match — kept as
     * the parity reference for PqSpec.
@@ -183,7 +196,8 @@ object Pq {
     val qlit = typedLit(query)
     emb.select(id.as("vec_id"), Similarity.quantize(vec).as("q"))
       .join(cand, "vec_id")
-      .select(col("vec_id"), Similarity.dotQ(col("q"), qlit).as("dot"))
+      .select(col("vec_id"),
+        Similarity.dotQ(col("q"), qlit)(emb.sparkSession).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
   }
@@ -224,7 +238,7 @@ object Pq {
     pruned
       .join(cand, "vec_id")
       .select(col("vec_id"),
-        Similarity.dotQ(Similarity.quantize(col("embedding")), qlit).as("dot"))
+        Similarity.dotQ(Similarity.quantize(col("embedding")), qlit)(spark).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
   }

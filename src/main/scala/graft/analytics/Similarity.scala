@@ -30,8 +30,10 @@ object Similarity {
     * closures per element per PAIR, which dominates candidate-verify and
     * re-rank scans (kNN measured 4.4 s -> 1.1 s at sf0.1 on the swap).
     */
-  def dotQ(a: Column, b: Column): Column =
-    graft.functions.QDot.column(a, b)(org.apache.spark.sql.SparkSession.active)
+  def dotQ(a: Column, b: Column)(
+      implicit spark: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Column =
+    graft.functions.QDot.column(a, b)(spark)
 
   /** Brute-force top-k by quantized dot product against one query vector.
     * `queryVec` must be a 1-row DataFrame with column `qv` (already
@@ -41,7 +43,8 @@ object Similarity {
                      queryVec: DataFrame, k: Int): DataFrame =
     embeddings
       .crossJoin(broadcast(queryVec))
-      .select(id.as("vec_id"), dotQ(quantize(vec), col("qv")).as("dot"))
+      .select(id.as("vec_id"),
+        dotQ(quantize(vec), col("qv"))(embeddings.sparkSession).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
 

@@ -36,11 +36,25 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Long]]])
     a
   }
 
+  // nullSafeEval can return null (bad dims / null element) even when the
+  // child column is declared non-nullable
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
     val numSub = books.length
     val k = books.head.length
     val subDim = books.head.head.length
+    // Parity with QDot's null algebra: a dimension-mismatched vector or a
+    // null element yields NULL — never codes. UnsafeArrayData.getLong is
+    // assert-only out of range, so without this gate a short vector would
+    // silently encode from garbage offsets.
+    if (q.numElements() != numSub * subDim) return null
+    var j = 0
+    while (j < q.numElements()) {
+      if (q.isNullAt(j)) return null
+      j += 1
+    }
     val codes = new Array[Int](numSub)
     var s = 0
     while (s < numSub) {

@@ -20,6 +20,10 @@ case class QDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // returns null on length mismatch / null elements even when both
+  // children are declared non-nullable
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]

@@ -78,22 +78,30 @@ class DedupSpec extends SparkSuite {
     assert(clusters(1L) == ((4L, 1L)) && clusters(10L) == ((2L, 10L)))
   }
 
-  test("connected components survive cache eviction under a reliable checkpoint dir") {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckpt)
+  test("connected components with a checkpoint dir: correct labels, zero surviving files") {
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
       val comp = Dedup.connectedComponents(pairs)
-      // evict every cached block: a localCheckpoint-backed result would now
-      // be unrecoverable on a real cluster; the reliable checkpoint re-reads
-      // from the checkpoint dir
-      spark.catalog.clearCache()
       val got = comp.collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // and the lineage really is checkpoint-rooted, not the iterative loop
-      assert(comp.queryExecution.optimizedPlan.collectLeaves().nonEmpty)
-    } finally spark.sparkContext.setCheckpointDir(null)
+      // Checkpoints.scoped contract: the loop's reliable checkpoint files
+      // are deleted before connectedComponents returns — the result is
+      // served from the pinned replicated cache, and repeated invocations
+      // leave zero residual checkpoint storage
+      val walk = java.nio.file.Files.walk(ckptPath)
+      val residue =
+        try walk.filter(p => java.nio.file.Files.isRegularFile(p)).findFirst()
+        finally walk.close()
+      assert(!residue.isPresent,
+        s"checkpoint files survived the scoped CC call: $residue")
+      assert(comp.count() == 5)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckptPath.toFile)
+    }
   }
 
   test("ngram jaccard: dup pair ~1.0, bounded in (0,1]") {

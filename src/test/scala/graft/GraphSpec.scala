@@ -27,26 +27,32 @@ class GraphSpec extends SparkSuite {
     assert(m() == m())
   }
 
-  test("pagerank survives block eviction under a reliable checkpoint dir") {
+  test("pagerank with a checkpoint dir: correct result, zero surviving checkpoint files") {
     val ckptPath = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
     spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
+      // the no-dir localCheckpoint run is the reference result
+      spark.sparkContext.setCheckpointDir(null)
       val want = SparkEntry.queries("q_pagerank")(spark, sf0001)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sparkContext.setCheckpointDir(ckptPath.toString)
       val df = SparkEntry.queries("q_pagerank")(spark, sf0001)
-      // evict every persisted BLOCK (clearCache() only clears Dataset
-      // caches and would leave localCheckpoint blocks alive — making the
-      // test pass even without reliable checkpoints): with truncated
-      // lineage, a localCheckpoint-backed result is now unrecoverable,
-      // while the reliable checkpoint re-reads its files
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
+      // Checkpoints.scoped contract: the ~12 per-invocation rdd trees
+      // (edges, nodes, 10 rounds) are deleted before pagerank returns —
+      // no scope dir and no FILE of any kind survives under the
+      // configured dir (empty setCheckpointDir-internal UUID dirs may)
+      val walk = java.nio.file.Files.walk(ckptPath)
+      val residue =
+        try walk.filter(p => java.nio.file.Files.isRegularFile(p)).findFirst()
+        finally walk.close()
+      assert(!residue.isPresent,
+        s"checkpoint files survived the scoped pagerank call: $residue")
+      // and the result stays servable from the pinned cache
+      assert(df.count() == want.size)
     } finally {
       spark.sparkContext.setCheckpointDir(null)
-      // reliable checkpoints are only auto-cleaned with
-      // spark.cleaner.referenceTracking.cleanCheckpoints=true; scrub the
-      // test's dir explicitly
       org.apache.commons.io.FileUtils.deleteQuietly(ckptPath.toFile)
     }
   }
