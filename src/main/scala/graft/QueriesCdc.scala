@@ -52,6 +52,9 @@ object QueriesCdc {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  // Keys embed the source dataset's CONTENT key (DatasetKey: file sizes +
+  // mtimes), so a dataset refreshed under the same path rebuilds the
+  // fixture instead of serving the stale one.
   private val fixtureMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def memoFixture[T <: AnyRef](key: String)(build: => T): T =
     fixtureMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
@@ -238,7 +241,7 @@ object QueriesCdc {
           col("event_id"),
           col("user_id"),
           round(col("value") * 100).cast("long").as("value_cents"))).as("payload"))
-    val (part, nEvents) = memoFixture(s"binlog_native_$dir") {
+    val (part, nEvents) = memoFixture(s"binlog_native_${graft.core.DatasetKey.of(dir)}") {
       val fixtureDir = fixturePath("binlog_native", dir)
       base
         .select(to_json(struct(col("seq"), col("uuid"), col("gno"), col("op"),
@@ -420,7 +423,7 @@ object QueriesCdc {
     // 2 files -> 2 micro-batches: complete mode re-emits the FULL window
     // state every batch, so batch count multiplies the aggregation work —
     // two batches prove cross-batch accumulation at minimal re-agg cost
-    val src = memoFixture(s"swindow_$dir") {
+    val src = memoFixture(s"swindow_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("stream_src", dir)
       events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -461,7 +464,7 @@ object QueriesCdc {
     * not history; the shuffle is the normal group-by-key exchange.
     */
   def streamSession(s: SparkSession, dir: String): DataFrame = {
-    val src = memoFixture(s"ssession_$dir") {
+    val src = memoFixture(s"ssession_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("ssession_src", dir)
       val base = events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -511,7 +514,7 @@ object QueriesCdc {
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val src = memoFixture(s"sdedup_$dir") {
+    val src = memoFixture(s"sdedup_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("sdedup_src", dir)
       events(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -558,7 +561,7 @@ object QueriesCdc {
     * future input) is the engine's, not ours.
     */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val src = memoFixture(s"sjoin_$dir") {
+    val src = memoFixture(s"sjoin_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("sjoin_src", dir)
       events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -613,7 +616,7 @@ object QueriesCdc {
     * keeps the integral.
     */
   def streamRetract(s: SparkSession, dir: String): DataFrame = {
-    val src = memoFixture(s"sretract_$dir") {
+    val src = memoFixture(s"sretract_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("sretract_src", dir)
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -663,7 +666,7 @@ object QueriesCdc {
     * zero.
     */
   def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val src = memoFixture(s"senrich_$dir") {
+    val src = memoFixture(s"senrich_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("senrich_src", dir)
       events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -724,7 +727,7 @@ object QueriesCdc {
   def streamNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
-    val src = memoFixture(s"sneardup_$dir") {
+    val src = memoFixture(s"sneardup_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("sneardup_src", dir)
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // The file source orders batches by file MODIFICATION TIME, so a

@@ -27,10 +27,14 @@ object QueriesLayout {
 
   private def dirKey(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  // Memo key = fixture path + the SOURCE dataset's content key (file
+  // sizes + mtimes): a dataset refreshed under the same dir re-runs the
+  // overwrite-mode write instead of serving the stale fixture.
   private val writtenPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def ensureWritten(path: String)(write: => Unit): Unit = {
-    if (!writtenPaths.contains(path)) synchronized {
-      if (!writtenPaths.contains(path)) { write; writtenPaths.add(path) }
+  private[graft] def ensureWritten(path: String, srcDir: String)(write: => Unit): Unit = {
+    val key = path + "@" + graft.core.DatasetKey.of(srcDir)
+    if (!writtenPaths.contains(key)) synchronized {
+      if (!writtenPaths.contains(key)) { write; writtenPaths.add(key) }
     }
   }
 
@@ -50,7 +54,9 @@ object QueriesLayout {
     val pid = ProcessHandle.current().pid()
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${dirKey(dir)}_$pid"
     def ensureTable(name: String, df: DataFrame, keyCol: String): String = {
-      val table = s"graft_bkt_${name}_${dirKey(dir)}"
+      // content-hash suffix: a refreshed dataset re-lands the bucketed
+      // table instead of reusing the stale catalog entry
+      val table = s"graft_bkt_${name}_${dirKey(dir)}_${graft.core.DatasetKey.hashOf(dir)}"
       if (!s.catalog.tableExists(table)) {
         df.write.mode("overwrite")
           .bucketBy(8, keyCol).sortBy(keyCol)
@@ -85,7 +91,7 @@ object QueriesLayout {
     */
   def partitionPrune(s: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_partev_${dirKey(dir)}_${ProcessHandle.current().pid()}"
-    ensureWritten(path) {
+    ensureWritten(path, dir) {
       Tables.events(s, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
     }
@@ -236,7 +242,7 @@ object QueriesLayout {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cow_${dirKey(dir)}_${ProcessHandle.current().pid()}"
     val v0 = s"$base/v0"
     val v1 = s"$base/v1"
-    ensureWritten(base) {
+    ensureWritten(base, dir) {
       val ev = Tables.events(s, dir).select(col("user_id"),
         (col("user_id") % 16).cast("int").as("bucket"),
         round(col("value") * 100).cast("long").as("cents"),
@@ -292,7 +298,7 @@ object QueriesLayout {
     */
   def schemaMerge(s: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_schmerge_${dirKey(dir)}_${ProcessHandle.current().pid()}"
-    ensureWritten(path) {
+    ensureWritten(path, dir) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         round(col("value") * 100).cast("long").as("cents"), col("event_type"))
       ev.filter(col("event_id") % 2 === 0)
@@ -324,7 +330,7 @@ object QueriesLayout {
   def incrIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.analytics.Dedup
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${dirKey(dir)}_${ProcessHandle.current().pid()}"
-    ensureWritten(path) {
+    ensureWritten(path, dir) {
       Dedup.minhashWideNative(
           Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
           "doc_id", col("text"), k = 8, numHashes = 8)
@@ -364,7 +370,7 @@ object QueriesLayout {
     val v0 = s"$base/v0"
     val v1 = s"$base/v1"
     val cap = 2500L
-    ensureWritten(base) {
+    ensureWritten(base, dir) {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       // fragmented state: many tiny files per partition dir

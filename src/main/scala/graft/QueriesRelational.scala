@@ -201,13 +201,16 @@ object QueriesRelational {
   // train-once, probe-many is the PQ serving contract; training is
   // bit-deterministic (PqSpec), so memoizing the model per dataset is
   // observationally transparent — repeated runs measure the serving path
-  // (encode + ADC + re-rank), not repeated refits
+  // (encode + ADC + re-rank), not repeated refits. The key is the
+  // DatasetKey CONTENT key, not the raw dir: a dataset refreshed under
+  // the same path retrains instead of serving the stale model.
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.analytics.Pq.Model]()
+  private[graft] def pqModelCacheSize: Int = pqModels.size()
 
   def pqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val m = pqModels.computeIfAbsent(dir, _ =>
+    val m = pqModels.computeIfAbsent(graft.core.DatasetKey.of(dir), _ =>
       graft.analytics.Pq.train(e, col("vec_id"), col("embedding"),
         k = 32, iters = 8))
     val codes = graft.analytics.Pq.encode(
