@@ -8,10 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Methodology: `noop` write forces full materialization of every column
   * (a bare `count()` would let Catalyst prune the computed columns away);
   * one small warmup query amortizes JVM/codegen startup so per-query
-  * numbers measure the plan, not first-run compilation. Each query runs
-  * `SPARK_GRAFT_REPEATS` times (default 3) and reports the per-query
-  * MEDIAN — single-run deltas proved to be noise (q_corpus_clean swung
-  * 2.7↔4.2 s across rounds with no code change).
+  * numbers measure the plan, not first-run compilation. The catalog runs
+  * as `SPARK_GRAFT_REPEATS` (default 3) full ROUND-ROBIN passes and each
+  * query reports its per-query MEDIAN across passes. Repeats are
+  * interleaved, not consecutive: a transient load window on the machine
+  * can inflate all three back-to-back samples of several adjacent
+  * queries at once (r6: four alphabetically contiguous queries measured
+  * 5-12x their recorded cost while the catalog-wide median ratio was
+  * 1.011), whereas with whole-catalog passes the same window corrupts at
+  * most one of each query's samples and the median rejects it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,19 +41,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // median over `repeats` warm runs; any failed run fails the query.
-    // After each query, release every persistent RDD: localCheckpoint()
-    // results are pinned in the block manager and never unpersisted by
-    // their owner, so a 70-query run otherwise accumulates dead blocks
-    // and the resulting memory pressure inflated later queries by 3-8x
-    // (q_dedup_minhash measured 7.8 s in the full run vs 0.5 s isolated).
-    def materialize(name: String): Double = {
-      val runs = Seq.fill(repeats)(once(name))
+    // After each query run, release every persistent RDD:
+    // localCheckpoint() results are pinned in the block manager and never
+    // unpersisted by their owner, so a 70-query pass otherwise
+    // accumulates dead blocks and the resulting memory pressure inflated
+    // later queries by 3-8x (q_dedup_minhash measured 7.8 s in the full
+    // run vs 0.5 s isolated).
+    def onceClean(name: String): Double = {
+      val t = once(name)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      if (runs.exists(_ < 0)) -1.0
-      else runs.sorted.apply(runs.size / 2)
+      t
     }
 
     // warmup: JVM + codegen + parquet footer/page caches for every input
@@ -70,10 +74,22 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> materialize(n))
+    // `repeats` full round-robin passes; per-query median across passes
+    // (any failed run fails the query)
+    val passes = Seq.fill(repeats)(names.map(n => n -> onceClean(n)).toMap)
+    val results = names.map { n =>
+      val runs = passes.map(_(n))
+      n -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
+    }
 
     // source-level throughput (rows/s) for the two streaming sources, so
-    // source regressions are visible distinctly from planner jitter
+    // source regressions are visible distinctly from planner jitter.
+    // Each source carries a recorded FLOOR (~60% of the trailing best at
+    // sf0.1: 49k rows/s binlog replay, 40k kafka roundtrip, builder r6
+    // closing runs) and the bench emits an explicit per-source verdict —
+    // r6's 28.7k kafka sample was indistinguishable from a real source
+    // regression without digging through two files' history.
+    val floors = Map("q_changelog_native" -> 29000.0, "q_kafka_roundtrip" -> 24000.0)
     val throughput = Seq("q_changelog_native", "q_kafka_roundtrip")
       .filter(n => names.contains(n))
       .map { n =>
@@ -81,6 +97,15 @@ object Bench {
         val rows = try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => -1L }
         n -> (if (sec > 0 && rows >= 0) math.round(rows / sec).toDouble else -1.0)
       }
+    // floors are calibrated at sf0.1 — at smaller factors fixed per-batch
+    // overhead dominates rows/s and would false-alarm
+    val floorsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val floorVerdicts = throughput.map { case (n, v) =>
+      val ok = !floorsApply || v < 0 || v >= floors(n) // a failed query already reports -1
+      if (!ok) System.err.println(
+        s"FLOOR VIOLATION: $n at ${math.round(v)} rows/s, floor ${floors(n).toLong}")
+      n -> ok
+    }
 
     // The driver captures only the last ~2000 chars of stdout; a JSON line
     // carrying all ~108 queries at full double precision is ~4 KB, so its
@@ -95,7 +120,7 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q3_join_topk", "q_dedup_minhash", "q_minhash_lsh",
       "q_dedup_pipeline", "q_embed_clusters", "q_embed_topk", "q_ivf_probe",
-      "q_pq_topk", "q_semdedup_prune", "q_substring_dedup", "q_corpus_clean",
+      "q_ivfpq_topk", "q_pq_topk", "q_semdedup_prune", "q_substring_dedup", "q_corpus_clean",
       "q_curation_e2e", "q_decontaminate", "q_changelog_native",
       "q_kafka_roundtrip", "q_snapshot_scan", "q_cf_roundtrip",
       "q_avro_roundtrip", "q_sql_dml_idempotent", "q_crypto_roundtrip",
@@ -105,10 +130,11 @@ object Bench {
     val qs = headline.filter(resMap.contains)
       .map(k => "\"" + k + "\":" + j(resMap(k))).mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
+    val fv = floorVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":true,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
@@ -116,7 +142,7 @@ object Bench {
       java.nio.file.Paths.get(fullName),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"repeats":$repeats,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":true,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

@@ -289,6 +289,47 @@ object QueriesAnalytics {
       model, queryVec, nprobe = 8, k = 20)
   }
 
+  // both models are deterministic, so train-once probe-many is
+  // observationally transparent; the CONTENT key retrains on a dataset
+  // refresh under the same path
+  private val ivfpqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.analytics.Ivf.Model, graft.analytics.Pq.Model)]()
+
+  /** IVF × PQ serving composition — the full Faiss-style ANN shape as ONE
+    * lake layout: coarse cells partition the index (probes partition-prune
+    * to `nprobe` cell dirs), PQ codes make the in-cell candidate scan
+    * code-only (4 bytes/vector of ADC lookups, no float math), and the
+    * exact re-rank touches only the candidates' full vectors from the
+    * same pruned partitions. Probing all cells with candidates = corpus
+    * makes the result exactly brute-force top-15, so a DuckDB oracle
+    * gates the whole composition; pruning and the code-only scan at
+    * nprobe &lt; cells are spec-gated (PqSpec, PlanShapeSpec).
+    */
+  def ivfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val corpus = e.filter(col("vec_id") =!= 2)
+    // models train on the FULL table (training is sample-bounded and the
+    // PQ seed takes the first k ids); only the index excludes the query
+    val (ivf, pq) = ivfpqModels.computeIfAbsent(graft.core.DatasetKey.of(dir), _ => {
+      val iv = graft.analytics.Ivf.Model.parse( // persist/restore path
+        graft.analytics.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 5).serialize)
+      val pqm = graft.analytics.Pq.train(e, col("vec_id"), col("embedding"),
+        k = 32, iters = 8)
+      (iv, pqm)
+    })
+    val path = QueriesCdc.fixturePath("ivfpq", dir)
+    QueriesLayout.ensureWritten(path, dir) {
+      graft.analytics.Pq.materializeIvfPq(corpus, col("vec_id"), col("embedding"),
+        ivf, pq, path)
+    }
+    val query = e.filter(col("vec_id") === 2)
+      .select(Similarity.quantize(col("embedding")).as("q"))
+      .head().getAs[Seq[Long]]("q").toIndexedSeq
+    val n = corpus.count().toInt // corpus size: cheap parquet count
+    graft.analytics.Pq.probeIvfPq(s, path, ivf, pq, query,
+      nprobe = 8, candidates = n, k = 15)
+  }
+
   // ------------------------------------------------------------------ text
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
@@ -369,6 +410,7 @@ object QueriesAnalytics {
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
     "q_ivf_probe" -> ivfProbe _,
+    "q_ivfpq_topk" -> ivfpqTopk _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,
     "q_text_tokens" -> textTokens _,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Similarity
+import graft.analytics.{Ivf, Similarity}
 import graft.core.Tables
 
 /** Graph / evaluation-layer operators for the training-data pipeline:
@@ -171,9 +171,70 @@ object QueriesGraph {
       .withColumn("correct", (col("label") === col("pred")).cast("boolean"))
   }
 
-  private val knnOracle: String =
-    """WITH t AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
-      |tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+  /** The corpus-scale twin of [[knnClassify]]: neighbors come from a
+    * MATERIALIZED cell-partitioned IVF index instead of a broadcast
+    * cross join. Candidates are restricted to each query's `nprobe`
+    * nearest cells; the index side is read through a `cell isin` filter
+    * that partition-prunes the scan (the probed-cell union here — spec
+    * asserts real pruning at nprobe &lt; cells); only the (small) eval
+    * set with its exploded probe cells broadcasts; the per-query top-5
+    * is the same WindowGroupLimit map-side rank. At nprobe = all cells
+    * the result is EXACT kNN — the DuckDB oracle recomputes it as
+    * brute force — while production sets nprobe ≪ cells and pays only
+    * the probed partitions. Eval split: vec_id % 4 (vs % 5 for the
+    * broadcast twin), so the two rows gate different predictions.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvfImpl(s, dir, nprobe = 8, evalPred = col("vec_id") % 4 === 0)
+
+  private[graft] def knnIvfImpl(s: SparkSession, dir: String, nprobe: Int,
+                                evalPred: Column): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val train = e.filter(col("vec_id") % 4 =!= 0)
+    val ivf = Ivf.Model.parse( // persist/restore path, same as ivfProbe
+      Ivf.train(train, "vec_id", "embedding", k = 8, iters = 5).serialize)
+    val path = QueriesCdc.fixturePath("knnivf", dir)
+    QueriesLayout.ensureWritten(path, dir) {
+      Ivf.materialize(train, "vec_id", "embedding", ivf, path)
+    }
+    val evalPts = Ivf.assignProbes(e.filter(evalPred),
+        "embedding", ivf, nprobe = nprobe)
+      .select(col("vec_id").as("tid"),
+        Similarity.quantize(col("embedding")).as("tq"),
+        col("label").as("tlabel"), explode(col("probe_cells")).as("cell"))
+    // distinct probe cells of the eval set: scalar-sized collect (≤ the
+    // cell count) that becomes the partition-pruning isin on the index
+    val probeCells = evalPts.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idxQ = s.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("cell"), col("vec_id").as("nid"), col("label").as("nlabel"),
+        Similarity.quantize(col("embedding")).as("nq"))
+    val scored = idxQ.join(broadcast(evalPts), "cell")
+      .select(col("tid"), col("tlabel"), col("nid"), col("nlabel"),
+        graft.functions.QDot.column(col("tq"), col("nq")).as("dot"))
+    val wTop = Window.partitionBy(col("tid")).orderBy(col("dot").desc, col("nid"))
+    val top5 = scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+    top5.groupBy(col("tid"), col("tlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("tid"), col("tlabel"))
+      .agg(max(struct(col("votes").as("v"), (-col("nlabel")).as("negl"))).as("win"))
+      .select(col("tid").as("vec_id"), col("tlabel").as("label"),
+        (-col("win.negl")).as("pred"))
+      .withColumn("correct", (col("label") === col("pred")).cast("boolean"))
+  }
+
+  /** Brute-force kNN oracle, parametrized by the eval-split modulus (the
+    * two kNN rows share vote/tie algebra but gate different splits).
+    */
+  private def knnOracleFor(mod: Int): String =
+    s"""WITH t AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % $mod = 0),
+      |tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % $mod <> 0),""".stripMargin +
+      knnOracleTail
+
+  private val knnOracleTail: String =
+    """
       |g AS (SELECT unnest(generate_series(1, 64)) AS i),
       |dots AS (
       |  SELECT t.vec_id AS tid, t.label AS tlabel, tr.vec_id AS nid, tr.label AS nlabel,
@@ -189,6 +250,8 @@ object QueriesGraph {
       |  row_number() OVER (PARTITION BY tid ORDER BY votes DESC, nlabel) AS pr FROM votes)
       |SELECT tid AS vec_id, tlabel AS label, nlabel AS pred, (tlabel = nlabel) AS correct
       |FROM pick WHERE pr = 1""".stripMargin
+
+  private val knnOracle: String = knnOracleFor(5)
 
   // ----------------------------------------------------- stratified split
 
@@ -244,10 +307,12 @@ object QueriesGraph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pagerank _),
     "q_knn_classify" -> (knnClassify _),
+    "q_knn_ivf" -> (knnIvf _),
     "q_stratified_split" -> (stratifiedSplit _))
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(10),
     "q_knn_classify" -> knnOracle,
+    "q_knn_ivf" -> knnOracleFor(4),
     "q_stratified_split" -> splitOracle)
 }

@@ -595,6 +595,18 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin,
 
+    // all-cells probe + corpus-sized candidate set makes the IVF×PQ
+    // composition exhaustive: the oracle is brute-force top-15 for
+    // query vector 2
+    "q_ivfpq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2)
+        |SELECT e.vec_id,
+        |  CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |         * CAST(ROUND(CAST(q.qv[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |FROM embeddings e, q, generate_series(1, 64) g(i)
+        |WHERE e.vec_id <> 2
+        |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 15""".stripMargin,
+
     "q_embed_lsh" ->
       """WITH s AS (
         |  SELECT vec_id, p.j,

@@ -125,6 +125,23 @@ object Ivf {
     }(enc)
   }
 
+  /** Query-side half of a cell-keyed batch kNN join: like [[assign]] but
+    * emits each row's `nprobe` NEAREST cells (ordered) as `probe_cells`.
+    * Exploding it against a [[materialize]]d index joined on `cell` is
+    * the batch form of [[probeMaterialized]] — many queries, one pass,
+    * no per-query job.
+    */
+  def assignProbes(emb: DataFrame, vecCol: String, model: Model,
+                   nprobe: Int): DataFrame = {
+    val outSchema = StructType(emb.schema.fields :+
+      StructField("probe_cells", org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)))
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    emb.mapPartitions { it =>
+      it.map(r => Row.fromSeq(r.toSeq :+ model.nearestCells(toDoubles(r, vecIdx), nprobe)))
+    }(enc)
+  }
+
   /** Ad-hoc probe: assigns the corpus inline, then brute-force
     * quantized-dot top-k restricted to the query's `nprobe` nearest cells.
     * Every probe pays a full corpus scan — debug/small-corpus only. The

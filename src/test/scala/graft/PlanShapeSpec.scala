@@ -162,4 +162,51 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Window"), "keeper selection must not sort cluster partitions:\n" + p.take(3000))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(3000))
   }
+
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(fileScans) ++
+      other.subqueries.flatMap(fileScans)
+  }
+
+  test("IVF×PQ probe: index scans stay cell-partition-filtered; ADC scan reads codes, not vectors") {
+    val df = SparkEntry.queries("q_ivfpq_topk")(spark, sf0001)
+    df.collect()
+    val idxScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(idxScans.nonEmpty, "no scan of the cell-partitioned index found")
+    // the composition must keep the probe's cell restriction as a
+    // PARTITION filter (planning-time pruning), not a post-scan predicate
+    idxScans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"index scan lost its cell partition filter: $sc")
+    }
+    // ADC candidate generation reads the CODES, never the full vectors —
+    // at 100 TB that is 4 bytes/vector vs 256: at least one index scan
+    // must project codes without embedding
+    assert(idxScans.exists(sc =>
+      sc.requiredSchema.fieldNames.contains("codes")
+        && !sc.requiredSchema.fieldNames.contains("embedding")),
+      idxScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
+  test("kNN over the materialized IVF index partition-prunes to the probed cells") {
+    // one eval vector at nprobe=2: the index scan may read AT MOST its
+    // two probed cell partitions (the catalog row runs nprobe=all for
+    // oracle exactness; this pins the pruning the composition exists for)
+    val df = QueriesGraph.knnIvfImpl(spark, sf0001, nprobe = 2,
+      evalPred = org.apache.spark.sql.functions.col("vec_id") === 0)
+    df.collect()
+    val idxScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(idxScans.nonEmpty, "no scan of the cell-partitioned index found")
+    idxScans.foreach { sc =>
+      val parts = sc.metrics("numPartitions").value
+      assert(parts > 0 && parts <= 2,
+        s"index scan read $parts cell partitions, expected <= 2")
+    }
+  }
 }
