@@ -52,6 +52,18 @@ object QueriesCdc {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Fresh checkpoint dir for one bounded replay (the replay must start
+    * from scratch each run), deleted once the stream terminates — bench
+    * x3 repeats and catalog sweeps would otherwise orphan one
+    * state-store tree in tmp per run per stream query.
+    */
+  private def runWithTempCkpt(prefix: String)(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    try start(p.toString).awaitTermination()
+    finally graft.core.Tmp.deleteRecursively(p)
+  }
+
   // Keys embed the source dataset's CONTENT key (DatasetKey: file sizes +
   // mtimes), so a dataset refreshed under the same path rebuilds the
   // fixture instead of serving the stale one.
@@ -253,20 +265,20 @@ object QueriesCdc {
         .map(_.getAbsolutePath).min
       (p, java.lang.Long.valueOf(base.count()))
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-native-ckpt").toString
     // ~4 micro-batches at ANY scale factor: still exercises GTID offset
     // advancement across batches without paying per-batch planning
     // overhead 60x at larger SFs (micro-batch count, not size, is what
     // the restart contract needs)
-    val q = s.readStream.format("graft-binlog")
-      .option("path", part)
-      .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
-      .load()
-      .writeStream.format("memory").queryName("graft_changelog_native")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runWithTempCkpt("graft-binlog-native-ckpt") { ckpt =>
+      s.readStream.format("graft-binlog")
+        .option("path", part)
+        .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
+        .load()
+        .writeStream.format("memory").queryName("graft_changelog_native")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     s.table("graft_changelog_native")
       .select(
         col("seq").as("event_id"),
@@ -343,17 +355,17 @@ object QueriesCdc {
         }
         graft.sources.BinlogFixture.writeBinary(path, entries)
       }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-binlog-binary-ckpt").toString
     val nEvents = nAcc.value.longValue()
-    val q = s.readStream.format("graft-binlog")
-      .option("path", path)
-      .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
-      .load()
-      .writeStream.format("memory").queryName("graft_binlog_binary")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runWithTempCkpt("graft-binlog-binary-ckpt") { ckpt =>
+      s.readStream.format("graft-binlog")
+        .option("path", path)
+        .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
+        .load()
+        .writeStream.format("memory").queryName("graft_binlog_binary")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     val sch = "event_id BIGINT, user_id BIGINT, etype STRING, value_cents BIGINT, value_dec DECIMAL(12,2)"
     s.table("graft_binlog_binary")
       .select(col("gtid_uuid"), col("gno"), col("op"),
@@ -391,17 +403,17 @@ object QueriesCdc {
       .delete(new org.apache.hadoop.fs.Path(topicDir), true)
     val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
       partitionCol = Some(pmod(col("user_id"), lit(nParts))))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-rt-ckpt").toString
     // ~4 micro-batches at any SF (see changelogNative)
-    val q = s.readStream.format("graft-kafka")
-      .option("path", topicDir)
-      .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
-      .load()
-      .writeStream.format("memory").queryName("graft_kafka_roundtrip")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runWithTempCkpt("graft-kafka-rt-ckpt") { ckpt =>
+      s.readStream.format("graft-kafka")
+        .option("path", topicDir)
+        .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
+        .load()
+        .writeStream.format("memory").queryName("graft_kafka_roundtrip")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     s.table("graft_kafka_roundtrip")
       .select(col("partition").cast("long").as("partition"), col("offset"),
         col("key").cast("long").as("user_id"),
@@ -435,16 +447,16 @@ object QueriesCdc {
       .schema("event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-window-ckpt").toString
     withStatePartitions(s, 8) {
-      val q = graft.stream.StreamOps
-        .windowedCounts(stream, "ts", "1 hour", "10 minutes", Seq("event_type"))
-        .writeStream.format("memory").queryName("graft_stream_window")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runWithTempCkpt("graft-stream-window-ckpt") { ckpt =>
+        graft.stream.StreamOps
+          .windowedCounts(stream, "ts", "1 hour", "10 minutes", Seq("event_type"))
+          .writeStream.format("memory").queryName("graft_stream_window")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     s.table("graft_stream_window")
   }
@@ -489,14 +501,14 @@ object QueriesCdc {
         sum(col("value_cents")).as("cents"),
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssession-ckpt").toString
     withStatePartitions(s, 8) {
-      val q = agg.writeStream.format("memory").queryName("graft_stream_session")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runWithTempCkpt("graft-ssession-ckpt") { ckpt =>
+        agg.writeStream.format("memory").queryName("graft_stream_session")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     s.table("graft_stream_session")
       .filter(col("first_event") >= 0) // belt: sentinel sessions are withheld anyway
@@ -528,17 +540,17 @@ object QueriesCdc {
       .select(col("user_id").cast("string").as("key"),
         col("event_id").as("ord"), col("value_cents").cast("string").as("payload"))
       .as[graft.stream.StatefulDedup.Ordered]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdedup-ckpt").toString
     // NoTimeout: a bounded replay needs no retention window, and a
     // processing-time timeout would keep Trigger.AvailableNow alive
     // waiting for timer state to expire
     withStatePartitions(s, 8) {
-      val q = graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
-        .writeStream.format("memory").queryName("graft_stream_dedup")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runWithTempCkpt("graft-sdedup-ckpt") { ckpt =>
+        graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     s.table("graft_stream_dedup")
       .select(col("key").cast("long").as("user_id"),
@@ -586,14 +598,14 @@ object QueriesCdc {
           col("p_ts") <= col("view_ts") + expr("interval 12 hours"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_millis(col("p_ts")) - unix_millis(col("view_ts"))).as("lag_ms"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt").toString
     withStatePartitions(s, 8) {
-      val q = joined.writeStream.format("memory").queryName("graft_stream_join")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runWithTempCkpt("graft-sjoin-ckpt") { ckpt =>
+        joined.writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     s.table("graft_stream_join")
   }
@@ -639,14 +651,14 @@ object QueriesCdc {
           .otherwise(-col("cents")).as("d_cents"))
     val mv = deltas.groupBy(col("user_id"))
       .agg(sum(col("d_rows")).as("n_live"), sum(col("d_cents")).as("net_cents"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sretract-ckpt").toString
     withStatePartitions(s, 8) {
-      val q = mv.writeStream.format("memory").queryName("graft_stream_retract")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runWithTempCkpt("graft-sretract-ckpt") { ckpt =>
+        mv.writeStream.format("memory").queryName("graft_stream_retract")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
     }
     s.table("graft_stream_retract")
   }
@@ -686,13 +698,13 @@ object QueriesCdc {
       .join(broadcast(dim), "user_id")
       .select(col("user_id"), col("event_id"), col("cents"),
         col("first_seen"), col("n_types"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-senrich-ckpt").toString
-    val q = stream.writeStream.format("memory").queryName("graft_stream_enrich")
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runWithTempCkpt("graft-senrich-ckpt") { ckpt =>
+      stream.writeStream.format("memory").queryName("graft_stream_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     s.table("graft_stream_enrich")
   }
 
@@ -763,18 +775,15 @@ object QueriesCdc {
       .bandKeysFromWide(wide, "doc_id", numHashes = 8, rowsPerBand = 4)
       .select(col("band"), col("band_key").as("bandKey"), col("doc_id").as("docId"))
       .as[graft.stream.StreamingLsh.BandRow]
-    // fresh checkpoint per run (replay must start from scratch), deleted
-    // after termination — bench repeats (x3) and the catalog sweep would
-    // otherwise each orphan a state-store tree in tmp
-    val ckptPath = java.nio.file.Files.createTempDirectory("graft-sneardup-ckpt")
-    try withStatePartitions(s, 8) {
-      val q = graft.stream.StreamingLsh.firstInBucket(s, bands)
-        .writeStream.format("memory").queryName("graft_stream_neardup")
-        .option("checkpointLocation", ckptPath.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally graft.core.Tmp.deleteRecursively(ckptPath)
+    withStatePartitions(s, 8) {
+      runWithTempCkpt("graft-sneardup-ckpt") { ckpt =>
+        graft.stream.StreamingLsh.firstInBucket(s, bands)
+          .writeStream.format("memory").queryName("graft_stream_neardup")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+    }
     s.table("graft_stream_neardup")
       .groupBy(col("docId"))
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))

@@ -13,9 +13,15 @@ import org.apache.spark.sql.types._
   * projection, sink DDL) don't need a side channel.
   *
   * Parity notes (intentional, documented divergences kept in metadata):
-  *  - `decimal`/`numeric` → DoubleType for output parity (the reference
-  *    lossily reads decimals as float64 — util/util.go:234); the true
-  *    DecimalType(p,s) is recorded in metadata as `improvedType`.
+  *  - `decimal`/`numeric` → DecimalType(p,s) INTERNALLY (exact money
+  *    arithmetic through the whole plan); the reference's lossy float64
+  *    read (util/util.go:234) is reproduced at the ENCODER EDGE only —
+  *    CF JSON / Avro / MsgPack each cast decimal → double when
+  *    rendering, so wire output stays byte-compatible while no
+  *    precision is lost before the sink (DecimalEdgeSpec). The mapped
+  *    decimal(p,s) is also recorded in metadata as `improvedType`;
+  *    `exactDecimals = false` recovers the reference's lossy scan type
+  *    for consumers that need the double END TO END.
   *  - `timestamp` → TimestampType (UTC session), `datetime` →
   *    TimestampNTZType (the reference forces datetime to UTC —
   *    encoder/json.go:176-200).
@@ -43,13 +49,13 @@ object Schema {
 
   /** MySQL data type → Spark type (util/util.go:223-245 semantics).
     *
-    * `exactDecimals = false` (default) reproduces the reference's lossy
-    * float64 read of decimals (util/util.go:234) for output parity;
-    * `true` is the improved mode mapping to `DecimalType(p, s)` — exact
-    * money arithmetic end-to-end, at the cost of diverging from reference
-    * wire output.
+    * `exactDecimals = true` (default) carries decimals as
+    * `DecimalType(p, s)` through the internal plan; the reference's lossy
+    * float64 read (util/util.go:234) happens at the encoder edge, so wire
+    * output still matches. `false` reproduces the lossy scan type itself
+    * for consumers that want the reference's double end-to-end.
     */
-  def sparkType(c: ColumnSchema, exactDecimals: Boolean = false): DataType = c.dataType match {
+  def sparkType(c: ColumnSchema, exactDecimals: Boolean = true): DataType = c.dataType match {
     case "tinyint" if c.columnType.startsWith("tinyint(1)") => BooleanType
     case "int" | "integer" | "tinyint" | "smallint" | "mediumint" | "year" => IntegerType
     case "bigint" | "bit" => LongType
@@ -66,7 +72,7 @@ object Schema {
     case other => throw new IllegalArgumentException(s"unsupported MySQL type: $other")
   }
 
-  def toStructType(ts: TableSchema, exactDecimals: Boolean = false): StructType = StructType(
+  def toStructType(ts: TableSchema, exactDecimals: Boolean = true): StructType = StructType(
     ts.columns.sortBy(_.ordinal).map { c =>
       val mb = new MetadataBuilder()
         .putString("mysqlType", c.dataType)

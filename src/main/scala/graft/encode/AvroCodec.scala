@@ -40,6 +40,11 @@ object AvroCodec {
         case LongType => ASchema.create(ASchema.Type.LONG)
         case FloatType => ASchema.create(ASchema.Type.FLOAT)
         case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+        // reference parity: DECIMAL maps to Avro double on the wire
+        // (schema/mysql_avro_schema_converter.go:37-77) — the internal
+        // plan carries the exact DecimalType; the loss happens here, at
+        // the encoder edge only
+        case _: DecimalType => ASchema.create(ASchema.Type.DOUBLE)
         case StringType => ASchema.create(ASchema.Type.STRING)
         case BinaryType => ASchema.create(ASchema.Type.BYTES)
         case TimestampType | TimestampNTZType => ASchema.create(ASchema.Type.LONG) // epoch ms
@@ -71,6 +76,9 @@ object AvroCodec {
     // GenericData's union resolution rejects the Short/Byte instance
     case s: java.lang.Short => s.intValue
     case b: java.lang.Byte => b.intValue
+    // DECIMAL → double at the wire edge (util/util.go:234 reads decimals
+    // as float64; the Avro schema above declares DOUBLE)
+    case d: java.math.BigDecimal => d.doubleValue()
     case other => other
   }
 
@@ -139,6 +147,7 @@ object AvroCodec {
         case TimestampType | TimestampNTZType => StructField(f.name, LongType)
         case DateType => StructField(f.name, StringType)
         case ShortType | ByteType => StructField(f.name, IntegerType)
+        case _: DecimalType => StructField(f.name, DoubleType) // wire type
         case other => StructField(f.name, other)
       }
     }

@@ -47,6 +47,11 @@ object CommonFormatJson {
         val full = date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         val trimmed = regexp_replace(regexp_replace(full, "0+$", ""), "\\.$", "")
         concat(lit("\""), trimmed, lit("Z\""))
+      case _: org.apache.spark.sql.types.DecimalType =>
+        // reference parity: decimals hit the wire as float64
+        // (util/util.go:234) — the internal plan carries the exact
+        // DecimalType and the loss happens HERE, at the encoder edge only
+        c.cast("double").cast("string")
       case org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.NumericType =>
         c.cast("string")
       case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))

@@ -120,6 +120,8 @@ object MsgPackCodec {
       case b: Boolean => packBoolean(b)
       case d: Double => packDouble(d)
       case f: Float => packFloat(f) // float32 wire type, like msgp AppendIntf
+      // DECIMAL → float64 at the wire edge (util/util.go:234)
+      case d: java.math.BigDecimal => packDouble(d.doubleValue())
       case b: Array[Byte] => packBinary(b)
       case other => packString(other.toString)
     }

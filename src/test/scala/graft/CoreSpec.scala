@@ -64,22 +64,22 @@ class SchemaSpec extends SparkSuite {
     assert(dt("f8") == IntegerType)
     assert(dt("f10") == BinaryType)
     assert(dt("f12") == FloatType)
-    assert(dt("f14") == DoubleType) // parity: decimal read as double
+    assert(dt("f14") == DecimalType(10, 0)) // exact internally; double at the encoder edge
     assert(st("f14").metadata.getString("improvedType") == "decimal(10,0)")
     assert(dt("f16") == TimestampNTZType)
     assert(dt("f17") == BooleanType) // tinyint(1)
     assert(dt("f18") == StringType)
   }
 
-  test("exact-decimal mode maps decimal(p,s) end-to-end; default stays double") {
+  test("default carries decimal(p,s) exactly; lossy mode recovers the reference scan type") {
     val money = TableSchema("db1", "m", Seq(
       ColumnSchema("id", 1, isNullable = false, "bigint", key = "PRI"),
       ColumnSchema("amount", 2, isNullable = true, "decimal",
         numericPrecision = 12, numericScale = 2)))
-    // default: reference parity (lossy double), true type in metadata
-    assert(toStructType(money)("amount").dataType == DoubleType)
-    // improved mode: exact DecimalType, and the sink DDL keeps precision
-    val exact = toStructType(money, exactDecimals = true)
+    // lossy mode: the reference's float64 scan type end-to-end
+    assert(toStructType(money, exactDecimals = false)("amount").dataType == DoubleType)
+    // default: exact DecimalType internally, and the sink DDL keeps precision
+    val exact = toStructType(money)
     assert(exact("amount").dataType == DecimalType(12, 2))
     assert(sqlType(exact("amount").dataType) == "DECIMAL(12,2)")
     // exact decimal arithmetic does not drift: classic 0.1+0.2 case
