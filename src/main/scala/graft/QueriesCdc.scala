@@ -299,7 +299,12 @@ object QueriesCdc {
     * image, exercising the per-op row-image layout end to end; the whole
     * derivation is SQL-expressible so DuckDB oracles the round trip.
     */
-  def binlogBinary(s: SparkSession, dir: String): DataFrame = {
+  /** Encode the SQL-derivable event changelog into a REAL binary binlog
+    * at `path`; returns the event count (ridden on an accumulator off the
+    * encode pass itself — sizing maxEventsPerTrigger must not cost a
+    * second full job over the same derivation).
+    */
+  private def buildBinaryLog(s: SparkSession, dir: String, path: String): Long = {
     import graft.changelog.BinlogWire
     val base = events(s, dir)
       .filter(col("event_type").isin("signup", "click", "error"))
@@ -317,12 +322,6 @@ object QueriesCdc {
           .when(col("event_type") === "click", "update")
           .otherwise("delete").as("op"),
         unix_millis(col("ts")).as("ts_ms"))
-    // pid-unique like every other fixture path: concurrent Verify/Bench
-    // JVMs must never overwrite a log the other is mid-replay on
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
-    // row count rides an accumulator off the encode pass itself — sizing
-    // maxEventsPerTrigger must not cost a second full job (window shuffle
-    // included) over the same derivation
     val nAcc = s.sparkContext.longAccumulator("graft_binlog_binary_rows")
     // single ordered partition: a binlog IS one ordered stream per cluster
     base.repartition(1).sortWithinPartitions(col("event_id"))
@@ -355,7 +354,29 @@ object QueriesCdc {
         }
         graft.sources.BinlogFixture.writeBinary(path, entries)
       }
-    val nEvents = nAcc.value.longValue()
+    nAcc.value.longValue()
+  }
+
+  /** The shared demux projection over a binlog memory-sink table. */
+  private def binlogReplayProjection(s: SparkSession, tableName: String): DataFrame = {
+    val sch = "event_id BIGINT, user_id BIGINT, etype STRING, value_cents BIGINT, value_dec DECIMAL(12,2)"
+    s.table(tableName)
+      .select(col("gtid_uuid"), col("gno"), col("op"),
+        from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("r"),
+        from_json(col("before"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("b"))
+      .select(col("r.event_id").as("event_id"), col("gtid_uuid"), col("gno"),
+        col("op"), col("r.user_id").as("user_id"), col("r.etype").as("etype"),
+        col("r.value_cents").as("value_cents"),
+        col("r.value_dec").cast("string").as("value_dec"),
+        col("b.value_cents").as("before_cents"))
+  }
+
+  def binlogBinary(s: SparkSession, dir: String): DataFrame = {
+    // pid-unique like every other fixture path: concurrent Verify/Bench
+    // JVMs must never overwrite a log the other is mid-replay on.
+    // NOT memoized: the wire-format encode IS the operator under test.
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
+    val nEvents = buildBinaryLog(s, dir, path)
     runWithTempCkpt("graft-binlog-binary-ckpt") { ckpt =>
       s.readStream.format("graft-binlog")
         .option("path", path)
@@ -366,16 +387,42 @@ object QueriesCdc {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val sch = "event_id BIGINT, user_id BIGINT, etype STRING, value_cents BIGINT, value_dec DECIMAL(12,2)"
-    s.table("graft_binlog_binary")
-      .select(col("gtid_uuid"), col("gno"), col("op"),
-        from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("r"),
-        from_json(col("before"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("b"))
-      .select(col("r.event_id").as("event_id"), col("gtid_uuid"), col("gno"),
-        col("op"), col("r.user_id").as("user_id"), col("r.etype").as("etype"),
-        col("r.value_cents").as("value_cents"),
-        col("r.value_dec").cast("string").as("value_dec"),
-        col("b.value_cents").as("before_cents"))
+    binlogReplayProjection(s, "graft_binlog_binary")
+  }
+
+  /** S2 over the REAL replication SOCKET: the binary fixture log is
+    * served by a loopback [[graft.changelog.MysqlRepl.Server]] speaking
+    * the actual MySQL wire protocol (HandshakeV10 → HandshakeResponse41 →
+    * OK → COM_BINLOG_DUMP_GTID), and the `graft-binlog` DSv2 source
+    * consumes `mysql://127.0.0.1:port`. Every micro-batch's partition
+    * reader dials the server anew and ships its start GTID set inside
+    * the dump command — so this row drives a genuine
+    * reconnect-and-resume on the wire per batch, the
+    * `BinlogSyncer.StartSyncGTID` contract of
+    * /root/reference/changelog/mysql.go:911-968. Same demux and oracle
+    * shape as [[binlogBinary]]; the fixture encode is memoized (the
+    * operator under test here is the socket, not the encoder).
+    */
+  def changelogSocket(s: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath("binlogsock", dir) + ".binlog"
+    val nEvents = memoFixture(s"binlog_socket_${graft.core.DatasetKey.of(dir)}") {
+      java.lang.Long.valueOf(buildBinaryLog(s, dir, path))
+    }.longValue()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val srv = new graft.changelog.MysqlRepl.Server(bytes)
+    try {
+      runWithTempCkpt("graft-binlog-socket-ckpt") { ckpt =>
+        s.readStream.format("graft-binlog")
+          .option("path", srv.url)
+          .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
+          .load()
+          .writeStream.format("memory").queryName("graft_changelog_socket")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+    } finally srv.close()
+    binlogReplayProjection(s, "graft_changelog_socket")
   }
 
   /** K1+S3 round-trip: events produced into the loopback Kafka-shaped
@@ -849,6 +896,7 @@ object QueriesCdc {
     "q_handoff_merge" -> handoffMerge _,
     "q_changelog_native" -> changelogNative _,
     "q_binlog_binary" -> binlogBinary _,
+    "q_changelog_socket" -> changelogSocket _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,

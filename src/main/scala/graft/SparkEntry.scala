@@ -62,6 +62,21 @@ object SparkEntry {
       |  MIN(substr(h, 29, 4) || substr(h, 1, 28)) AS m7
       |FROM sh GROUP BY doc_id)""".stripMargin
 
+  private val binlogReplayOracle: String =
+    """SELECT event_id,
+      |  '00000000-0000-0000-0000-00000000000' || CAST(user_id % 4 AS VARCHAR) AS gtid_uuid,
+      |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS gno,
+      |  CASE event_type WHEN 'signup' THEN 'insert'
+      |                  WHEN 'click' THEN 'update'
+      |                  ELSE 'delete' END AS op,
+      |  user_id,
+      |  event_type AS etype,
+      |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+      |  CAST(CAST(CAST(ROUND(value * 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS VARCHAR) AS value_dec,
+      |  CASE WHEN event_type = 'click'
+      |       THEN CAST(ROUND(value * 100) AS BIGINT) - 1 END AS before_cents
+      |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin
+
   def oracleSql: Map[String, String] =
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
       QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++
@@ -174,20 +189,10 @@ object SparkEntry {
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
 
-    "q_binlog_binary" ->
-      """SELECT event_id,
-        |  '00000000-0000-0000-0000-00000000000' || CAST(user_id % 4 AS VARCHAR) AS gtid_uuid,
-        |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS gno,
-        |  CASE event_type WHEN 'signup' THEN 'insert'
-        |                  WHEN 'click' THEN 'update'
-        |                  ELSE 'delete' END AS op,
-        |  user_id,
-        |  event_type AS etype,
-        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
-        |  CAST(CAST(CAST(ROUND(value * 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS VARCHAR) AS value_dec,
-        |  CASE WHEN event_type = 'click'
-        |       THEN CAST(ROUND(value * 100) AS BIGINT) - 1 END AS before_cents
-        |FROM events WHERE event_type IN ('signup', 'click', 'error')""".stripMargin,
+    "q_binlog_binary" -> binlogReplayOracle,
+    // identical contract through the replication SOCKET instead of the
+    // file: same demux output, so the same oracle gates it
+    "q_changelog_socket" -> binlogReplayOracle,
 
     "q_kafka_roundtrip" ->
       """SELECT CAST(user_id % 8 AS BIGINT) AS partition,

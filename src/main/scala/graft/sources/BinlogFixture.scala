@@ -108,6 +108,9 @@ object BinlogFixture {
   }
 
   def readCached(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
+    // replication-socket sources are not file-backed: no FileStatus to
+    // key a cache on, and a dump is already one bounded network read
+    if (path.startsWith("mysql://")) return readSocket(path, graft.changelog.GtidSet.empty)
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
@@ -129,6 +132,7 @@ object BinlogFixture {
     * format-agnostic.
     */
   def read(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
+    if (path.startsWith("mysql://")) return readSocket(path, graft.changelog.GtidSet.empty)
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val head = new Array[Byte](4)
@@ -177,6 +181,10 @@ object BinlogFixture {
   private def readBinary(p: HPath, fs: FileSystem): Vector[Event] = {
     val in = fs.open(p)
     val log = try BinlogWire.parse(in) finally in.close()
+    toEvents(log)
+  }
+
+  private def toEvents(log: BinlogWire.ParsedLog): Vector[Event] = {
     val rows = log.rows.map { r =>
       val (before, payload) = r.row.op match {
         case "insert" => (null, imageJson(r.table, r.row.after.get))
@@ -191,6 +199,17 @@ object BinlogFixture {
     }
     (rows ++ ddls).sortBy(_.seq)
   }
+
+  /** The REAL socket path: dial the replication server, handshake, and
+    * dump everything after `after` via COM_BINLOG_DUMP_GTID — the resume
+    * point rides to the server and the SERVER filters, the same
+    * `StartSyncGTID` contract the reference uses
+    * (/root/reference/changelog/mysql.go:911-968). The returned image
+    * goes through the same [[BinlogWire.parse]] as a file log.
+    */
+  def readSocket(url: String, after: graft.changelog.GtidSet): Vector[Event] =
+    toEvents(BinlogWire.parse(new java.io.ByteArrayInputStream(
+      graft.changelog.MysqlRepl.dumpRaw(url, after))))
 
   /** Write a real binary binlog (v4 wire format, CRC32-checksummed). */
   def writeBinary(path: String, entries: Iterator[BinlogWire.Entry],

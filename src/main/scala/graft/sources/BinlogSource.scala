@@ -190,13 +190,24 @@ class BinlogReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Replays the transactions in `end \ start`, in log order. */
+/** Replays the transactions in `end \ start`, in log order.
+  *
+  * A `mysql://host:port` path is the REAL replication socket: each
+  * micro-batch's reader dials the server and sends its start GTID set
+  * inside COM_BINLOG_DUMP_GTID — so every micro-batch boundary exercises
+  * a genuine reconnect-and-resume on the wire, the `StartSyncGTID`
+  * restart contract. (The end-set filter below still applies; the
+  * start-set filter is then a no-op because the server already did it.)
+  */
 class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet,
                             confEntries: Seq[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val it = BinlogFixture.readCached(path,
-      graft.core.HadoopConf.rebuild(confEntries)).iterator
+  private val events: Vector[BinlogFixture.Event] =
+    if (path.startsWith("mysql://")) BinlogFixture.readSocket(path, start)
+    else BinlogFixture.readCached(path, graft.core.HadoopConf.rebuild(confEntries))
+
+  private val it = events.iterator
     .filter(e => end.contains(e.uuid, e.gno) && !start.contains(e.uuid, e.gno))
   private var current: BinlogFixture.Event = _
 
