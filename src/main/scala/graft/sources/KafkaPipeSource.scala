@@ -94,8 +94,16 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
 
   private val confEntries = graft.core.HadoopConf.shipActive()
 
+  // a kafka://host:port/topic path consumes a live broker over the REAL
+  // wire protocol: Metadata for the partition map, ListOffsets(-1) for
+  // ends — the same calls a sarama consumer's admission logic makes
   private def listEnds(): Map[Int, Long] =
-    LoopbackPipe.endOffsets(path, graft.core.HadoopConf.rebuild(confEntries))
+    if (path.startsWith("kafka://")) {
+      val topic = graft.pipes.KafkaWire.parseUrl(path)._3.getOrElse(
+        throw new IllegalArgumentException(s"kafka:// path needs /topic: $path"))
+      val n = graft.pipes.KafkaWire.partitionCount(path, topic)
+      (0 until n).map(p => p -> graft.pipes.KafkaWire.listOffset(path, topic, p)).toMap
+    } else LoopbackPipe.endOffsets(path, graft.core.HadoopConf.rebuild(confEntries))
 
   // Trigger.AvailableNow snapshot of the log's end, fixed at prepare time
   private var availableEnds: Option[Map[Int, Long]] = None
@@ -172,8 +180,32 @@ class KafkaPipeReaderFactory extends PartitionReaderFactory {
 class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val it = LoopbackPipe.readPartition(p.path, p.partition, p.from, p.until,
-    graft.core.HadoopConf.rebuild(p.confEntries))
+  /** `kafka://` splits consume their range via wire Fetch calls from
+    * `from`, looping because the broker's maxBytes bound may trim a
+    * response to a whole-message prefix — exactly a consumer's poll loop.
+    */
+  private def fetchRange(): Iterator[LoopbackPipe.Record] = {
+    val topic = graft.pipes.KafkaWire.parseUrl(p.path)._3.get
+    val buf = Vector.newBuilder[LoopbackPipe.Record]
+    var off = p.from
+    var stalled = false
+    while (off < p.until && !stalled) {
+      val (recs, _) = graft.pipes.KafkaWire.fetch(p.path, topic, p.partition, off)
+      if (recs.isEmpty) stalled = true // planned range beyond the log: stop, don't spin
+      else recs.iterator.takeWhile(_.offset < p.until).foreach { r =>
+        buf += LoopbackPipe.Record(p.partition, r.offset,
+          if (r.key == null) null else new String(r.key, java.nio.charset.StandardCharsets.UTF_8),
+          new String(r.value, java.nio.charset.StandardCharsets.UTF_8), r.ts)
+        off = r.offset + 1
+      }
+    }
+    buf.result().iterator
+  }
+
+  private val it =
+    if (p.path.startsWith("kafka://")) fetchRange()
+    else LoopbackPipe.readPartition(p.path, p.partition, p.from, p.until,
+      graft.core.HadoopConf.rebuild(p.confEntries))
   private var current: LoopbackPipe.Record = _
 
   override def next(): Boolean = {
