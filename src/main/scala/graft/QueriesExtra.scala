@@ -123,25 +123,36 @@ object QueriesExtra {
     * ApproxStatsSpec pins the tight bounds; this row makes the contract
     * part of the correctness gate.
     */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    // Two independent subplans joined on the 3-row group key, so the
+    // distinct aggregate never shares a groupBy with the sketches: mixing
+    // countDistinct with other aggregates forces an Expand (every input
+    // row replicated per aggregate group), and three separate `percentile`
+    // calls each buffer + sort the full per-group value list. One
+    // percentile(array(...)) call = one buffer, one sort; the exact
+    // distinct count plans as a plain two-stage aggregate.
+    val base = li(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val sketches = base
       .groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        expr("percentile(cents, 0.5)").as("exact_p50"),
+        expr("percentile(cents, array(0.47D, 0.5D, 0.53D))").as("ps"),
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(cents, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(cents, 0.47)").as("p_lo"),
-        expr("percentile(cents, 0.53)").as("p_hi"))
-      .select(col("l_returnflag"), col("exact_orders"), col("exact_p50"),
+        expr("approx_percentile(cents, 0.5, 1000)").as("approx_p50"))
+    val exactOrders = base
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    sketches.join(broadcast(exactOrders), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        col("ps").getItem(1).as("exact_p50"),
         col("n"),
         (abs(col("approx_orders") - col("exact_orders"))
           <= col("exact_orders") * 0.15).as("orders_within_bound"),
-        (col("approx_p50") >= col("p_lo")
-          && col("approx_p50") <= col("p_hi")).as("p50_within_bound"))
+        (col("approx_p50") >= col("ps").getItem(0)
+          && col("approx_p50") <= col("ps").getItem(2)).as("p50_within_bound"))
+  }
 
   /** Full corpus-cleaning composition: length gate -> language gate ->
     * fingerprint dedup -> stats. One Catalyst plan, one shuffle.

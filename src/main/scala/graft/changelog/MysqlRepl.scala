@@ -219,8 +219,8 @@ object MysqlRepl {
     acceptor.start()
 
     private def serve(sock: Socket): Unit = {
-      val in = sock.getInputStream
-      val out = sock.getOutputStream
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
       writePacket(out, 0, handshakeV10(connCount.get())); out.flush()
       readPacket(in) // HandshakeResponse41 — any user/auth accepted (test server)
       writePacket(out, 2, okPacket()); out.flush()
@@ -240,12 +240,11 @@ object MysqlRepl {
             val dataOff = 1 + 2 + 4 + 4 + nameLen + 8 + 4
             val after = decodeGtidSet(cmd, dataOff)
             reqs.add(DumpRequest(serverId, after))
-            streamEvents(after, ev => {
-              val p = new Array[Byte](ev.length + 1)
-              p(0) = 0x00
-              System.arraycopy(ev, 0, p, 1, ev.length)
-              writePacket(out, 1, p)
-            })
+            val ix = indexFor(log)
+            ix.segments.foreach { seg =>
+              if (seg.gtid == null || !after.contains(seg.gtid._1, seg.gtid._2))
+                out.write(seg.packets)
+            }
             writePacket(out, 1, eofPacket()); out.flush()
             done = true // non-blocking dump: one dump per connection
           case other =>
@@ -256,31 +255,74 @@ object MysqlRepl {
       }
     }
 
-    /** Walk the raw log, tracking GTID transaction membership, and send
-      * every event of every transaction NOT in `after`. Bookkeeping
-      * events (FDE, ROTATE, PREVIOUS_GTIDS) are always sent — the client
-      * parser needs the FDE's post-header table and checksum algorithm.
+    /** One dump unit, pre-framed: either a bookkeeping run (`gtid == null`
+      * — FDE / ROTATE / PREVIOUS_GTIDS, always sent because the client
+      * parser needs the FDE's post-header table and checksum algorithm)
+      * or one whole transaction. `packets` is the ready-to-send wire
+      * image: each event already wrapped as a MySQL packet
+      * (len(3) seq(1) 0x00-OK-marker + raw v4 event), so serving a dump
+      * is one GTID-set membership check and one bulk `write` per
+      * transaction instead of a parse + copy + per-event socket write.
       */
-    private def streamEvents(after: GtidSet, send: Array[Byte] => Unit): Unit = {
-      val snap = log // the log may grow between dumps (a live master does)
+    private final case class Segment(gtid: (String, Long), packets: Array[Byte])
+    private final class LogIndex(val snap: Array[Byte], val segments: Vector[Segment])
+
+    // The log may grow between dumps (a live master does): the index is
+    // keyed by snapshot reference and rebuilt only when `log` is swapped.
+    @volatile private var cached: LogIndex = buildIndex(log)
+
+    private def indexFor(snap: Array[Byte]): LogIndex = {
+      val c = cached
+      if (c.snap eq snap) c
+      else { val ix = buildIndex(snap); cached = ix; ix }
+    }
+
+    /** Walk the raw log ONCE, tracking GTID transaction membership, and
+      * pre-frame every event into its dump packet grouped by transaction.
+      */
+    private def buildIndex(snap: Array[Byte]): LogIndex = {
+      val segs = Vector.newBuilder[Segment]
+      var cur = new ByteArrayOutputStream()
+      var curGtid: (String, Long) = null
+      def flush(): Unit = {
+        if (cur.size() > 0) segs += Segment(curGtid, cur.toByteArray)
+        cur = new ByteArrayOutputStream()
+      }
+      def frame(off: Int, size: Int): Unit = {
+        // packet header + OK marker + raw event
+        val plen = size + 1
+        cur.write(plen & 0xff); cur.write((plen >> 8) & 0xff); cur.write((plen >> 16) & 0xff)
+        cur.write(1) // seq (client ignores; real servers increment per packet)
+        cur.write(0x00)
+        cur.write(snap, off, size)
+      }
       var off = 4
-      var skip = false
       while (off + 19 <= snap.length) {
         val tpe = snap(off + 4) & 0xff
         val size = u32le(snap, off + 9).toInt
-        val ev = java.util.Arrays.copyOfRange(snap, off, off + size)
-        val sendThis = tpe match {
-          case 33 => // GTID: body = flags(1) sid(16) gno(8 LE)
-            val uuid = bytesToUuid(ev, 20)
-            val gno = u64le(ev, 36)
-            skip = after.contains(uuid, gno)
-            !skip
-          case 15 | 4 | 35 => true // FDE / ROTATE / PREVIOUS_GTIDS
-          case _ => !skip
+        require(size >= 19 && off + size <= snap.length,
+          s"corrupt binlog image: event at $off declares size $size (log ${snap.length})")
+        tpe match {
+          case 33 => // GTID: body = flags(1) sid(16) gno(8 LE) — txn start
+            flush()
+            curGtid = (bytesToUuid(snap, off + 20), u64le(snap, off + 36))
+            frame(off, size)
+          case 15 | 4 | 35 =>
+            // FDE / ROTATE / PREVIOUS_GTIDS: always sent, even mid-txn —
+            // its own null-gtid segment; the surrounding txn (if any)
+            // continues afterwards as a second segment with the same gtid
+            // (membership is checked per segment, so the split is sound).
+            val saved = curGtid
+            flush(); curGtid = null
+            frame(off, size)
+            flush(); curGtid = saved
+          case _ => // body event of the current txn (or pre-GTID noise)
+            frame(off, size)
         }
-        if (sendThis) send(ev)
         off += size
       }
+      flush()
+      new LogIndex(snap, segs.result())
     }
 
     override def close(): Unit = {
@@ -304,11 +346,15 @@ object MysqlRepl {
     * server inside COM_BINLOG_DUMP_GTID, and the server does the
     * filtering.
     */
-  def dumpRaw(url: String, after: GtidSet, serverId: Long = 1001L): Array[Byte] = {
+  def dumpRaw(url: String, after: GtidSet, serverId: Long = 1001L,
+              soTimeoutMs: Int = 60000): Array[Byte] = {
     val (host, port) = parseUrl(url)
     val sock = new Socket(host, port)
+    // a hung server must not block the partition reader (and with it the
+    // whole streaming batch) forever — surface a SocketTimeoutException
+    sock.setSoTimeout(soTimeoutMs)
     try {
-      val in = sock.getInputStream
+      val in = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
       val out = sock.getOutputStream
       val (_, greeting) = readPacket(in)
       require((greeting(0) & 0xff) == 0x0a, s"unsupported protocol version ${greeting(0)}")

