@@ -468,6 +468,102 @@ object QueriesCdc {
         get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** K1+S3 over the REAL wire: the same round-trip contract as
+    * [[kafkaRoundtrip]], but both halves speak the actual Kafka protocol
+    * (v0 APIs, v1 MessageSets, CRC32) against a loopback
+    * [[graft.pipes.KafkaWire.Broker]] instead of the file pipe —
+    * mirroring the q_changelog_socket / q_binlog_binary precedent.
+    *
+    *  - PRODUCE runs on the EXECUTORS: rows are repartitioned by the
+    *    Kafka partition key (every broker partition owned by exactly one
+    *    task, so broker-assigned offsets follow event order), sorted
+    *    within partitions, and shipped in batched wire Produce requests
+    *    from `foreachPartition` — the distributed shape a real producer
+    *    job has on a 1000-executor cluster; only the broker address is
+    *    loopback here.
+    *  - CONSUME runs in two AvailableNow streams SHARING one checkpoint,
+    *    with the second half of the data produced between them: the
+    *    second run must resume from the checkpointed per-partition
+    *    offsets over the wire, or the union double-counts / drops rows
+    *    and the oracle hash catches it. That makes the checkpointed
+    *    restart itself part of the correctness gate (reference:
+    *    /root/reference/pipe/kafka.go:326-460,482-577).
+    */
+  def kafkaSocket(s: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val kp = pmod(col("user_id"), lit(nParts))
+    val base = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id").as("ord"),
+        col("user_id").cast("string").as("key"),
+        col("user_id"),
+        to_json(struct(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
+    // deterministic two-phase split: per-partition offset order must equal
+    // event order overall, so the split point is an ord threshold
+    val (mid, total) = {
+      val r = base.agg(expr("percentile_approx(ord, 0.5, 10000)"), count(lit(1))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val broker = new graft.pipes.KafkaWire.Broker(nParts)
+    try {
+      val url = broker.url
+      val topic = "graft_events"
+      def produceWire(df: DataFrame): Unit = df
+        .repartition(nParts, kp)
+        .sortWithinPartitions(kp, col("ord"))
+        .select(kp.cast("int").as("kpart"), col("key"), col("value"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          // consecutive same-partition runs, batched wire Produce calls
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Array[Byte], Array[Byte], Long)]
+          var cur = -1
+          def flush(): Unit = if (buf.nonEmpty) {
+            graft.pipes.KafkaWire.produce(url, topic, cur, buf.toSeq)
+            buf.clear()
+          }
+          it.foreach { r =>
+            val p = r.getInt(0)
+            if (p != cur || buf.size >= 1000) { flush(); cur = p }
+            buf += ((r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L))
+          }
+          flush()
+        }
+      // parquet sink, not memory: the memory sink refuses checkpoint
+      // recovery, and the file sink's _spark_metadata log is the
+      // exactly-once mechanism a restarted production consumer actually
+      // relies on — the read-back below sees each batch exactly once
+      val outDir = fixturePath("kafka_sock_out", dir)
+      org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(outDir), true)
+      def consume(ckpt: String): Unit =
+        s.readStream.format("graft-kafka")
+          .option("path", s"$url/$topic")
+          .option("maxOffsetsPerTrigger", math.max(4096L, total / 8 + 1))
+          .load()
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-kafka-sock-ckpt")
+      try {
+        produceWire(base.filter(col("ord") <= mid))
+        consume(ckptDir.toString)
+        produceWire(base.filter(col("ord") > mid))
+        consume(ckptDir.toString)
+      } finally graft.core.Tmp.deleteRecursively(ckptDir)
+      s.read.parquet(outDir)
+        .select(col("partition").cast("long").as("partition"), col("offset"),
+          col("key").cast("long").as("user_id"),
+          get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
+    } finally broker.close()
+  }
+
   /** Streaming windowed aggregation through the real streaming engine:
     * events replayed as a multi-batch file stream → watermarked tumbling
     * 1-hour windows ([[graft.stream.StreamOps.windowedCounts]]) → memory
@@ -898,6 +994,7 @@ object QueriesCdc {
     "q_binlog_binary" -> binlogBinary _,
     "q_changelog_socket" -> changelogSocket _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
+    "q_kafka_socket" -> kafkaSocket _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_session" -> streamSession _,

@@ -189,9 +189,23 @@ class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
     val buf = Vector.newBuilder[LoopbackPipe.Record]
     var off = p.from
     var stalled = false
+    var maxBytes = 1 << 22
     while (off < p.until && !stalled) {
-      val (recs, _) = graft.pipes.KafkaWire.fetch(p.path, topic, p.partition, off)
-      if (recs.isEmpty) stalled = true // planned range beyond the log: stop, don't spin
+      val (recs, hw) = graft.pipes.KafkaWire.fetch(p.path, topic, p.partition, off, maxBytes)
+      if (recs.isEmpty) {
+        // An empty response is NOT proof the range is drained: the broker
+        // trims to a whole-message prefix within maxBytes, so a single
+        // record larger than the budget trims to zero. The high watermark
+        // distinguishes the cases — below it, grow the budget and retry
+        // (a consumer's fetch.max.bytes escalation); silently stopping
+        // would drop the rest of the planned range from the micro-batch.
+        if (off < math.min(hw, p.until)) {
+          if (maxBytes >= (1 << 28))
+            throw new java.io.IOException(
+              s"record at $topic/${p.partition} offset $off exceeds $maxBytes-byte fetch budget")
+          maxBytes = maxBytes << 2
+        } else stalled = true // planned range beyond the log: stop, don't spin
+      }
       else recs.iterator.takeWhile(_.offset < p.until).foreach { r =>
         buf += LoopbackPipe.Record(p.partition, r.offset,
           if (r.key == null) null else new String(r.key, java.nio.charset.StandardCharsets.UTF_8),

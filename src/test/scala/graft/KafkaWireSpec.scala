@@ -74,6 +74,25 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("a record larger than the fetch budget escalates maxBytes instead of dropping the range") {
+    val broker = new KafkaWire.Broker(partitionsPerTopic = 1)
+    try {
+      // middle record exceeds the reader's 4 MiB starting budget: a fetch
+      // at its offset trims to zero messages, and a reader that treated
+      // that as end-of-range would silently drop it and everything after
+      val big = new Array[Byte](5 << 20)
+      java.util.Arrays.fill(big, 'x'.toByte)
+      KafkaWire.produce(broker.url, "t", 0, Seq(
+        (b("k0"), b("small"), 1L), (b("k1"), big, 2L), (b("k2"), b("tail"), 3L)))
+      val reader = new graft.sources.KafkaPipePartitionReader(
+        graft.sources.KafkaPipeInputPartition(s"${broker.url}/t", 0, 0L, 3L, Seq.empty))
+      val seen = Iterator.continually(reader)
+        .takeWhile(_.next()).map(_.get().getLong(1)).toVector
+      assert(seen == Vector(0L, 1L, 2L),
+        "all three offsets must come back, including past the oversized record")
+    } finally broker.close()
+  }
+
   test("group offsets: commit then fetch (SaveOffset contract over the wire)") {
     val broker = new KafkaWire.Broker()
     try {
