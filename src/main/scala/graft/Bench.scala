@@ -75,8 +75,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // `repeats` full round-robin passes; per-query median across passes
-    // (any failed run fails the query)
-    val passes = Seq.fill(repeats)(names.map(n => n -> onceClean(n)).toMap)
+    // (any failed run fails the query). SPARK_GRAFT_INTERLEAVE=0 switches
+    // to consecutive per-query repeats — the methodology CONTROL: run both
+    // on one build to attribute a drift to scheduling (warm page/fixture
+    // caches between back-to-back samples) vs the plan itself.
+    val interleave = sys.env.get("SPARK_GRAFT_INTERLEAVE").forall(_ != "0")
+    val passes: Seq[Map[String, Double]] =
+      if (interleave) Seq.fill(repeats)(names.map(n => n -> onceClean(n)).toMap)
+      else {
+        val runs = names.map(n => n -> Seq.fill(repeats)(onceClean(n)))
+        (0 until repeats).map(i => runs.map { case (n, rs) => n -> rs(i) }.toMap)
+      }
     val results = names.map { n =>
       val runs = passes.map(_(n))
       n -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
@@ -134,7 +143,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":true,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
@@ -142,7 +151,7 @@ object Bench {
       java.nio.file.Paths.get(fullName),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":true,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

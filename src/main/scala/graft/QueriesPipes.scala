@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Tables
 import graft.encode.{AvroCodec, CfDecode, CommonFormatJson, MsgPackCodec}
-import graft.pipes.{CryptoStage, Framing}
+import graft.pipes.{CryptoStage, FileSink, Framing}
 
 /** Pipe/encoder round-trip catalog: each query pushes real data through a
   * round-2 transport (CF JSON encode→decode, msgpack over the framed
@@ -150,12 +150,50 @@ object QueriesPipes {
       get_json_object(col("value"), "$.len_chars").cast("long").as("len_chars"))
   }
 
+  /** One loopback WebHDFS endpoint per dataset content, process-lifetime:
+    * the server must outlive the returned (lazy) DataFrame, and bench
+    * repeats then measure the over-the-wire READ path against an already
+    * written sink (the write itself runs once per JVM — the
+    * q_changelog_socket memoized-fixture precedent).
+    */
+  private val webhdfsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** K3 over the REAL socket: [[graft.pipes.FileSink]] (rotation by
+    * record count + task-side SHA-256 `_DONE` manifest) writing through
+    * Hadoop's own `WebHdfsFileSystem` client to a loopback
+    * [[graft.pipes.WebHdfsServer]] speaking the public WebHDFS REST
+    * protocol — create/redirect/rename/list all cross HTTP, the same
+    * hadoop-client machinery a production `hdfs://` sink exercises
+    * (reference: pipe/hdfs.go:37-180 reusing the file producer over an
+    * HDFS FileSystem). The read-back also crosses the wire, executor-side.
+    */
+  def webhdfsSink(s: SparkSession, dir: String): DataFrame = {
+    val out = webhdfsMemo.computeIfAbsent(
+      s"webhdfs_${graft.core.DatasetKey.of(dir)}", _ => {
+        val backing = java.nio.file.Files.createTempDirectory("graft-webhdfs-sink").toFile
+        val srv = new graft.pipes.WebHdfsServer(backing) // lives with the JVM
+        // ephemeral ports: a cached FS instance would outlive its server
+        s.sparkContext.hadoopConfiguration.set("fs.webhdfs.impl.disable.cache", "true")
+        val path = s"${srv.uri}/docs"
+        val manifest = FileSink.write(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("len_chars")),
+          path, format = "json", maxRecordsPerFile = 5000)
+        require(manifest.nonEmpty && manifest.forall(_.numRecs > 0), "empty webhdfs sink")
+        path
+      })
+    s.read.schema("doc_id bigint, source string, len_chars bigint").json(out)
+      .select(col("doc_id"), col("source"), col("len_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cf_roundtrip" -> cfRoundtrip _,
     "q_msgpack_framed" -> msgpackFramed _,
     "q_avro_roundtrip" -> avroRoundtrip _,
     "q_crypto_roundtrip" -> cryptoRoundtrip _,
-    "q_pgp_roundtrip" -> pgpRoundtrip _)
+    "q_pgp_roundtrip" -> pgpRoundtrip _,
+    "q_webhdfs_sink" -> webhdfsSink _)
 
   val oracleSql: Map[String, String] = Map(
     "q_cf_roundtrip" ->
@@ -187,5 +225,12 @@ object QueriesPipes {
 
     "q_pgp_roundtrip" ->
       """SELECT doc_id, upper(source) AS src, CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents""".stripMargin,
+
+    // the sink carries the rows unchanged; integrity is the _DONE
+    // manifest + hash (WebHdfsSpec) — the oracle proves no row was
+    // dropped/duplicated/corrupted crossing the wire twice
+    "q_webhdfs_sink" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents""".stripMargin)
 }

@@ -31,8 +31,7 @@ object Similarity {
     * re-rank scans (kNN measured 4.4 s -> 1.1 s at sf0.1 on the swap).
     */
   def dotQ(a: Column, b: Column)(
-      implicit spark: org.apache.spark.sql.SparkSession =
-        org.apache.spark.sql.SparkSession.active): Column =
+      implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.functions.QDot.column(a, b)(spark)
 
   /** Brute-force top-k by quantized dot product against one query vector.

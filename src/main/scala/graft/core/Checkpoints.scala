@@ -24,11 +24,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Checkpoints {
 
-  /** Serializes scoped sections: the checkpoint dir is a global
-    * SparkContext setting, so two concurrent scoped bodies would
-    * checkpoint into (and then delete) each other's scope.
+  /** Serializes scoped sections PER SparkContext: the checkpoint dir is a
+    * context-global setting, so two concurrent scoped bodies on one
+    * context would checkpoint into (and then delete) each other's scope —
+    * but bodies on different contexts (multi-session tests, two apps in
+    * one JVM) are independent and must not serialize against each other.
     */
-  private val lock = new Object
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Object]
 
   /** `setCheckpointDir` appends a fresh UUID level to whatever path it is
     * given, so "restore by re-setting" would nest one level deeper per
@@ -43,7 +46,7 @@ object Checkpoints {
     val sc = s.sparkContext
     sc.getCheckpointDir match {
       case None => body // local dev shape: body falls back to localCheckpoint
-      case Some(current) => lock.synchronized {
+      case Some(current) => locks.computeIfAbsent(sc, _ => new Object).synchronized {
         val base = firstBase.computeIfAbsent(sc, _ => current)
         val scope = new org.apache.hadoop.fs.Path(
           base, s"graft-scope-${java.util.UUID.randomUUID()}")

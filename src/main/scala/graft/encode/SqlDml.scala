@@ -31,11 +31,19 @@ object SqlDml {
     concat(lit("'"), regexp_replace(c.cast("string"), "'", "''"), lit("'"))
 
   /** Render a value for VALUES(): NULL literal, quoted string, or bare
-    * number/boolean.
+    * number/boolean. Unquoted values go through
+    * [[graft.functions.DecimalEdgeString]], so a `decimal(p,s)` column
+    * renders via the float64 encoder edge (matching the CF JSON / Avro /
+    * MsgPack contract and the reference's float64 statement rendering)
+    * while every other type renders as before.
     */
-  def value(c: Column, quoted: Boolean): Column =
+  def value(c: Column, quoted: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     when(c.isNull, lit("NULL"))
-      .otherwise(if (quoted) sqlQuote(c) else c.cast("string"))
+      .otherwise(if (quoted) sqlQuote(c)
+        else GraftColumnBridge.column(
+          graft.functions.DecimalEdgeString(GraftColumnBridge.expression(c))))
+  }
 
   /** Quote an identifier with the target dialect's quote char — ANSI `"`
     * or MySQL backquote. Applied at statement BUILD time, never to data

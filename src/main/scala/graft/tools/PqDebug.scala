@@ -22,7 +22,7 @@ object PqDebug {
       .select(Similarity.quantize(col("embedding")).as("q"))
       .collect()(0).getAs[Seq[Long]]("q").toIndexedSeq
     val exact = corpus.select(col("vec_id"),
-        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query)).as("dot"))
+        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query))(spark).as("dot"))
       .orderBy(col("dot").desc, col("vec_id")).limit(12)
     println("EXACT top-12:"); exact.collect().foreach(println)
     val n = codes.count().toInt

@@ -39,9 +39,28 @@ class DatasetKeySpec extends SparkSuite {
     touch(d, "embeddings")
     val k2 = DatasetKey.of(d.toString)
     assert(k2 != k1, "mtime bump must change the content key")
-    assert(DatasetKey.of(d.resolve("embeddings.parquet").toString)
-      == d.resolve("embeddings.parquet").toString,
-      "non-directory falls back to the raw path")
+    // single-FILE datasets are content-keyed too (not a raw-string fallback)
+    val single = d.resolve("embeddings.parquet").toString
+    val sk = DatasetKey.of(single)
+    assert(sk.startsWith(single + "@"))
+    // only nonexistent paths fall back to the raw string
+    assert(DatasetKey.of(d.resolve("absent").toString) == d.resolve("absent").toString)
+  }
+
+  test("same-size rewrite within mtime granularity still changes the key") {
+    val d = Files.createTempDirectory("graft-dskey-sample")
+    d.toFile.deleteOnExit()
+    val f = d.resolve("data.bin")
+    Files.write(f, Array.fill[Byte](10000)('a'))
+    val t0 = f.toFile.lastModified()
+    val k1 = DatasetKey.of(d.toString)
+    // rewrite: identical length, mtime pinned back to the original —
+    // indistinguishable by listing-only metadata
+    val b = Array.fill[Byte](10000)('a'); b(9999) = 'b'
+    Files.write(f, b)
+    assert(f.toFile.setLastModified(t0))
+    assert(DatasetKey.of(d.toString) != k1,
+      "the head+tail content sample must catch a metadata-stable rewrite")
   }
 
   test("pq model retrains after the dataset is mutated under the same path") {

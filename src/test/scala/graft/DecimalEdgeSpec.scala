@@ -69,4 +69,26 @@ class DecimalEdgeSpec extends SparkSuite {
     val dbl = ev(new java.math.BigDecimal(cents).doubleValue())
     assert(java.util.Arrays.equals(dec, dbl))
   }
+
+  test("SQL DML VALUES renders a decimal through the float64 edge") {
+    def stmt(amount: org.apache.spark.sql.Column) = df
+      .select(graft.encode.SqlDml.insertStmt("t", lit(1L),
+        Seq(("id", col("id"), false), ("amount", amount, false))).as("s"))
+      .head().getString(0)
+    val fromDecimal = stmt(col("amount"))
+    val fromDouble = stmt(col("amount").cast("double"))
+    assert(fromDecimal == fromDouble,
+      "statement text must match a plan that read doubles from the start")
+    assert(!fromDecimal.contains(cents),
+      "the exact decimal literal must not leak into the statement")
+    // non-decimal rendering is untouched: longs stay integral literals
+    assert(fromDecimal.contains("VALUES (1,1,"))
+    // a small decimal that double represents exactly still drops the
+    // trailing zero scale digit (1.10 -> 1.1), proving the double path
+    val small = Seq((2L, new java.math.BigDecimal("1.10"))).toDF("id", "amount")
+      .select(col("id"), col("amount").cast(DecimalType(10, 2)).as("amount"))
+    val s = small.select(graft.encode.SqlDml.insertStmt("t", lit(1L),
+      Seq(("amount", col("amount"), false))).as("s")).head().getString(0)
+    assert(s.contains("(1,1.1)") && !s.contains("1.10"))
+  }
 }

@@ -43,7 +43,7 @@ class PqSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val exact = corpus
       .select(col("vec_id"),
-        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query)).as("dot"))
+        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query))(spark).as("dot"))
       .orderBy(col("dot").desc, col("vec_id")).limit(10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pq === exact)
@@ -65,7 +65,7 @@ class PqSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val exact = e
       .select(col("vec_id"),
-        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query)).as("dot"))
+        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query))(spark).as("dot"))
       .orderBy(col("dot").desc, col("vec_id")).limit(10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(full === exact)
@@ -97,7 +97,7 @@ class PqSpec extends SparkSuite {
     val n = codes.count().toInt
     val exactIds = corpus
       .select(col("vec_id"),
-        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query)).as("dot"))
+        Similarity.dotQ(Similarity.quantize(col("embedding")), typedLit(query))(spark).as("dot"))
       .orderBy(col("dot").desc, col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     val candIds = Pq.adcCandidates(codes, m, query, n / 2)
