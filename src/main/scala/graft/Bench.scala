@@ -98,8 +98,11 @@ object Bench {
     // closing runs) and the bench emits an explicit per-source verdict —
     // r6's 28.7k kafka sample was indistinguishable from a real source
     // regression without digging through two files' history.
+    // socket twins report rows/s too but carry no floor yet — floors are
+    // calibrated from trailing-best history, which they accumulate first
     val floors = Map("q_changelog_native" -> 29000.0, "q_kafka_roundtrip" -> 24000.0)
-    val throughput = Seq("q_changelog_native", "q_kafka_roundtrip")
+    val throughput = Seq("q_changelog_native", "q_kafka_roundtrip",
+        "q_changelog_socket", "q_kafka_socket")
       .filter(n => names.contains(n))
       .map { n =>
         val sec = results.toMap.apply(n)
@@ -110,7 +113,7 @@ object Bench {
     // overhead dominates rows/s and would false-alarm
     val floorsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val floorVerdicts = throughput.map { case (n, v) =>
-      val ok = !floorsApply || v < 0 || v >= floors(n) // a failed query already reports -1
+      val ok = !floorsApply || v < 0 || floors.get(n).forall(v >= _) // a failed query already reports -1
       if (!ok) System.err.println(
         s"FLOOR VIOLATION: $n at ${math.round(v)} rows/s, floor ${floors(n).toLong}")
       n -> ok

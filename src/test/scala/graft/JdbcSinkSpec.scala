@@ -43,6 +43,24 @@ class JdbcSinkSpec extends SparkSuite {
       .option("dbtable", "\"sink_t1\"").load().count() == 2)
   }
 
+  test("a decimal column rides the DML round trip as its float64 edge value") {
+    exec("""CREATE TABLE "sink_dec" ("seqno" BIGINT NOT NULL, "id" BIGINT, "amt" DOUBLE)""")
+    // 17 significant digits: double cannot carry them — the statement must
+    // contain the float64 approximation, the exact decimal must not leak
+    val exact = "123456789012345.67"
+    val rows = Seq((1L, new java.math.BigDecimal(exact))).toDF("id", "amt")
+      .select(col("id"),
+        col("amt").cast(org.apache.spark.sql.types.DecimalType(20, 2)).as("amt"))
+    val stmts = rows.select(SqlDml.insertStmt("sink_dec", col("id"),
+      Seq(("id", col("id"), false), ("amt", col("amt"), false))).as("stmt"))
+    assert(!stmts.head().getString(0).contains(exact))
+    JdbcSink.executeBatch(stmts, "stmt", url)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "\"sink_dec\"").load()
+      .head()
+    assert(back.getAs[Double]("amt") == new java.math.BigDecimal(exact).doubleValue())
+  }
+
   test("MERGE idempotent upsert: last-writer-wins by seqno, executed for real") {
     exec("""CREATE TABLE "tgt" ("seqno" BIGINT NOT NULL, "f1" BIGINT, "v" VARCHAR(20))""")
     exec("""CREATE TABLE "stage" ("seqno" BIGINT NOT NULL, "f1" BIGINT, "v" VARCHAR(20))""")

@@ -209,4 +209,16 @@ class PlanShapeSpec extends SparkSuite {
         s"index scan read $parts cell partitions, expected <= 2")
     }
   }
+
+  test("approx stats: no Expand, one percentile buffer, distinct anchor broadcast back") {
+    // the r7 regression shape: countDistinct sharing a groupBy with the
+    // sketches forced an Expand (every row replicated per aggregate
+    // group) and three separate percentile calls tripled the buffer+sort
+    // work — 10 s at sf0.1 for a 3-row result. Pin the fixed shape.
+    val p = plan("q_approx_stats")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert("(?<!approx_)percentile\\(".r.findAllIn(p).size <= 2, // one call (partial+final)
+      s"expected a single percentile(array(...)) aggregate:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
