@@ -98,9 +98,12 @@ object Bench {
     // closing runs) and the bench emits an explicit per-source verdict —
     // r6's 28.7k kafka sample was indistinguishable from a real source
     // regression without digging through two files' history.
-    // socket twins report rows/s too but carry no floor yet — floors are
-    // calibrated from trailing-best history, which they accumulate first
-    val floors = Map("q_changelog_native" -> 29000.0, "q_kafka_roundtrip" -> 24000.0)
+    // socket-twin floors calibrated from the r8 control runs (~60% of
+    // observed: changelog_socket ~21k rows/s over the wire incl. 4
+    // reconnect+dump cycles, kafka_socket ~13k incl. executor-side wire
+    // produce + two checkpoint-sharing streams)
+    val floors = Map("q_changelog_native" -> 29000.0, "q_kafka_roundtrip" -> 24000.0,
+      "q_changelog_socket" -> 12000.0, "q_kafka_socket" -> 7500.0)
     val throughput = Seq("q_changelog_native", "q_kafka_roundtrip",
         "q_changelog_socket", "q_kafka_socket")
       .filter(n => names.contains(n))

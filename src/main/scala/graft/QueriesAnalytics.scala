@@ -265,6 +265,35 @@ object QueriesAnalytics {
   def embedLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"), dims = 64, numPlanes = 8)
 
+  /** Distributed covariance moments of the embedding corpus — the one
+    * distributed pass behind [[graft.analytics.Pca]]: a single
+    * [[graft.functions.VecOuterSum]] aggregation (mergeable fixed-size
+    * buffer, map-side partial — nothing shuffles but d(d+1)/2+d+1-long
+    * buffers, the shape that holds at 100 TB where exploding to
+    * (i, j, qi*qj) rows would multiply the input 2080x). Emitted as the
+    * exact integer second moments per (i, j) pair so DuckDB reproduces
+    * every cell bit-exactly; the float division into covariance happens
+    * AFTER this contract (PcaSpec covers eigen/projection).
+    */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val d = 64
+    val tri = d * (d + 1) / 2
+    val m = emb(s, dir)
+      .select(Similarity.quantize(col("embedding")).as("q"))
+      .agg(graft.functions.VecOuterSum.column(col("q"), d).as("m"))
+    val idx = s.range(d).toDF("i").crossJoin(s.range(d).toDF("j"))
+      .filter(col("j") >= col("i"))
+      .withColumn("pos",
+        (col("i") * d - col("i") * (col("i") - 1) / 2 + col("j") - col("i")).cast("int"))
+    idx.crossJoin(broadcast(m))
+      .select(col("i"), col("j"),
+        element_at(col("m"), col("pos") + 1).as("s11"),
+        element_at(col("m"), col("i").cast("int") + tri + 1).as("s1_i"),
+        element_at(col("m"), col("j").cast("int") + tri + 1).as("s1_j"),
+        element_at(col("m"), lit(tri + d + 1)).as("n"))
+  }
+
   /** IVF ANN probe over a MATERIALIZED index: train coarse centroids
     * deterministically (fixed sample/init/iterations, no RNG), round-trip
     * the model through its serialized form (what a production job
@@ -409,6 +438,7 @@ object QueriesAnalytics {
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
+    "q_embed_covariance" -> embedCovariance _,
     "q_ivf_probe" -> ivfProbe _,
     "q_ivfpq_topk" -> ivfpqTopk _,
     "q_text_langid" -> textLangid _,

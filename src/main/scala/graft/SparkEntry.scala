@@ -589,6 +589,22 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = i.doc_a
         |JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin,
 
+    // exact integer second moments per (i, j) dim pair — the contract the
+    // VecOuterSum aggregate must hit bit-exactly; covariance/eigen float
+    // math happens after this line (PcaSpec)
+    "q_embed_covariance" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT CAST(gi.i AS BIGINT) AS i, CAST(gj.j AS BIGINT) AS j,
+        |  CAST(SUM(q.q[CAST(gi.i AS INT) + 1] * q.q[CAST(gj.j AS INT) + 1]) AS BIGINT) AS s11,
+        |  CAST(SUM(q.q[CAST(gi.i AS INT) + 1]) AS BIGINT) AS s1_i,
+        |  CAST(SUM(q.q[CAST(gj.j AS INT) + 1]) AS BIGINT) AS s1_j,
+        |  COUNT(*) AS n
+        |FROM q, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+        |WHERE gj.j >= gi.i
+        |GROUP BY gi.i, gj.j""".stripMargin,
+
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

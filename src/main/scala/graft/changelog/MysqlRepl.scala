@@ -45,20 +45,44 @@ object MysqlRepl {
     a
   }
 
-  /** One MySQL packet: (sequence id, payload). */
+  private val MaxChunk = 0xffffff // 16 MB - 1, the protocol's frame limit
+
+  /** One logical MySQL packet: (last sequence id, payload). A payload of
+    * `0xffffff` bytes or more arrives SPLIT: each full 16MB-1 frame says
+    * "more follows", terminated by the first frame shorter than the
+    * limit (an EMPTY terminator when the payload is an exact multiple) —
+    * the standard multi-packet rule, which a huge row event in a binlog
+    * dump genuinely hits.
+    */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val h = readFully(in, 4)
-    val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
-    (h(3) & 0xff, readFully(in, len))
+    val buf = new ByteArrayOutputStream()
+    var seq = 0
+    var more = true
+    while (more) {
+      val h = readFully(in, 4)
+      val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+      seq = h(3) & 0xff
+      if (len > 0) buf.write(readFully(in, len))
+      more = len == MaxChunk
+    }
+    (seq, buf.toByteArray)
   }
 
   def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    require(payload.length < 0xffffff, "multi-packet payloads not needed at fixture scale")
-    out.write(payload.length & 0xff)
-    out.write((payload.length >> 8) & 0xff)
-    out.write((payload.length >> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+    var off = 0
+    var s = seq
+    var done = false
+    while (!done) {
+      val len = math.min(payload.length - off, MaxChunk)
+      out.write(len & 0xff)
+      out.write((len >> 8) & 0xff)
+      out.write((len >> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, len)
+      off += len
+      s += 1
+      done = len < MaxChunk // an exact-multiple payload ends with an empty frame
+    }
   }
 
   private def u32le(b: Array[Byte], off: Int): Long =
@@ -291,10 +315,18 @@ object MysqlRepl {
       def frame(off: Int, size: Int): Unit = {
         // packet header + OK marker + raw event
         val plen = size + 1
-        cur.write(plen & 0xff); cur.write((plen >> 8) & 0xff); cur.write((plen >> 16) & 0xff)
-        cur.write(1) // seq (client ignores; real servers increment per packet)
-        cur.write(0x00)
-        cur.write(snap, off, size)
+        if (plen < MaxChunk) {
+          cur.write(plen & 0xff); cur.write((plen >> 8) & 0xff); cur.write((plen >> 16) & 0xff)
+          cur.write(1) // seq (client ignores; real servers increment per packet)
+          cur.write(0x00)
+          cur.write(snap, off, size)
+        } else {
+          // a >= 16MB-1 event (giant row image) needs multi-packet split
+          val payload = new Array[Byte](plen)
+          payload(0) = 0x00
+          System.arraycopy(snap, off, payload, 1, size)
+          writePacket(cur, 1, payload)
+        }
       }
       var off = 4
       while (off + 19 <= snap.length) {

@@ -47,6 +47,26 @@ class BinlogSocketSpec extends SparkSuite {
     evs.map(e => com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
       .readTree(e.payload).get("id").asLong).sorted
 
+  test("multi-packet framing: >= 16MB-1 payloads split and rejoin, exact multiples terminate empty") {
+    // a giant row image in a dump genuinely exceeds the 0xffffff frame
+    // limit; the protocol splits into full frames terminated by the first
+    // short frame — an EMPTY one when the payload is an exact multiple
+    def roundTrip(n: Int): Unit = {
+      val payload = Array.tabulate[Byte](n)(i => (i * 31 + 7).toByte)
+      val out = new ByteArrayOutputStream()
+      MysqlRepl.writePacket(out, 0, payload)
+      val framed = out.toByteArray
+      val expectFrames = n / 0xffffff + 1
+      assert(framed.length == n + 4 * expectFrames, s"n=$n framed=${framed.length}")
+      val (seq, back) = MysqlRepl.readPacket(new ByteArrayInputStream(framed))
+      assert(seq == expectFrames - 1, "sequence id advances per frame")
+      assert(java.util.Arrays.equals(back, payload), s"n=$n corrupted")
+    }
+    roundTrip(5)                // single short frame
+    roundTrip(0xffffff)         // exact multiple: full frame + empty terminator
+    roundTrip(0xffffff + 4096)  // full frame + short tail
+  }
+
   test("SID block encode/decode round-trips (exclusive wire ends)") {
     val set = GtidSet.empty.add(uuidA, 1).add(uuidA, 2).add(uuidA, 7)
       .add(uuidB, 3)
