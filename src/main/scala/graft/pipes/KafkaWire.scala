@@ -170,6 +170,7 @@ object KafkaWire {
       while (open) {
         try {
           val sock = ss.accept()
+          sock.setTcpNoDelay(true) // request-response over persistent conns: no Nagle stalls
           val t = new Thread(() => try serve(sock) finally sock.close(), "graft-kafka-conn")
           t.setDaemon(true)
           t.start()
@@ -358,19 +359,58 @@ object KafkaWire {
     (h, p.toInt, topic)
   }
 
+  // One pooled connection per (thread, host:port), like a real client: a
+  // consumer poll loop issues Metadata/ListOffsets/Fetch back-to-back and
+  // re-dialing per request triples the wire round trips. Thread-local, so
+  // no cross-thread sharing to lock; a dead socket (broker restart) is
+  // dropped and the request retried once on a fresh dial. Sockets are
+  // daemon-lifetime: brokers here are loopback fixtures, and each entry
+  // is keyed by host:port so a new broker instance (new port) never sees
+  // a stale socket.
+  private val pooled = ThreadLocal.withInitial(
+    new java.util.function.Supplier[scala.collection.mutable.Map[String, Socket]] {
+      override def get() = scala.collection.mutable.Map.empty[String, Socket]
+    })
+
   private def call(url: String, apiKey: Int, body: Array[Byte]): ByteBuffer = {
     val (host, port, _) = parseUrl(url)
-    val sock = new Socket(host, port)
-    try {
+    val key = s"$host:$port"
+    val pool = pooled.get()
+    def attempt(sock: Socket): ByteBuffer = {
       val correlation = 42
       val header = new Writer().i16(apiKey).i16(0).i32(correlation).str("graft").result
       writeFrame(sock, header ++ body)
       val resp = reader(readFrame(sock.getInputStream))
       require(resp.getInt == correlation, "correlation id mismatch")
-      // copy out: the socket closes when this method returns
+      // copy out: the buffer must not alias a reusable socket stream
       val rest = new Array[Byte](resp.remaining()); resp.get(rest)
       reader(rest)
-    } finally sock.close()
+    }
+    pool.get(key) match {
+      case Some(sock) =>
+        try attempt(sock)
+        catch {
+          case e: Throwable =>
+            // ANY failure poisons the pooled socket (a desynced stream
+            // would corrupt the next response) — drop it; re-dial once
+            // only for IO errors (the stale-connection case)
+            pool.remove(key)
+            try sock.close() catch { case _: java.io.IOException => () }
+            e match {
+              case _: java.io.IOException =>
+                val fresh = new Socket(host, port)
+                fresh.setTcpNoDelay(true)
+                pool(key) = fresh
+                attempt(fresh)
+              case other => throw other
+            }
+        }
+      case None =>
+        val fresh = new Socket(host, port)
+        fresh.setTcpNoDelay(true)
+        try { val r = attempt(fresh); pool(key) = fresh; r }
+        catch { case e: Throwable => fresh.close(); throw e }
+    }
   }
 
   def apiVersions(url: String): Seq[(Int, Int, Int)] = {
