@@ -503,7 +503,41 @@ object QueriesTraining {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window
+    * preprocessing step: every document becomes ceil((len-W)/S)+1 chunks
+    * of W tokens at stride S (one chunk when len <= W), each identified
+    * by (doc_id, chunk_idx) with its token count and an md5 fingerprint
+    * of the chunk text.
+    *
+    * Scale shape: chunk GENERATION is narrow — `transform` over an index
+    * `sequence` slices the already-split token array per row, entirely
+    * inside whole-stage codegen; the explode multiplies rows only by the
+    * per-doc chunk count (bounded by len/S), and nothing shuffles at all
+    * (PlanShapeSpec pins zero exchanges). Downstream dedup/embedding
+    * stages then key by the fingerprint.
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("len", size(col("ws")))
+      .withColumn("n_chunks",
+        when(col("len") <= W, lit(1L))
+          .otherwise(floor((col("len") - W + (S - 1)) / S) + 1L))
+    base
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, n_chunks - 1), i -> struct(
+             |  CAST(i AS BIGINT) AS chunk_idx,
+             |  CAST(least($W, len - i * $S) AS BIGINT) AS chunk_tokens,
+             |  md5(array_join(slice(ws, i * $S + 1, $W), ' ')) AS chunk_md5))""".stripMargin))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_tokens"), col("c.chunk_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_windows" -> chunkWindows _,
     "q_inverted_index" -> invertedIndex _,
     "q_skipgram_pairs" -> skipgramPairs _,
     "q_curation_e2e" -> curationE2e _,
@@ -519,6 +553,20 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    // stride-48 windows of 64 tokens; the last chunk may be short. md5
+    // fingerprints make the whole chunking hash-checkable
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0 ELSE CAST(FLOOR((n - 64 + 47) / 48) AS INT) END)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(64, n - i * 48) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(ws, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |p AS (SELECT term, doc_id % 16 AS shard, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

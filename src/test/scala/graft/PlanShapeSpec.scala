@@ -210,6 +210,13 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("chunk windows generate narrowly: zero exchanges, zero shuffles") {
+    // chunking must stay embarrassingly parallel scan work — any shuffle
+    // here would move the full corpus text at 100 TB
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
   test("approx stats: no Expand, one percentile buffer, distinct anchor broadcast back") {
     // the r7 regression shape: countDistinct sharing a groupBy with the
     // sketches forced an Expand (every row replicated per aggregate
