@@ -147,10 +147,11 @@ object Pca {
   }
 
   /** Project onto the top-k components as integer columns `pc0..pc{k-1}`
-    * (scale 1000 * 1e6): centering by the QUANTIZED mean and dotting
-    * against quantized components keeps the per-row work inside the
-    * native integer [[graft.functions.QDot]] path — exact, deterministic,
-    * no interpreted lambda per element.
+    * (scale 1000 * 1e6): centering by the QUANTIZED mean (a zip_with —
+    * the only interpreted HOF in the path) and
+    * dotting against quantized components through the native integer
+    * [[graft.functions.QDot]] path — exact and deterministic, so the
+    * distributed projection equals a driver matmul bit-for-bit (PcaSpec).
     */
   def project(df: DataFrame, vec: Column, model: Model, k: Int): DataFrame = {
     implicit val s: SparkSession = df.sparkSession
