@@ -64,7 +64,9 @@ class KafkaPipeTable(props: Map[String, String]) extends Table with SupportsRead
 class KafkaPipeScan(path: String, options: Map[String, String]) extends Scan {
   override def readSchema(): StructType = KafkaPipeSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaPipeMicroBatchStream(path, options.get("maxoffsetspertrigger").map(_.toLong))
+    new KafkaPipeMicroBatchStream(path, options.get("maxoffsetspertrigger").map(_.toLong),
+      options.get("targetrowspertrigger").map(_.toLong),
+      options.get("ratewindowtriggers").map(_.toInt).getOrElse(4))
 }
 
 /** Offset = per-partition next-offset map `{"offsets":{"0":5,"1":3}}`. */
@@ -89,10 +91,23 @@ object PartitionOffsets {
   }
 }
 
-class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long])
+class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long],
+                                targetRowsPerTrigger: Option[Long] = None,
+                                rateWindowTriggers: Int = 4)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val confEntries = graft.core.HadoopConf.shipActive()
+
+  // ADAPTIVE rate targeting (the reference's throttle.Advice loop,
+  // /root/reference/throttle/throttle.go, re-expressed as admission
+  // control): each trigger is one interval of the sliding window, and
+  // the budget keeps the windowed average at targetRowsPerTrigger.
+  // Deterministic — triggers, not wall time, advance the window; state
+  // resets on checkpoint restart (the rate window is advisory, offsets
+  // carry correctness).
+  private val rate = targetRowsPerTrigger.map(t =>
+    new graft.stream.RateAdvice(t, rateWindowTriggers))
+  private var lastAdmitted = 0L
 
   // a kafka://host:port/topic path consumes a live broker over the REAL
   // wire protocol: Metadata for the partition map, ListOffsets(-1) for
@@ -125,9 +140,18 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
     val ends = availableEnds.getOrElse(listEnds())
     val backlog = ends.map { case (p, e) => p -> math.max(0L, e - startMap(p)) }
     val total = backlog.values.sum
-    val cap = limit match {
+    val hardCap = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
+    }
+    val cap = rate match {
+      // floor at 1: a zero budget must still make progress, or a bounded
+      // Trigger.AvailableNow drain reads "no new offsets" as caught-up
+      // and terminates with rows unread; with processing-time triggers
+      // the 1-row trickle is the idle-interval minimum, and the window
+      // recovers the true budget as it slides
+      case Some(r) => math.min(hardCap, math.max(1L, r.admit(lastAdmitted)))
+      case None => hardCap
     }
     val next =
       if (total <= cap) ends
@@ -148,7 +172,9 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
           p -> (startMap(p) + take)
         }.toMap
       }
-    PartitionOffsets(next.map { case (p, e) => p -> math.max(e, startMap(p)) })
+    val endMap = next.map { case (p, e) => p -> math.max(e, startMap(p)) }
+    lastAdmitted = endMap.map { case (p, e) => e - startMap(p) }.sum
+    PartitionOffsets(endMap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
