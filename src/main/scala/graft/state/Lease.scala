@@ -1,0 +1,133 @@
+package graft.state
+
+import java.sql.{Connection, DriverManager, Timestamp}
+
+/** SQL-backed task leases — the reference's multi-worker coordination
+  * (`state/lock.go:31-169` GetTableTask / RefreshTableLock): a worker
+  * claims the first task whose lease is absent or EXPIRED, stamps
+  * (worker_id, locked_at), heartbeats while working, and a crashed
+  * worker's task becomes claimable after the timeout.
+  *
+  * The single-driver deployment does not need this (work distribution is
+  * Spark's scheduler — [[StateStore]] doc); it exists for the
+  * multi-driver/HA shape, where several schedulers share one state
+  * database. Portability note: the reference takes the row lock with
+  * `SELECT ... FOR UPDATE SKIP LOCKED` (MySQL 8, degrading to plain
+  * FOR UPDATE below). This implementation claims via an ATOMIC
+  * conditional UPDATE instead — `UPDATE ... WHERE task_id=? AND (free or
+  * expired)` claims iff the row is still claimable, the update count is
+  * the success signal, and no vendor locking syntax is needed — the same
+  * no-double-claim guarantee on any SQL engine (Derby in specs, MySQL in
+  * production). Candidates are scanned in task_id order; a lost race on
+  * one candidate falls through to the next, which is what SKIP LOCKED
+  * buys on MySQL.
+  *
+  * `refresh` returns false when the caller no longer holds the lease
+  * (stolen after expiry) — the reference's RefreshTableLock contract; the
+  * worker must then abandon the task. (The reference's
+  * `IF(locked_at=NOW(), NOW()+1, ...)` nudge exists because MySQL reports
+  * 0 affected rows for a no-change update; JDBC drivers here report
+  * MATCHED rows, so the nudge is unnecessary.)
+  */
+object Lease {
+
+  def ensureTable(url: String): Unit = withConn(url) { c =>
+    val tables = c.getMetaData.getTables(null, null, "GRAFT_LEASES", null)
+    val exists = tables.next()
+    tables.close()
+    if (!exists) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE graft_leases (
+          |  task_id VARCHAR(256) NOT NULL PRIMARY KEY,
+          |  worker_id VARCHAR(128),
+          |  locked_at TIMESTAMP)""".stripMargin)
+      finally st.close()
+    }
+  }
+
+  /** Idempotently register a task as claimable. */
+  def register(url: String, taskId: String): Unit = withConn(url) { c =>
+    val check = c.prepareStatement("SELECT 1 FROM graft_leases WHERE task_id = ?")
+    check.setString(1, taskId)
+    val rs = check.executeQuery()
+    val exists = rs.next()
+    rs.close(); check.close()
+    if (!exists) {
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_leases (task_id, worker_id, locked_at) VALUES (?, NULL, NULL)")
+      ins.setString(1, taskId)
+      try ins.executeUpdate() catch {
+        case e: java.sql.SQLIntegrityConstraintViolationException => () // raced insert: fine
+      } finally ins.close()
+    }
+  }
+
+  /** Claim the first available task (no lease, or lease older than
+    * `timeoutSec`). Returns the claimed task id, or None when every task
+    * is validly held.
+    */
+  def acquire(url: String, workerId: String, timeoutSec: Long): Option[String] =
+    withConn(url) { c =>
+      val list = c.prepareStatement(
+        """SELECT task_id FROM graft_leases
+          |WHERE worker_id IS NULL OR locked_at IS NULL
+          |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)}
+          |ORDER BY task_id""".stripMargin)
+      list.setLong(1, -timeoutSec)
+      val rs = list.executeQuery()
+      val candidates = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toVector
+      rs.close(); list.close()
+      // atomic compare-and-claim per candidate; a lost race falls through
+      candidates.iterator.flatMap { id =>
+        val claim = c.prepareStatement(
+          """UPDATE graft_leases SET worker_id = ?, locked_at = CURRENT_TIMESTAMP
+            |WHERE task_id = ? AND (worker_id IS NULL OR locked_at IS NULL
+            |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)})""".stripMargin)
+        claim.setString(1, workerId)
+        claim.setString(2, id)
+        claim.setLong(3, -timeoutSec)
+        val won = try claim.executeUpdate() == 1 finally claim.close()
+        if (won) Some(id) else None
+      }.nextOption()
+    }
+
+  /** Heartbeat: extend the lease iff still held by `workerId`. False
+    * means the lease was lost (expired and stolen) — abandon the task.
+    */
+  def refresh(url: String, taskId: String, workerId: String): Boolean =
+    withConn(url) { c =>
+      val up = c.prepareStatement(
+        "UPDATE graft_leases SET locked_at = CURRENT_TIMESTAMP WHERE task_id = ? AND worker_id = ?")
+      up.setString(1, taskId)
+      up.setString(2, workerId)
+      try up.executeUpdate() == 1 finally up.close()
+    }
+
+  /** Release a held lease (no-op when not the holder). */
+  def release(url: String, taskId: String, workerId: String): Unit =
+    withConn(url) { c =>
+      val up = c.prepareStatement(
+        "UPDATE graft_leases SET worker_id = NULL, locked_at = NULL WHERE task_id = ? AND worker_id = ?")
+      up.setString(1, taskId)
+      up.setString(2, workerId)
+      try up.executeUpdate() finally up.close()
+    }
+
+  /** Current holder, for assertions/ops. */
+  def holder(url: String, taskId: String): Option[(String, Timestamp)] =
+    withConn(url) { c =>
+      val q = c.prepareStatement(
+        "SELECT worker_id, locked_at FROM graft_leases WHERE task_id = ? AND worker_id IS NOT NULL")
+      q.setString(1, taskId)
+      val rs = q.executeQuery()
+      val out = if (rs.next()) Some((rs.getString(1), rs.getTimestamp(2))) else None
+      rs.close(); q.close()
+      out
+    }
+
+  private def withConn[A](url: String)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try { c.setAutoCommit(true); f(c) } finally c.close()
+  }
+}

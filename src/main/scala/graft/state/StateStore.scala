@@ -17,9 +17,11 @@ import graft.core.Schema.TableSchema
   * registrations (which tables to ingest, where to), schema versions
   * (gtid-fenced — state/state.go:404-475), and per-task positions
   * (GTID/seqno high-watermarks; streaming offsets live in Spark
-  * checkpoints). Work distribution is Spark's scheduler — the reference's
-  * `GetTableTask FOR UPDATE SKIP LOCKED` leases (state/lock.go:31-169)
-  * have no Spark counterpart by design.
+  * checkpoints). Work distribution is Spark's scheduler, so the single-
+  * driver deployment needs no row locks; for the multi-driver/HA shape
+  * the reference's `GetTableTask FOR UPDATE SKIP LOCKED` leases
+  * (state/lock.go:31-169) are implemented as SQL-backed claim/heartbeat/
+  * expiry-steal in [[Lease]] (LeaseSpec runs them against live Derby).
   *
   * Storage is a JSON-lines file per collection (tiny control data, not a
   * data path); swap `StateBackend` for JDBC in a multi-driver deployment.
