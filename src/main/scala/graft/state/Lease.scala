@@ -79,17 +79,9 @@ object Lease {
       val candidates = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toVector
       rs.close(); list.close()
       // atomic compare-and-claim per candidate; a lost race falls through
-      candidates.iterator.flatMap { id =>
-        val claim = c.prepareStatement(
-          """UPDATE graft_leases SET worker_id = ?, locked_at = CURRENT_TIMESTAMP
-            |WHERE task_id = ? AND (worker_id IS NULL OR locked_at IS NULL
-            |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)})""".stripMargin)
-        claim.setString(1, workerId)
-        claim.setString(2, id)
-        claim.setLong(3, -timeoutSec)
-        val won = try claim.executeUpdate() == 1 finally claim.close()
-        if (won) Some(id) else None
-      }.nextOption()
+      candidates.iterator
+        .flatMap(id => if (acquireOne(url, id, workerId, timeoutSec)) Some(id) else None)
+        .nextOption()
     }
 
   /** Heartbeat: extend the lease iff still held by `workerId`. False
@@ -113,6 +105,36 @@ object Lease {
       up.setString(2, workerId)
       try up.executeUpdate() finally up.close()
     }
+
+  /** The reference's ticket-sharded shared lock (`lock/lock.go:93-136`
+    * TryLockShared: `GET_LOCK(name#i)` over i < n — at most n concurrent
+    * holders cluster-wide, the cross-process form of the in-process
+    * [[graft.stream.ClusterLimiter]]): ticket i is the lease row
+    * `name#i`, claimed with the same atomic conditional UPDATE. Returns
+    * the held ticket id for `refresh`/`release`.
+    */
+  def tryLockShared(url: String, name: String, n: Int, workerId: String,
+                    timeoutSec: Long): Option[String] = {
+    (0 until n).foreach(i => register(url, s"$name#$i"))
+    (0 until n).iterator.flatMap { i =>
+      val ticket = s"$name#$i"
+      val claim = acquireOne(url, ticket, workerId, timeoutSec)
+      if (claim) Some(ticket) else None
+    }.nextOption()
+  }
+
+  /** Claim one SPECIFIC task iff free/expired (atomic). */
+  def acquireOne(url: String, taskId: String, workerId: String,
+                 timeoutSec: Long): Boolean = withConn(url) { c =>
+    val claim = c.prepareStatement(
+      """UPDATE graft_leases SET worker_id = ?, locked_at = CURRENT_TIMESTAMP
+        |WHERE task_id = ? AND (worker_id IS NULL OR locked_at IS NULL
+        |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)})""".stripMargin)
+    claim.setString(1, workerId)
+    claim.setString(2, taskId)
+    claim.setLong(3, -timeoutSec)
+    try claim.executeUpdate() == 1 finally claim.close()
+  }
 
   /** Current holder, for assertions/ops. */
   def holder(url: String, taskId: String): Option[(String, Timestamp)] =

@@ -41,6 +41,19 @@ class LeaseSpec extends AnyFunSuite {
     assert(Lease.acquire(url, "w4", timeoutSec = 60).contains("t2"))
   }
 
+  test("ticket-sharded shared lock: at most n concurrent holders") {
+    val surl = "jdbc:derby:memory:graftlease3;create=true"
+    Lease.ensureTable(surl)
+    // lock.go TryLockShared semantics: n=2 tickets, third holder refused
+    val t1 = Lease.tryLockShared(surl, "snapshots", 2, "wa", 60)
+    val t2 = Lease.tryLockShared(surl, "snapshots", 2, "wb", 60)
+    assert(t1.isDefined && t2.isDefined && t1 != t2)
+    assert(Lease.tryLockShared(surl, "snapshots", 2, "wc", 60).isEmpty)
+    // releasing one ticket readmits exactly one holder
+    Lease.release(surl, t1.get, "wa")
+    assert(Lease.tryLockShared(surl, "snapshots", 2, "wc", 60).isDefined)
+  }
+
   test("no double-claims under concurrent contention") {
     val curl = "jdbc:derby:memory:graftlease2;create=true"
     Lease.ensureTable(curl)
