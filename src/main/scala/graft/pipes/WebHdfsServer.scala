@@ -198,7 +198,14 @@ final class WebHdfsServer(backing: File) extends AutoCloseable {
             val in = new FileInputStream(f)
             val out = ex.getResponseBody
             try {
-              in.skip(offset)
+              // skip() may short-skip; a partial seek would serve wrong
+              // bytes to a range read (parquet footer reads, seeks)
+              var toSkip = offset
+              while (toSkip > 0) {
+                val s = in.skip(toSkip)
+                if (s <= 0) throw new IOException(s"cannot seek to $offset in $rel")
+                toSkip -= s
+              }
               val buf = new Array[Byte](1 << 16)
               var left = n
               while (left > 0) {

@@ -68,6 +68,33 @@ class WebHdfsSpec extends SparkSuite {
     }
   }
 
+  test("positioned reads: parquet round trip (footer seek + column chunk ranges)") {
+    withServer { srv =>
+      val out = s"${srv.uri}/pq"
+      // parquet readers SEEK: footer at the tail, then per-column ranges —
+      // this drives the OPEN offset= path for real
+      spark.range(0, 5000).select(col("id"), (col("id") % 13).as("m"))
+        .write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() === 5000L)
+      assert(back.agg(sum("m")).head().getLong(0) ===
+        (0L until 5000L).map(_ % 13).sum)
+      // and an explicit mid-file seek through the client API
+      val fs = new HPath(srv.uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new HPath(s"${srv.uri}/seek.bin")
+      val os = fs.create(p, true)
+      os.write(Array.tabulate[Byte](10000)(i => (i % 251).toByte))
+      os.close()
+      val in = fs.open(p)
+      try {
+        in.seek(7777L)
+        val got = new Array[Byte](16)
+        in.readFully(got)
+        assert(got.sameElements(Array.tabulate[Byte](16)(i => ((7777 + i) % 251).toByte)))
+      } finally in.close()
+    }
+  }
+
   test("missing paths surface as FileNotFoundException through RemoteException JSON") {
     withServer { srv =>
       val fs = new HPath(srv.uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
