@@ -468,6 +468,49 @@ object QueriesCdc {
         get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** O7 oracle-gated: the kafka round trip consumed under ADAPTIVE rate
+    * admission ([[graft.stream.RateAdvice]] — the reference's
+    * throttle.Advice loop as admission control, throttle/throttle.go).
+    * The windowed cap forces many more, smaller micro-batches; the
+    * oracle is identical to [[kafkaRoundtrip]] because rate limiting
+    * must change WHEN rows arrive, never WHICH rows — any dropped or
+    * duplicated row under throttling hash-mismatches.
+    */
+  def rateLimited(s: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val base = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id").as("ord"),
+        col("user_id").cast("string").as("key"),
+        col("user_id"),
+        to_json(struct(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
+    val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_rate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(topicDir), true)
+    val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
+      partitionCol = Some(pmod(col("user_id"), lit(nParts))))
+    // target ~1/8 of the backlog per trigger: the drain needs >= 8
+    // rate-limited batches (vs 4 for the plain roundtrip)
+    runWithTempCkpt("graft-kafka-rate-ckpt") { ckpt =>
+      s.readStream.format("graft-kafka")
+        .option("path", topicDir)
+        .option("targetRowsPerTrigger", math.max(512L, produced / 8 + 1))
+        .option("rateWindowTriggers", 4)
+        .load()
+        .writeStream.format("memory").queryName("graft_kafka_ratelimited")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    s.table("graft_kafka_ratelimited")
+      .select(col("partition").cast("long").as("partition"), col("offset"),
+        col("key").cast("long").as("user_id"),
+        get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
+  }
+
   /** K1+S3 over the REAL wire: the same round-trip contract as
     * [[kafkaRoundtrip]], but both halves speak the actual Kafka protocol
     * (v0 APIs, v1 MessageSets, CRC32) against a loopback
@@ -995,6 +1038,7 @@ object QueriesCdc {
     "q_changelog_socket" -> changelogSocket _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_kafka_socket" -> kafkaSocket _,
+    "q_rate_limited" -> rateLimited _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_session" -> streamSession _,

@@ -200,6 +200,14 @@ object SparkEntry {
         |  user_id, event_id,
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
+    // rate limiting changes WHEN rows arrive, never WHICH rows: the
+    // plain-roundtrip oracle gates the adaptively-throttled drain
+    "q_rate_limited" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,
+        |  user_id, event_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
     // identical round-trip contract over the real Kafka wire protocol
     // (loopback broker, checkpointed restart between the two produced
     // halves), so the same oracle gates it
