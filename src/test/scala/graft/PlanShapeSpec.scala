@@ -210,6 +210,16 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("embed covariance: one imperative aggregate, no row amplification") {
+    // the moment sums must come from the fixed-buffer VecOuterSum pass —
+    // an Expand/Generate here would be the 2080x row blowup the
+    // aggregate exists to avoid
+    val p = plan("q_embed_covariance")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
+
   test("chunk windows generate narrowly: zero exchanges, zero shuffles") {
     // chunking must stay embarrassingly parallel scan work — any shuffle
     // here would move the full corpus text at 100 TB
