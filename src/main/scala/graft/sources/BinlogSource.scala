@@ -83,6 +83,8 @@ class BinlogScan(path: String, options: Map[String, String]) extends Scan {
     new BinlogMicroBatchStream(path,
       // CaseInsensitiveStringMap hands options through with lower-cased keys
       options.get("maxeventspertrigger").map(_.toLong))
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    SourceMetrics.supported
 }
 
 /** Offset = GTID set, serialized as `{"gtids":"uuid:1-5,…"}`. */
@@ -203,9 +205,14 @@ class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet,
                             confEntries: Seq[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private val events: Vector[BinlogFixture.Event] =
-    if (path.startsWith("mysql://")) BinlogFixture.readSocket(path, start)
+  private var rowsEmitted = 0L
+  private var bytesRead = 0L
+  private var wireRequests = 0L
+
+  private val events: Vector[BinlogFixture.Event] = {
+    if (path.startsWith("mysql://")) { wireRequests += 1; BinlogFixture.readSocket(path, start) }
     else BinlogFixture.readCached(path, graft.core.HadoopConf.rebuild(confEntries))
+  }
 
   private val it = events.iterator
     .filter(e => end.contains(e.uuid, e.gno) && !start.contains(e.uuid, e.gno))
@@ -217,6 +224,8 @@ class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet,
 
   override def get(): InternalRow = {
     val e = current
+    rowsEmitted += 1
+    bytesRead += e.payload.length + (if (e.before == null) 0 else e.before.length)
     new GenericInternalRow(Array[Any](
       e.seq, UTF8String.fromString(e.uuid), e.gno,
       UTF8String.fromString(e.op), UTF8String.fromString(e.db),
@@ -224,6 +233,11 @@ class BinlogPartitionReader(path: String, start: GtidSet, end: GtidSet,
       if (e.before == null) null else UTF8String.fromString(e.before),
       UTF8String.fromString(e.payload)))
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(SourceMetrics.Task("graftRowsEmitted", () => rowsEmitted),
+      SourceMetrics.Task("graftBytesRead", () => bytesRead),
+      SourceMetrics.Task("graftWireRequests", () => wireRequests))
 
   override def close(): Unit = ()
 }

@@ -61,12 +61,17 @@ class KafkaPipeTable(props: Map[String, String]) extends Table with SupportsRead
     }
 }
 
+// (custom metrics are declared on KafkaPipeScan and emitted per task by
+// KafkaPipePartitionReader — see graft.sources.SourceMetrics)
+
 class KafkaPipeScan(path: String, options: Map[String, String]) extends Scan {
   override def readSchema(): StructType = KafkaPipeSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaPipeMicroBatchStream(path, options.get("maxoffsetspertrigger").map(_.toLong),
       options.get("targetrowspertrigger").map(_.toLong),
       options.get("ratewindowtriggers").map(_.toInt).getOrElse(4))
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    SourceMetrics.supported
 }
 
 /** Offset = per-partition next-offset map `{"offsets":{"0":5,"1":3}}`. */
@@ -206,6 +211,10 @@ class KafkaPipeReaderFactory extends PartitionReaderFactory {
 class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
     extends PartitionReader[InternalRow] {
 
+  private var rowsEmitted = 0L
+  private var bytesRead = 0L
+  private var wireRequests = 0L
+
   /** `kafka://` splits consume their range via wire Fetch calls from
     * `from`, looping because the broker's maxBytes bound may trim a
     * response to a whole-message prefix — exactly a consumer's poll loop.
@@ -217,6 +226,7 @@ class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
     var stalled = false
     var maxBytes = 1 << 22
     while (off < p.until && !stalled) {
+      wireRequests += 1
       val (recs, hw) = graft.pipes.KafkaWire.fetch(p.path, topic, p.partition, off, maxBytes)
       if (recs.isEmpty) {
         // An empty response is NOT proof the range is drained: the broker
@@ -254,11 +264,18 @@ class KafkaPipePartitionReader(p: KafkaPipeInputPartition)
 
   override def get(): InternalRow = {
     val r = current
+    rowsEmitted += 1
+    bytesRead += r.value.length + (if (r.key == null) 0 else r.key.length)
     new GenericInternalRow(Array[Any](
       r.partition, r.offset,
       if (r.key == null) null else UTF8String.fromString(r.key),
       UTF8String.fromString(r.value), r.ts))
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(SourceMetrics.Task("graftRowsEmitted", () => rowsEmitted),
+      SourceMetrics.Task("graftBytesRead", () => bytesRead),
+      SourceMetrics.Task("graftWireRequests", () => wireRequests))
 
   override def close(): Unit = ()
 }
