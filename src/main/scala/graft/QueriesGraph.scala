@@ -48,6 +48,11 @@ object QueriesGraph {
 
   private def pagerankBody(s: SparkSession, dir: String): DataFrame = {
     val iters = 10
+    // (A loop-scoped narrower shuffle width was tried here — 8 partitions
+    // for the node-count-sized rank state — and measured SLOWER than the
+    // session default at local[32]: the per-round join wants the full
+    // thread width more than it minds empty partitions. Width stays the
+    // session knob.)
     // lineage truncation: reliable checkpoint when a dir is configured
     // (an executor loss after truncation would otherwise lose the
     // blocks), cheap localCheckpoint in local mode — same trade as
