@@ -217,12 +217,12 @@ object BinlogFixture {
     */
   def readSocket(url: String, after: graft.changelog.GtidSet): Vector[Event] = {
     val img = graft.changelog.MysqlRepl.dumpRaw(url, after)
-    val crc = new java.util.zip.CRC32()
-    crc.update(img)
     // keyed by content only — the url carries an ephemeral loopback port
     // that changes per server instance while the image is what determines
-    // the parse result
-    val key = s"${img.length}#${crc.getValue}"
+    // the parse result. MD5, not a 32-bit checksum: a key collision here
+    // would serve WRONG events to a correctness-gated row
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = s"${img.length}#${md.digest(img).map("%02x".format(_)).mkString}"
     val hit = socketCache.get(key)
     if (hit != null) hit
     else {
