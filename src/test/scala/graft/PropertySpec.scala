@@ -101,4 +101,49 @@ class PropertySpec extends AnyFunSuite {
       assert(LoopbackPipe.partitionFor(key, n) == p)
     }
   }
+
+  test("mysql multi-packet framing: random payload sizes round-trip exactly") {
+    val rnd = new Random(20260813)
+    val max = 0xffffff
+    // bias toward the boundary cases the framing rule is about
+    val sizes = Seq(0, 1, max - 1, max, max + 1, 2 * max, 2 * max + 17) ++
+      Seq.fill(12)(rnd.nextInt(3 * max))
+    sizes.foreach { n =>
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      val out = new java.io.ByteArrayOutputStream()
+      graft.changelog.MysqlRepl.writePacket(out, 0, payload)
+      val framed = out.toByteArray
+      // every frame < max says "last"; every max-sized frame continues
+      val expectFrames = n / max + 1
+      assert(framed.length == n + 4 * expectFrames, s"n=$n")
+      val (_, back) = graft.changelog.MysqlRepl.readPacket(
+        new java.io.ByteArrayInputStream(framed))
+      assert(java.util.Arrays.equals(back, payload), s"n=$n corrupted")
+    }
+  }
+
+  test("rate advice: budget never negative, window average capped, below-target never throttled") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 50) {
+      val target = rnd.nextInt(1000) + 1
+      val window = rnd.nextInt(8) + 1
+      val r = new graft.stream.RateAdvice(target.toLong, window)
+      var budget = r.admit(0)
+      for (_ <- 1 to 200) {
+        assert(budget >= 0)
+        // an admitter that respects its budget keeps the WINDOW total
+        // (and with it the windowed average) at or under target rate
+        val take = if (budget == 0) 0L else rnd.nextLong(budget + 1)
+        budget = r.admit(take)
+        assert(r.windowSum <= target.toLong * window,
+          s"window ${r.windowSum} exceeds ${target.toLong * window}")
+      }
+      // a stream consuming below target is never throttled to zero
+      val calm = new graft.stream.RateAdvice(target.toLong, window)
+      var ok = true
+      for (_ <- 1 to 50) ok &= calm.admit(math.max(0, target - 1).toLong) > 0
+      assert(ok, "below-target stream must always get a positive budget")
+    }
+  }
 }
