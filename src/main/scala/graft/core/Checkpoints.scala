@@ -42,11 +42,27 @@ object Checkpoints {
   private val firstBase =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]
 
+  /** First `scoped` call per context installs a listener that drops both
+    * map entries when the context stops — without it a long-lived JVM
+    * cycling many sessions/contexts (multi-session suites) would leak a
+    * lock Object plus a SparkContext strong reference per context.
+    */
+  private def lockFor(sc: org.apache.spark.SparkContext): Object =
+    locks.computeIfAbsent(sc, _ => {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          locks.remove(sc); firstBase.remove(sc); ()
+        }
+      })
+      new Object
+    })
+
   def scoped(s: SparkSession)(body: => DataFrame): DataFrame = {
     val sc = s.sparkContext
     sc.getCheckpointDir match {
       case None => body // local dev shape: body falls back to localCheckpoint
-      case Some(current) => locks.computeIfAbsent(sc, _ => new Object).synchronized {
+      case Some(current) => lockFor(sc).synchronized {
         val base = firstBase.computeIfAbsent(sc, _ => current)
         val scope = new org.apache.hadoop.fs.Path(
           base, s"graft-scope-${java.util.UUID.randomUUID()}")

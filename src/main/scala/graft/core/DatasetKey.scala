@@ -45,19 +45,24 @@ object DatasetKey {
   private def sample(f: java.io.File, md: java.security.MessageDigest): Unit = {
     val len = f.length()
     if (len <= 0) return
-    val in = try new java.io.RandomAccessFile(f, "r")
-    catch { case _: java.io.IOException => return } // raced delete: metadata already hashed
+    // The whole read is best-effort: a file deleted OR truncated between
+    // length() and readFully (the raced-rewrite scenario the sampling
+    // exists to catch) degrades to a metadata-only key instead of
+    // crashing the memo path. EOFException extends IOException.
     try {
-      val head = new Array[Byte](math.min(len, SampleBytes.toLong).toInt)
-      in.readFully(head)
-      md.update(head)
-      if (len > SampleBytes) {
-        val tail = new Array[Byte](math.min(len - SampleBytes, SampleBytes.toLong).toInt)
-        in.seek(len - tail.length)
-        in.readFully(tail)
-        md.update(tail)
-      }
-    } finally in.close()
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(len, SampleBytes.toLong).toInt)
+        in.readFully(head)
+        md.update(head)
+        if (len > SampleBytes) {
+          val tail = new Array[Byte](math.min(len - SampleBytes, SampleBytes.toLong).toInt)
+          in.seek(len - tail.length)
+          in.readFully(tail)
+          md.update(tail)
+        }
+      } finally in.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Just the hex hash — for identifiers (catalog table names) where the

@@ -372,6 +372,14 @@ object KafkaWire {
       override def get() = scala.collection.mutable.Map.empty[String, Socket]
     })
 
+  /** Api keys safe to replay on a fresh connection after an IO failure on a
+    * pooled socket. Produce (0) is deliberately absent: the broker may have
+    * applied the append before the connection died, and a blind retry would
+    * duplicate records and shift broker-assigned offsets. OffsetCommit (8)
+    * sets an absolute value, so replaying it is harmless.
+    */
+  private val idempotentApiKeys = Set(1, 2, 3, 8, 9, 18)
+
   private def call(url: String, apiKey: Int, body: Array[Byte]): ByteBuffer = {
     val (host, port, _) = parseUrl(url)
     val key = s"$host:$port"
@@ -393,11 +401,13 @@ object KafkaWire {
           case e: Throwable =>
             // ANY failure poisons the pooled socket (a desynced stream
             // would corrupt the next response) — drop it; re-dial once
-            // only for IO errors (the stale-connection case)
+            // only for IO errors (the stale-connection case) on requests
+            // that are safe to replay (the broker may already have applied
+            // a Produce whose ack we never read)
             pool.remove(key)
             try sock.close() catch { case _: java.io.IOException => () }
             e match {
-              case _: java.io.IOException =>
+              case _: java.io.IOException if idempotentApiKeys(apiKey) =>
                 val fresh = new Socket(host, port)
                 fresh.setTcpNoDelay(true)
                 pool(key) = fresh

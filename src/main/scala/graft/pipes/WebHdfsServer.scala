@@ -39,7 +39,7 @@ final class WebHdfsServer(backing: File) extends AutoCloseable {
 
   private val server = HttpServer.create(
     new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 64)
-  @volatile private var pendingCreateFailures = 0
+  private val pendingCreateFailures = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Make the next `n` namenode CREATE requests fail with a retriable
     * 500. The NAMENODE hop is where transient failures are survivable:
@@ -47,7 +47,7 @@ final class WebHdfsServer(backing: File) extends AutoCloseable {
     * re-issue it — a mid-stream datanode failure cannot be replayed
     * (the request body is gone) and correctly surfaces instead.
     */
-  def failNextCreates(n: Int): Unit = pendingCreateFailures = n
+  def failNextCreates(n: Int): Unit = pendingCreateFailures.set(n)
 
   def port: Int = server.getAddress.getPort
   /** `webhdfs://` URI for Hadoop clients. */
@@ -92,9 +92,12 @@ final class WebHdfsServer(backing: File) extends AutoCloseable {
     val isData = q.get("datanode").contains("true")
     val method = ex.getRequestMethod.toUpperCase
 
-    if (!isData && method == "PUT" && op == "CREATE" && pendingCreateFailures > 0) {
+    // Atomic check-and-decrement floored at 0: concurrent namenode CREATEs
+    // must consume exactly n injected failures, never more (a plain
+    // check-then-decrement lets two racers both pass the check).
+    if (!isData && method == "PUT" && op == "CREATE" &&
+        pendingCreateFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       // injected transient: the retry policy must re-issue, not give up
-      synchronized { pendingCreateFailures -= 1 }
       drain(ex)
       respondJson(ex, 500, remoteException("RetriableException",
         "org.apache.hadoop.ipc.RetriableException",

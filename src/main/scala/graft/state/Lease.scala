@@ -32,17 +32,24 @@ import java.sql.{Connection, DriverManager, Timestamp}
 object Lease {
 
   def ensureTable(url: String): Unit = withConn(url) { c =>
-    val tables = c.getMetaData.getTables(null, null, "GRAFT_LEASES", null)
-    val exists = tables.next()
-    tables.close()
-    if (!exists) {
+    // Engines disagree on identifier-case folding (Derby folds up, MySQL on
+    // Linux keeps table names case-sensitive), so probe both spellings and
+    // additionally tolerate an already-exists race on CREATE.
+    def exists(name: String): Boolean = {
+      val tables = c.getMetaData.getTables(null, null, name, null)
+      try tables.next() finally tables.close()
+    }
+    if (!exists("GRAFT_LEASES") && !exists("graft_leases")) {
       val st = c.createStatement()
       try st.executeUpdate(
         """CREATE TABLE graft_leases (
           |  task_id VARCHAR(256) NOT NULL PRIMARY KEY,
           |  worker_id VARCHAR(128),
           |  locked_at TIMESTAMP)""".stripMargin)
-      finally st.close()
+      catch {
+        // raced/secondary ensureTable: the table is there, which is all we want
+        case e: java.sql.SQLException if exists("GRAFT_LEASES") || exists("graft_leases") => ()
+      } finally st.close()
     }
   }
 
