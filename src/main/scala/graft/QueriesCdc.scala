@@ -425,6 +425,184 @@ object QueriesCdc {
     binlogReplayProjection(s, "graft_changelog_socket")
   }
 
+  /** DDL THROUGH THE SOCKET end-to-end (O9 composed with S2) — the
+    * reference's hardest main-loop behavior
+    * (/root/reference/changelog/mysql.go:566-683 handleQueryEvent +
+    * :911-968 readEvents): an ALTER TABLE rides INSIDE the binary binlog,
+    * is served over the real replication socket by
+    * [[graft.changelog.MysqlRepl.Server]], classified by
+    * [[graft.changelog.Ddl]], applied by
+    * [[graft.changelog.AlterSchema.mutate]], and the streaming query is
+    * stopped and relaunched with the post-ALTER schema by
+    * [[graft.stream.SchemaRestartLoop]] from the same checkpoint.
+    *
+    * The fixture: rows with event_id <= max/2 carry 4-column images
+    * (no value_dec); then `ALTER TABLE graft.events ADD COLUMN value_dec
+    * decimal(12,2)`; then 5-column images. The restart is LOAD-BEARING,
+    * not ceremony: each incarnation parses payloads with
+    * `from_json(Schema.toStructType(launchSchema))`, so if the loop
+    * failed to relaunch, post-ALTER rows would lose value_dec (the
+    * 4-field struct drops unknown fields) and the hash would mismatch.
+    * The micro-batch holding the DDL aborts mid-batch (rows before the
+    * ALTER are written under the old schema, then the query restarts);
+    * its replay re-delivers the DDL — fenced to AlreadyApplied by the
+    * GTID schema fence in [[graft.state.StateStore]] — and rewrites the
+    * batch directory idempotently (overwrite by batchId), so
+    * at-least-once replay stays hash-exact.
+    */
+  def ddlSocket(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Schema
+    import graft.core.Schema.{ColumnSchema, TableSchema}
+    import graft.stream.{SchemaFlow, SchemaRestartLoop}
+
+    val path = fixturePath("ddlsock", dir) + ".binlog"
+    val built = memoFixture(s"ddl_socket_${graft.core.DatasetKey.of(dir)}") {
+      java.lang.Long.valueOf(buildDdlLog(s, dir, path))
+    }.longValue()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val srv = new graft.changelog.MysqlRepl.Server(bytes)
+    val work = java.nio.file.Files.createTempDirectory("graft-ddl-socket")
+    val dataDir = s"$work/data"
+    try {
+      val state = new graft.state.StateStore(s"$work/state")
+      val v1 = TableSchema("graft", "events", Seq(
+        ColumnSchema("event_id", 1, isNullable = false, "bigint", key = "PRI"),
+        ColumnSchema("user_id", 2, isNullable = false, "bigint"),
+        ColumnSchema("etype", 3, isNullable = true, "varchar", columnType = "varchar(32)"),
+        ColumnSchema("value_cents", 4, isNullable = true, "bigint")))
+      // Driver-side DDL boundary bookkeeping, shared across incarnations:
+      // rows with seq < ddlSeq were governed by the pre-ALTER schema.
+      var ddlSeq = Long.MaxValue
+      var preCols = v1.columns.length
+      val loop = new SchemaRestartLoop(repull =
+        () => throw new IllegalStateException("ADD COLUMN applies locally; no repull"))
+      val (_, restarts) = loop.run(v1, (schema, signal) => {
+        val struct = Schema.toStructType(schema)
+        val launchCols = schema.columns.length
+        def write(b: DataFrame, batchId: Long): Unit =
+          b.filter(col("op") =!= "ddl")
+            .select(
+              from_json(col("payload"), struct).as("r"),
+              col("gtid_uuid"), col("gno"),
+              when(col("seq") < lit(ddlSeq), lit(preCols)).otherwise(lit(launchCols))
+                .cast("long").as("n_schema_cols"))
+            .select(col("r.event_id").as("event_id"), col("gtid_uuid"), col("gno"),
+              col("r.user_id").as("user_id"), col("r.etype").as("etype"),
+              col("r.value_cents").as("value_cents"),
+              (if (struct.fieldNames.contains("value_dec"))
+                 col("r.value_dec").cast("string") else lit(null).cast("string"))
+                .as("value_dec"),
+              col("n_schema_cols"))
+            .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
+        s.readStream.format("graft-binlog")
+          .option("path", srv.url)
+          .option("maxEventsPerTrigger", math.max(256L, built / 4 + 1))
+          .load()
+          .writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ddls = batch.filter(col("op") === "ddl")
+              .select("seq", "gtid_uuid", "gno", "payload")
+              .collect().sortBy(_.getAs[Long]("seq"))
+            ddls.foreach { r =>
+              val seq = r.getAs[Long]("seq")
+              val gtid = s"${r.getAs[String]("gtid_uuid")}:${r.getAs[Long]("gno")}"
+              SchemaFlow.onQueryEvent(state, schema, r.getAs[String]("payload"), gtid, seq) match {
+                case SchemaFlow.SchemaChanged(next, _) =>
+                  // commit rows BEFORE the ALTER under the old schema,
+                  // then stop; the batch replays under the new one
+                  write(batch.filter(col("seq") < seq), batchId)
+                  preCols = launchCols
+                  ddlSeq = seq
+                  signal.schemaChanged(next)
+                case SchemaFlow.NeedsRepull(reason) => signal.needsRepull(reason)
+                case SchemaFlow.AlreadyApplied => ddlSeq = seq // replay: boundary known
+                case SchemaFlow.NotSchemaRelated => ()
+              }
+            }
+            write(batch, batchId)
+          }.start()
+      })
+      require(restarts == 1, s"expected exactly one schema restart, got $restarts")
+      // explicit per-batch dirs, not a glob: FileStreamSink.hasMetadata
+      // stats the literal glob string first and logs a noisy (harmless)
+      // FileNotFoundException stack on every run
+      val batchDirs = new java.io.File(dataDir).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getPath).sorted
+      s.read.parquet(batchDirs.toIndexedSeq: _*)
+        .select("event_id", "gtid_uuid", "gno", "user_id", "etype",
+          "value_cents", "value_dec", "n_schema_cols")
+    } finally srv.close()
+  }
+
+  /** Binary log for [[ddlSocket]]: 4-column images up to the median
+    * event_id, the ALTER as a real QUERY event in its own GTID
+    * transaction, 5-column images after. Returns the event count
+    * (rows + 1 DDL) for admission sizing.
+    */
+  private def buildDdlLog(s: SparkSession, dir: String, path: String): Long = {
+    import graft.changelog.BinlogWire
+    val base = events(s, dir)
+      .filter(col("event_type").isin("signup", "click"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type").as("etype"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        concat(lit("00000000-0000-0000-0000-00000000000"),
+          (col("user_id") % 4).cast("string")).as("uuid"),
+        row_number().over(
+          Window.partitionBy(col("user_id") % 4).orderBy(col("event_id")))
+          .cast("long").as("gno"),
+        unix_millis(col("ts")).as("ts_ms"))
+    // `div` truncates in both engines (DuckDB mirrors with `//`)
+    val thr = base.agg(expr("max(event_id) div 2").as("t")).collect()(0).getAs[Long]("t")
+    val nAcc = s.sparkContext.longAccumulator("graft_ddl_socket_rows")
+    base.repartition(1).sortWithinPartitions(col("event_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val colsV1 = Seq(
+          BinlogWire.Col("event_id", BinlogWire.T.LONGLONG),
+          BinlogWire.Col("user_id", BinlogWire.T.LONGLONG),
+          BinlogWire.Col("etype", BinlogWire.T.VARCHAR, meta = 32),
+          BinlogWire.Col("value_cents", BinlogWire.T.LONGLONG))
+        val tableV1 = BinlogWire.TableDef("graft", "events", colsV1)
+        val tableV2 = BinlogWire.TableDef("graft", "events",
+          colsV1 :+ BinlogWire.Col("value_dec", BinlogWire.T.NEWDECIMAL, meta = (12 << 8) | 2))
+        val ddlUuid = "00000000-0000-0000-0000-000000000009"
+        var ddlEmitted = false
+        val entries: Iterator[BinlogWire.Entry] = it.flatMap { r =>
+          nAcc.add(1)
+          val id = r.getAs[Long]("event_id")
+          val cents = r.getAs[Long]("value_cents")
+          val common: IndexedSeq[Any] = IndexedSeq(
+            java.lang.Long.valueOf(id),
+            java.lang.Long.valueOf(r.getAs[Long]("user_id")),
+            r.getAs[String]("etype"),
+            java.lang.Long.valueOf(cents))
+          val txn =
+            if (id <= thr)
+              BinlogWire.Txn(r.getAs[String]("uuid"), r.getAs[Long]("gno"),
+                r.getAs[Long]("ts_ms"), tableV1,
+                Seq(BinlogWire.Row("insert", None, Some(common))))
+            else
+              BinlogWire.Txn(r.getAs[String]("uuid"), r.getAs[Long]("gno"),
+                r.getAs[Long]("ts_ms"), tableV2,
+                Seq(BinlogWire.Row("insert", None,
+                  Some(common :+ (java.math.BigDecimal.valueOf(cents, 2): Any)))))
+          if (!ddlEmitted && id > thr) {
+            ddlEmitted = true
+            Iterator(
+              BinlogWire.Ddl(ddlUuid, 1L, r.getAs[Long]("ts_ms"), "graft",
+                "ALTER TABLE graft.events ADD COLUMN value_dec decimal(12,2)"),
+              txn)
+          } else Iterator(txn)
+        }
+        graft.sources.BinlogFixture.writeBinary(path, entries)
+      }
+    nAcc.value.longValue() + 1 // + the DDL event
+  }
+
   /** K1+S3 round-trip: events produced into the loopback Kafka-shaped
     * pipe (keyed by user_id, partitioner = pmod so DuckDB can mirror it),
     * then consumed back through the `graft-kafka` DataSource-V2 streaming
@@ -1036,6 +1214,7 @@ object QueriesCdc {
     "q_changelog_native" -> changelogNative _,
     "q_binlog_binary" -> binlogBinary _,
     "q_changelog_socket" -> changelogSocket _,
+    "q_ddl_socket" -> ddlSocket _,
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_kafka_socket" -> kafkaSocket _,
     "q_rate_limited" -> rateLimited _,

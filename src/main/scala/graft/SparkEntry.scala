@@ -194,6 +194,24 @@ object SparkEntry {
     // file: same demux output, so the same oracle gates it
     "q_changelog_socket" -> binlogReplayOracle,
 
+    // the DDL-through-the-socket run: rows at or below the median
+    // event_id were processed under the 4-column pre-ALTER schema
+    // (value_dec NULL), rows above under the 5-column post-ALTER schema
+    "q_ddl_socket" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type AS etype,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type IN ('signup', 'click')),
+        |thr AS (SELECT MAX(event_id) // 2 AS t FROM base)
+        |SELECT event_id,
+        |  '00000000-0000-0000-0000-00000000000' || CAST(user_id % 4 AS VARCHAR) AS gtid_uuid,
+        |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS gno,
+        |  user_id, etype, value_cents,
+        |  CASE WHEN event_id > t
+        |       THEN CAST(CAST(value_cents / 100.0 AS DECIMAL(12,2)) AS VARCHAR) END AS value_dec,
+        |  CAST(CASE WHEN event_id > t THEN 5 ELSE 4 END AS BIGINT) AS n_schema_cols
+        |FROM base, thr""".stripMargin,
+
     "q_kafka_roundtrip" ->
       """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
         |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,
