@@ -187,13 +187,50 @@ object QueriesPipes {
       .select(col("doc_id"), col("source"), col("len_chars"))
   }
 
+  private val s3Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** K4 over the REAL wire: [[graft.pipes.FileSink]] writing through the
+    * thin [[graft.pipes.S3FileSystem]] client to a loopback
+    * [[graft.pipes.S3Server]] speaking the public S3 REST protocol —
+    * streaming multipart upload (parts ship as they fill, the
+    * `pipe/s3.go:44-268` io.Pipe/s3manager shape), committer rename as
+    * server-side COPY, ListObjectsV2 listing, ranged-GET read-back. The
+    * part size is forced small so the fixture genuinely crosses part
+    * boundaries on the wire; the require proves the multipart path ran.
+    */
+  def s3Sink(s: SparkSession, dir: String): DataFrame = {
+    val out = s3Memo.computeIfAbsent(
+      s"s3_${graft.core.DatasetKey.of(dir)}", _ => {
+        val backing = java.nio.file.Files.createTempDirectory("graft-s3-sink").toFile
+        val srv = new graft.pipes.S3Server(backing) // lives with the JVM
+        val conf = s.sparkContext.hadoopConfiguration
+        conf.set("fs.gs3.impl", "graft.pipes.S3FileSystem")
+        conf.setInt("fs.gs3.multipart.size", 256 * 1024)
+        // ephemeral ports: a cached FS instance would outlive its server
+        conf.setBoolean("fs.gs3.impl.disable.cache", true)
+        val path = s"gs3://127.0.0.1:${srv.port}/graft/docs"
+        val manifest = FileSink.write(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("len_chars")),
+          path, format = "json", maxRecordsPerFile = 5000)
+        require(manifest.nonEmpty && manifest.forall(_.numRecs > 0), "empty s3 sink")
+        require(srv.multipartCompletes.get > 0 || srv.singlePuts.get > 0,
+          "no object reached the s3 wire")
+        path
+      })
+    s.read.schema("doc_id bigint, lang string, len_chars bigint").json(out)
+      .select(col("doc_id"), col("lang"), col("len_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cf_roundtrip" -> cfRoundtrip _,
     "q_msgpack_framed" -> msgpackFramed _,
     "q_avro_roundtrip" -> avroRoundtrip _,
     "q_crypto_roundtrip" -> cryptoRoundtrip _,
     "q_pgp_roundtrip" -> pgpRoundtrip _,
-    "q_webhdfs_sink" -> webhdfsSink _)
+    "q_webhdfs_sink" -> webhdfsSink _,
+    "q_s3_sink" -> s3Sink _)
 
   val oracleSql: Map[String, String] = Map(
     "q_cf_roundtrip" ->
@@ -232,5 +269,11 @@ object QueriesPipes {
     // dropped/duplicated/corrupted crossing the wire twice
     "q_webhdfs_sink" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents""".stripMargin,
+
+    // rows must survive the multipart wire unchanged; integrity is the
+    // _DONE manifest (S3WireSpec covers boundary cases byte-for-byte)
+    "q_s3_sink" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents""".stripMargin)
 }

@@ -1,0 +1,396 @@
+package graft.pipes
+
+import java.io.{ByteArrayOutputStream, IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{CreateFlag, FSDataInputStream, FSDataOutputStream, FSInputStream, FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Thin Hadoop `FileSystem` over the S3 REST wire (scheme `gs3://`) —
+  * the client half of K4, mirroring the reference's S3 pipe semantics
+  * (`pipe/s3.go:44-268`) on the Spark side:
+  *
+  *  - [[create]] is the reference's STREAMING MULTIPART upload
+  *    (io.Pipe → s3manager.Uploader): bytes buffer up to one part size
+  *    and ship as `UploadPart` as soon as a part fills — the object is
+  *    never materialized whole on the writer, which is the property that
+  *    lets a 100 TB sink stream through executor memory. Objects smaller
+  *    than one part degrade to a single PUT (s3manager does the same).
+  *    The stream is NON-SEEKABLE, exactly like the reference's writer.
+  *  - [[open]] reads with ranged GETs (positioned reads = `Range`
+  *    headers — parquet footer seeks don't re-read the object).
+  *  - The reference's pipe-level `rename`/`remove` are NO-OPS because it
+  *    writes direct to the final key (s3.go:227-247); a Hadoop
+  *    FileSystem cannot skip rename — Spark's committer protocol commits
+  *    BY renaming — so rename is implemented the way the real
+  *    S3AFileSystem does it: server-side COPY per object + delete, no
+  *    data through the client.
+  *
+  * URI shape: `gs3://host:port/bucket/key...` — the authority is the
+  * loopback endpoint, the first path segment the bucket. Registered via
+  * `fs.gs3.impl` (SchemeFsSpec precedent); no signing, loopback only.
+  */
+final class S3FileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var endpoint: String = _
+  private var partSize: Int = _
+  private var workDir: Path = _
+
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    super.initialize(uri, conf)
+    setConf(conf)
+    fsUri = URI.create(s"gs3://${uri.getAuthority}")
+    endpoint = s"http://${uri.getAuthority}"
+    // real S3 enforces a 5 MB minimum; specs shrink it to drive many
+    // parts through small fixtures
+    partSize = conf.getInt("fs.gs3.multipart.size", 8 * 1024 * 1024)
+    workDir = new Path(fsUri.toString + "/")
+  }
+
+  override def getScheme: String = "gs3"
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
+
+  /** /bucket/key for a qualified path. */
+  private def bucketKey(p: Path): String = {
+    val abs = makeQualified(p).toUri.getPath.stripPrefix("/")
+    require(abs.nonEmpty, s"path needs a bucket: $p")
+    abs
+  }
+
+  // ---------------------------------------------------------------- read
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f) // throws FileNotFoundException
+    new FSDataInputStream(new S3Input(bucketKey(f), st.getLen))
+  }
+
+  /** Ranged-GET input: sequential reads consume one open ranged stream;
+    * seek closes and re-opens from the new position (an S3 read IS a
+    * ranged GET — there is no server-side cursor).
+    */
+  private final class S3Input(bk: String, len: Long) extends FSInputStream {
+    private var pos = 0L
+    private var in: InputStream = _
+    private var inPos = -1L
+
+    private def ensure(): Unit = {
+      if (in == null || inPos != pos) {
+        if (in != null) in.close()
+        if (pos >= len) { in = InputStream.nullInputStream(); inPos = pos }
+        else {
+          val c = connect("GET", s"/$bk", Map("Range" -> s"bytes=$pos-"))
+          val code = c.getResponseCode
+          if (code != 200 && code != 206) throw new IOException(s"GET $bk: $code")
+          in = c.getInputStream
+          inPos = pos
+        }
+      }
+    }
+
+    override def read(): Int = {
+      ensure()
+      val b = in.read()
+      if (b >= 0) { pos += 1; inPos += 1 }
+      b
+    }
+
+    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      ensure()
+      val r = in.read(buf, off, n)
+      if (r > 0) { pos += r; inPos += r }
+      r
+    }
+
+    override def seek(newPos: Long): Unit = {
+      if (newPos < 0 || newPos > len) throw new IOException(s"seek $newPos out of [0,$len]")
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def close(): Unit = if (in != null) in.close()
+  }
+
+  // --------------------------------------------------------------- write
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    new FSDataOutputStream(new S3Output(bucketKey(f)), statistics)
+  }
+
+  /** The streaming multipart writer (see class doc). */
+  private final class S3Output(bk: String) extends OutputStream {
+    private val buf = new ByteArrayOutputStream(math.min(partSize, 1 << 20))
+    private var uploadId: Option[String] = None
+    private var partNumber = 1
+    private var closed = false
+
+    override def write(b: Int): Unit = { buf.write(b); maybeShip() }
+    override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+      // ship in part-size slices so the buffer never exceeds one part
+      var o = off
+      var left = n
+      while (left > 0) {
+        val take = math.min(left, partSize - buf.size())
+        buf.write(b, o, take)
+        o += take; left -= take
+        maybeShip()
+      }
+    }
+
+    private def maybeShip(): Unit = if (buf.size() >= partSize) shipPart()
+
+    private def shipPart(): Unit = {
+      val id = uploadId.getOrElse {
+        val resp = request("POST", s"/$bk?uploads", Array.emptyByteArray)
+        val found = xmlField(resp, "UploadId").getOrElse(
+          throw new IOException(s"no UploadId for $bk"))
+        uploadId = Some(found)
+        found
+      }
+      val body = buf.toByteArray
+      buf.reset()
+      val code = requestCode("PUT", s"/$bk?partNumber=$partNumber&uploadId=$id", body)
+      if (code != 200) throw new IOException(s"UploadPart $partNumber of $bk: $code")
+      partNumber += 1
+    }
+
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      uploadId match {
+        case None =>
+          // never crossed one part: single-shot PUT (s3manager's small-object path)
+          val code = requestCode("PUT", s"/$bk", buf.toByteArray)
+          if (code != 200) throw new IOException(s"PUT $bk: $code")
+        case Some(id) =>
+          if (buf.size() > 0) shipPart()
+          val code = requestCode("POST", s"/$bk?uploadId=$id", Array.emptyByteArray)
+          if (code != 200) throw new IOException(s"CompleteMultipartUpload $bk: $code")
+      }
+    }
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("S3 objects are immutable; no append")
+
+  // ------------------------------------------------------------ metadata
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val bk = bucketKey(f)
+    if (!bk.contains("/")) return dirStatus(f) // bucket root
+    val head = connect("HEAD", s"/$bk", Map.empty)
+    if (head.getResponseCode == 200) {
+      val len = head.getHeaderField("Content-Length").toLong
+      new FileStatus(len, false, 1, blockSizeOf, 0L, makeQualified(f))
+    } else {
+      // a "directory" exists iff anything lives under key/ (incl. marker)
+      val list = listRaw(bk + "/", delimiter = None, maxKeys = 1)
+      if (list._1.nonEmpty || list._2.nonEmpty) dirStatus(f)
+      else throw new java.io.FileNotFoundException(f.toString)
+    }
+  }
+
+  private def blockSizeOf: Long = 128L * 1024 * 1024
+  private def dirStatus(f: Path): FileStatus =
+    new FileStatus(0, true, 1, blockSizeOf, 0L, makeQualified(f))
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f)
+    if (st.isFile) return Array(st)
+    val bk = bucketKey(f)
+    val prefix = if (bk.contains("/")) bk.substring(bk.indexOf('/') + 1) + "/" else ""
+    val bucket = bk.takeWhile(_ != '/')
+    val (contents, prefixes) = listRaw(bk + "/", delimiter = Some("/"), maxKeys = 10000)
+    val base = makeQualified(f)
+    val files = contents.collect {
+      case (k, size) if k != prefix => // skip the dir marker itself
+        new FileStatus(size, false, 1, blockSizeOf, 0L,
+          new Path(s"$fsUri/$bucket/$k"))
+    }
+    val dirs = prefixes.map { p =>
+      new Path(s"$fsUri/$bucket/${p.stripSuffix("/")}")
+    }.map(d => new FileStatus(0, true, 1, blockSizeOf, 0L, d))
+    (files ++ dirs).toArray
+  }
+
+  /** (Contents(key,size), CommonPrefixes) for `/bucket/key...` prefix. */
+  private def listRaw(bkPrefix: String, delimiter: Option[String],
+                      maxKeys: Int): (Vector[(String, Long)], Vector[String]) = {
+    val bucket = bkPrefix.takeWhile(_ != '/')
+    val keyPrefix = bkPrefix.substring(bkPrefix.indexOf('/') + 1)
+    val d = delimiter.map(x => s"&delimiter=${enc(x)}").getOrElse("")
+    val resp = new String(
+      requestBytes("GET",
+        s"/$bucket?list-type=2&prefix=${enc(keyPrefix)}$d&max-keys=$maxKeys"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val contents = "<Contents>.*?</Contents>".r.findAllIn(resp).map { c =>
+      val k = xmlField(c, "Key").getOrElse(throw new IOException("list: no Key"))
+      val size = xmlField(c, "Size").getOrElse("0").toLong
+      (xmlUnesc(k), size)
+    }.toVector
+    val prefixes = "<CommonPrefixes>.*?</CommonPrefixes>".r.findAllIn(resp)
+      .flatMap(p => xmlField(p, "Prefix")).map(xmlUnesc).toVector
+    (contents, prefixes)
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val bk = bucketKey(f)
+    if (!bk.contains("/")) return true // bucket root
+    // leaf marker only — S3 has no directories; parents are implied
+    requestCode("PUT", s"/$bk/", Array.emptyByteArray) == 200
+  }
+
+  // -------------------------------------------------------- rename/delete
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcSt =
+      try getFileStatus(src)
+      catch { case _: java.io.FileNotFoundException => return false }
+    val target =
+      try {
+        val d = getFileStatus(dst)
+        if (d.isFile) return false // cannot clobber a file
+        new Path(dst, src.getName) // HDFS semantics: move INTO existing dir
+      } catch { case _: java.io.FileNotFoundException => dst }
+    val srcBk = bucketKey(src)
+    val dstBk = bucketKey(target)
+    if (srcSt.isFile) {
+      copyOne(srcBk, dstBk)
+      requestCode("DELETE", s"/$srcBk", Array.emptyByteArray)
+    } else {
+      val (contents, _) = listRaw(srcBk + "/", delimiter = None, maxKeys = 100000)
+      val bucket = srcBk.takeWhile(_ != '/')
+      val srcKey = srcBk.substring(srcBk.indexOf('/') + 1)
+      val dstKey = dstBk.substring(dstBk.indexOf('/') + 1)
+      contents.foreach { case (k, _) =>
+        val suffix = k.stripPrefix(srcKey + "/")
+        val from = s"$bucket/$k"
+        val to = s"$bucket/$dstKey/$suffix"
+        if (k.endsWith("/")) requestCode("PUT", s"/$to", Array.emptyByteArray)
+        else copyOne(from, to)
+        requestCode("DELETE", s"/$from", Array.emptyByteArray)
+      }
+      requestCode("DELETE", s"/$srcBk/", Array.emptyByteArray) // marker
+    }
+    true
+  }
+
+  private def copyOne(fromBk: String, toBk: String): Unit = {
+    val c = connect("PUT", s"/$toBk", Map("x-amz-copy-source" -> s"/$fromBk"))
+    c.setFixedLengthStreamingMode(0)
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    val code = c.getResponseCode
+    consume(c)
+    if (code != 200) throw new IOException(s"copy $fromBk -> $toBk: $code")
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val st =
+      try getFileStatus(f)
+      catch { case _: java.io.FileNotFoundException => return false }
+    val bk = bucketKey(f)
+    if (st.isFile) requestCode("DELETE", s"/$bk", Array.emptyByteArray) == 204
+    else {
+      val (contents, _) = listRaw(bk + "/", delimiter = None, maxKeys = 100000)
+      val real = contents.filterNot(_._1.endsWith("/"))
+      if (real.nonEmpty && !recursive)
+        throw new IOException(s"directory not empty: $f")
+      val bucket = bk.takeWhile(_ != '/')
+      contents.foreach { case (k, _) =>
+        requestCode("DELETE", s"/$bucket/$k", Array.emptyByteArray)
+      }
+      requestCode("DELETE", s"/$bk/", Array.emptyByteArray)
+      true
+    }
+  }
+
+  // ---------------------------------------------------------------- http
+
+  private def connect(method: String, pathAndQuery: String,
+                      headers: Map[String, String]): HttpURLConnection = {
+    val c = new URL(endpoint + pathAndQuery).openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(15000)
+    c.setReadTimeout(120000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    c
+  }
+
+  private def requestCode(method: String, pathAndQuery: String,
+                          body: Array[Byte]): Int = {
+    val c = connect(method, pathAndQuery, Map.empty)
+    if (method == "PUT" || method == "POST") {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val out = c.getOutputStream
+      try out.write(body) finally out.close()
+    }
+    val code = c.getResponseCode
+    consume(c)
+    code
+  }
+
+  private def request(method: String, pathAndQuery: String,
+                      body: Array[Byte]): String = {
+    val c = connect(method, pathAndQuery, Map.empty)
+    if (method == "PUT" || method == "POST") {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val out = c.getOutputStream
+      try out.write(body) finally out.close()
+    }
+    val code = c.getResponseCode
+    val resp = new String(readAll(
+      if (code >= 400) c.getErrorStream else c.getInputStream),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (code != 200) throw new IOException(s"$method $pathAndQuery: $code $resp")
+    resp
+  }
+
+  private def requestBytes(method: String, pathAndQuery: String): Array[Byte] = {
+    val c = connect(method, pathAndQuery, Map.empty)
+    val code = c.getResponseCode
+    val b = readAll(if (code >= 400) c.getErrorStream else c.getInputStream)
+    if (code != 200) throw new IOException(
+      s"$method $pathAndQuery: $code ${new String(b, java.nio.charset.StandardCharsets.UTF_8)}")
+    b
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    if (in == null) return Array.emptyByteArray
+    val out = new ByteArrayOutputStream()
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var r = in.read(buf)
+      while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  private def consume(c: HttpURLConnection): Unit = {
+    val in = if (c.getResponseCode >= 400) c.getErrorStream else c.getInputStream
+    if (in != null) {
+      val buf = new Array[Byte](8192)
+      try { while (in.read(buf) >= 0) () } finally in.close()
+    }
+  }
+
+  private def xmlField(xml: String, tag: String): Option[String] =
+    s"<$tag>(.*?)</$tag>".r.findFirstMatchIn(xml).map(_.group(1))
+
+  private def xmlUnesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+}
