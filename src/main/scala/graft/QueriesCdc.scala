@@ -59,7 +59,7 @@ object QueriesCdc {
     */
   private def runWithTempCkpt(prefix: String)(
       start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = graft.core.Tmp.scratchDir(prefix)
     try start(p.toString).awaitTermination()
     finally graft.core.Tmp.deleteRecursively(p)
   }
@@ -722,10 +722,12 @@ object QueriesCdc {
         to_json(struct(col("event_id"),
           round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
     // deterministic two-phase split: per-partition offset order must equal
-    // event order overall, so the split point is an ord threshold
+    // event order overall, so the split point is an ord threshold — the
+    // range midpoint, not the median (min/max/count is one cheap scan and
+    // any deterministic threshold with rows on both sides serves)
     val (mid, total) = {
-      val r = base.agg(expr("percentile_approx(ord, 0.5, 10000)"), count(lit(1))).first()
-      (r.getLong(0), r.getLong(1))
+      val r = base.agg(min(col("ord")), max(col("ord")), count(lit(1))).first()
+      ((r.getLong(0) + r.getLong(1)) / 2, r.getLong(2))
     }
     val broker = new graft.pipes.KafkaWire.Broker(nParts)
     try {
@@ -746,7 +748,7 @@ object QueriesCdc {
           }
           it.foreach { r =>
             val p = r.getInt(0)
-            if (p != cur || buf.size >= 1000) { flush(); cur = p }
+            if (p != cur || buf.size >= 4000) { flush(); cur = p }
             buf += ((r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
               r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L))
           }
@@ -759,10 +761,15 @@ object QueriesCdc {
       val outDir = fixturePath("kafka_sock_out", dir)
       org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(outDir), true)
+      // total/4 per trigger: each drain still runs MULTIPLE admission-
+      // bounded micro-batches (2 full + tail), which is what the
+      // admission-control contract needs — total/8 bought 5 batches per
+      // drain and each micro-batch carries ~250 ms of fixed engine cost
+      // (WAL commit + sink commit + planning), pure overhead at this SF
       def consume(ckpt: String): Unit =
         s.readStream.format("graft-kafka")
           .option("path", s"$url/$topic")
-          .option("maxOffsetsPerTrigger", math.max(4096L, total / 8 + 1))
+          .option("maxOffsetsPerTrigger", math.max(4096L, total / 4 + 512))
           .load()
           .writeStream.format("parquet")
           .option("path", outDir)
@@ -770,7 +777,7 @@ object QueriesCdc {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft-kafka-sock-ckpt")
+      val ckptDir = graft.core.Tmp.scratchDir("graft-kafka-sock-ckpt")
       try {
         produceWire(base.filter(col("ord") <= mid))
         consume(ckptDir.toString)
