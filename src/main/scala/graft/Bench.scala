@@ -63,6 +63,32 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
+    // AMBIENT-LOAD GUARD: same-build runs of this catalog have measured
+    // 109 s vs 172 s purely from an external process on the machine
+    // (BASELINE.md round-8 note), which aliases round-over-round signal.
+    // Two instruments distinguish load from regression: /proc/loadavg
+    // snapshots, and a fixed data-independent CPU probe (600M xxhash64 on
+    // 32 even splits, ~0.65 s on an idle machine) sampled after warmup
+    // and again after every pass. If the probe's MEDIAN deviates >1.5x
+    // from the recorded idle reference, the run is flagged load_suspect
+    // and its per-query times should not be read as engine drift.
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).map(_.toDouble).toSeq
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadavg()
+    val calibRef = 0.65
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 600000000L, 1, 32)
+        .selectExpr("pmod(xxhash64(id), 1048576) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    try { calibOnce(); calibSamples += calibOnce() } // first run pays codegen; discard it
+    catch { case _: Throwable => () }
+
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -80,10 +106,17 @@ object Bench {
     // on one build to attribute a drift to scheduling (warm page/fixture
     // caches between back-to-back samples) vs the plan itself.
     val interleave = sys.env.get("SPARK_GRAFT_INTERLEAVE").forall(_ != "0")
+    def sampleCalib(): Unit =
+      try calibSamples += calibOnce() catch { case _: Throwable => () }
     val passes: Seq[Map[String, Double]] =
-      if (interleave) Seq.fill(repeats)(names.map(n => n -> onceClean(n)).toMap)
+      if (interleave) (1 to repeats).map { _ =>
+        val pass = names.map(n => n -> onceClean(n)).toMap
+        sampleCalib() // one probe per pass boundary brackets load windows
+        pass
+      }
       else {
         val runs = names.map(n => n -> Seq.fill(repeats)(onceClean(n)))
+        sampleCalib()
         (0 until repeats).map(i => runs.map { case (n, rs) => n -> rs(i) }.toMap)
       }
     val results = names.map { n =>
@@ -124,6 +157,34 @@ object Bench {
         s"FLOOR VIOLATION: $n at ${math.round(v)} rows/s, floor ${floors(n).toLong}")
       n -> ok
     }
+
+    // CEILINGS — the floor mechanism inverted, for the heaviest queries:
+    // each carries a generous bound (~2.5x its same-build clean-run
+    // median at sf0.1) so a real plan regression trips it while ordinary
+    // scheduling jitter does not. A ceiling violation on a load_suspect
+    // run is noise; on a clean run it is a regression to investigate.
+    val ceilings = Map(
+      "q_dedup_clusters" -> 5.0, "q_binlog_binary" -> 11.0,
+      "q_pagerank" -> 15.0, "q_embed_clusters" -> 13.0,
+      "q_semdedup_prune" -> 12.0, "q_kafka_socket" -> 6.0,
+      "q_approx_stats" -> 8.0, "q_stream_neardup" -> 8.0,
+      "q_stream_join" -> 7.0, "q_changelog_socket" -> 6.5)
+    val ceilingVerdicts = ceilings.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.contains(n) }
+      .map { case (n, cap) =>
+        val sec = results.toMap.apply(n)
+        val ok = !floorsApply || sec < 0 || sec <= cap
+        if (!ok) System.err.println(
+          f"CEILING VIOLATION: $n at $sec%.2f s, ceiling $cap%.1f s")
+        n -> ok
+      }
+    val calibMedian =
+      if (calibSamples.isEmpty) -1.0
+      else calibSamples.sorted.apply(calibSamples.size / 2)
+    val loadSuspect = calibMedian > 1.5 * calibRef
+    if (loadSuspect) System.err.println(
+      f"LOAD SUSPECT: calibration probe median $calibMedian%.2f s vs idle reference $calibRef%.2f s — per-query times reflect ambient machine load, not engine drift")
+    val loadEnd = loadavg()
 
     // The driver captures only the last ~2000 chars of stdout; a JSON line
     // carrying all ~108 queries at full double precision is ~4 KB, so its
