@@ -37,6 +37,7 @@ final class S3FileSystem extends FileSystem {
   private var fsUri: URI = _
   private var endpoint: String = _
   private var partSize: Int = _
+  private var listPage: Int = _
   private var workDir: Path = _
 
   override def initialize(uri: URI, conf: Configuration): Unit = {
@@ -47,6 +48,8 @@ final class S3FileSystem extends FileSystem {
     // real S3 enforces a 5 MB minimum; specs shrink it to drive many
     // parts through small fixtures
     partSize = conf.getInt("fs.gs3.multipart.size", 8 * 1024 * 1024)
+    // ListObjectsV2 page size (specs shrink it to force pagination)
+    listPage = conf.getInt("fs.gs3.list.page", 1000)
     workDir = new Path(fsUri.toString + "/")
   }
 

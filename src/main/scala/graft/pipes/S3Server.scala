@@ -96,7 +96,10 @@ final class S3Server(backing: File) extends AutoCloseable {
 
   private def handle(ex: HttpExchange): Unit = {
     val q = parseQuery(ex.getRequestURI.getRawQuery)
-    val path = ex.getRequestURI.getPath // /bucket/key... or /bucket
+    // RAW path, decoded exactly once in splitBucketKey — getPath is
+    // already-decoded, and decoding it again corrupts any key containing
+    // a literal '%xx' sequence (double-decode)
+    val path = ex.getRequestURI.getRawPath // /bucket/key... or /bucket
     val method = ex.getRequestMethod.toUpperCase
     val (bucket, key) = splitBucketKey(path)
 
@@ -129,26 +132,48 @@ final class S3Server(backing: File) extends AutoCloseable {
                             q: Map[String, String]): Unit = {
     val prefix = q.getOrElse("prefix", "")
     val delimiter = q.get("delimiter").filter(_.nonEmpty)
-    val maxKeys = q.get("max-keys").map(_.toInt).getOrElse(1000)
+    val maxKeys = math.max(1, q.get("max-keys").map(_.toInt).getOrElse(1000))
+    val token = q.get("continuation-token").filter(_.nonEmpty)
     val all = listKeys(bucket).filter(_._1.startsWith(prefix)).sortBy(_._1)
-    val (contents, prefixes) = delimiter match {
-      case None => (all.take(maxKeys), Vector.empty[String])
+    // One lexicographic entry stream: keys, with delimiter runs rolled up
+    // into a single CommonPrefixes entry at the position of the run's
+    // first key. Keys + common prefixes TOGETHER count toward max-keys
+    // and the continuation token is the last entry's sort key — the real
+    // ListObjectsV2 contract, so a page boundary can never split or
+    // duplicate a prefix run.
+    val entries: Vector[Either[(String, File), String]] = delimiter match {
+      case None => all.map(Left(_))
       case Some(d) =>
-        // group keys with the delimiter after the prefix under CommonPrefixes
-        val (rolled, direct) = all.partition { case (k, _) =>
-          k.drop(prefix.length).contains(d)
-        }
-        val cps = rolled.map { case (k, _) =>
+        val buf = Vector.newBuilder[Either[(String, File), String]]
+        var lastCp: String = null
+        all.foreach { case (k, f) =>
           val rest = k.drop(prefix.length)
-          prefix + rest.take(rest.indexOf(d) + d.length)
-        }.distinct.sorted
-        (direct.take(maxKeys), cps)
+          val i = rest.indexOf(d)
+          if (i < 0) buf += Left((k, f))
+          else {
+            val cp = prefix + rest.take(i + d.length)
+            if (cp != lastCp) { buf += Right(cp); lastCp = cp }
+          }
+        }
+        buf.result()
     }
+    def sortKey(e: Either[(String, File), String]): String =
+      e.fold(_._1, identity)
+    val after = token match {
+      case Some(t) => entries.dropWhile(e => sortKey(e) <= t)
+      case None => entries
+    }
+    val page = after.take(maxKeys)
+    val truncated = after.size > maxKeys
+    val contents = page.collect { case Left(kf) => kf }
+    val prefixes = page.collect { case Right(cp) => cp }
     val xml = new StringBuilder
     xml ++= s"""<?xml version="1.0" encoding="UTF-8"?>"""
     xml ++= s"""<ListBucketResult><Name>$bucket</Name><Prefix>${xmlEsc(prefix)}</Prefix>"""
-    xml ++= s"""<KeyCount>${contents.size + prefixes.size}</KeyCount>"""
-    xml ++= s"""<MaxKeys>$maxKeys</MaxKeys><IsTruncated>false</IsTruncated>"""
+    xml ++= s"""<KeyCount>${page.size}</KeyCount>"""
+    xml ++= s"""<MaxKeys>$maxKeys</MaxKeys><IsTruncated>$truncated</IsTruncated>"""
+    if (truncated)
+      xml ++= s"""<NextContinuationToken>${xmlEsc(sortKey(page.last))}</NextContinuationToken>"""
     contents.foreach { case (k, f) =>
       xml ++= s"""<Contents><Key>${xmlEsc(k)}</Key><Size>${f.length()}</Size>"""
       xml ++= s"""<LastModified>${iso(f.lastModified())}</LastModified>"""
@@ -227,8 +252,9 @@ final class S3Server(backing: File) extends AutoCloseable {
   private def copyObject(ex: HttpExchange, bucket: String, key: String,
                          rawSrc: String): Unit = {
     drain(ex)
-    val src = java.net.URLDecoder.decode(rawSrc.stripPrefix("/"), "UTF-8")
-    val (sb, sk) = splitBucketKey("/" + src)
+    // copy-source arrives percent-encoded (same encoder as request
+    // paths); splitBucketKey performs the single decode
+    val (sb, sk) = splitBucketKey("/" + rawSrc.stripPrefix("/"))
     val from = objectFile(sb, sk)
     if (!from.isFile) { respondXml(ex, 404, errorXml("NoSuchKey", src)); return }
     val to = objectFile(bucket, key)
@@ -326,9 +352,17 @@ final class S3Server(backing: File) extends AutoCloseable {
     */
   private[pipes] def objectFile(bucket: String, key: String): File = {
     val safe = if (key.endsWith("/")) key + ".s3dir" else key
-    val f = new File(new File(backing, bucket), safe).getCanonicalFile
-    require(f.getPath.startsWith(backing.getCanonicalPath),
-      s"key escapes backing dir: $key")
+    // separator-anchored confinement to THIS bucket's canonical root: a
+    // bare startsWith(backing) would admit '..' hops into sibling buckets
+    // and sibling dirs sharing the backing path as a string prefix
+    // (/tmp/back vs /tmp/backup)
+    val bucketRoot = new File(backing, bucket).getCanonicalFile
+    require(bucketRoot.getParentFile != null &&
+      bucketRoot.getParentFile.getCanonicalPath == backing.getCanonicalPath,
+      s"bucket escapes backing dir: $bucket")
+    val f = new File(bucketRoot, safe).getCanonicalFile
+    require(f.getPath.startsWith(bucketRoot.getPath + File.separator),
+      s"key escapes bucket: $key")
     f
   }
 
@@ -412,11 +446,19 @@ final class S3Server(backing: File) extends AutoCloseable {
     while (in.read(buf) >= 0) ()
   }
 
+  /** Decode one percent-encoded URI component WITHOUT form semantics:
+    * URLDecoder alone maps a literal '+' to space, but '+' is a legal
+    * raw character in a URI path and S3 keys routinely contain it
+    * (e.g. `lang=C++`). Escape it first so only %xx sequences decode.
+    */
+  private def pctDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   private def splitBucketKey(path: String): (String, String) = {
     val p = path.stripPrefix("/")
     p.indexOf('/') match {
-      case -1 => (p, "")
-      case i => (p.take(i), java.net.URLDecoder.decode(p.drop(i + 1), "UTF-8"))
+      case -1 => (pctDecode(p), "")
+      case i => (pctDecode(p.take(i)), pctDecode(p.drop(i + 1)))
     }
   }
 
