@@ -86,7 +86,7 @@ final class S3FileSystem extends FileSystem {
         if (in != null) in.close()
         if (pos >= len) { in = InputStream.nullInputStream(); inPos = pos }
         else {
-          val c = connect("GET", s"/$bk", Map("Range" -> s"bytes=$pos-"))
+          val c = connect("GET", s"/${encPath(bk)}", Map("Range" -> s"bytes=$pos-"))
           val code = c.getResponseCode
           if (code != 200 && code != 206) throw new IOException(s"GET $bk: $code")
           in = c.getInputStream
@@ -152,7 +152,7 @@ final class S3FileSystem extends FileSystem {
 
     private def shipPart(): Unit = {
       val id = uploadId.getOrElse {
-        val resp = request("POST", s"/$bk?uploads", Array.emptyByteArray)
+        val resp = request("POST", s"/${encPath(bk)}?uploads", Array.emptyByteArray)
         val found = xmlField(resp, "UploadId").getOrElse(
           throw new IOException(s"no UploadId for $bk"))
         uploadId = Some(found)
@@ -160,7 +160,7 @@ final class S3FileSystem extends FileSystem {
       }
       val body = buf.toByteArray
       buf.reset()
-      val code = requestCode("PUT", s"/$bk?partNumber=$partNumber&uploadId=$id", body)
+      val code = requestCode("PUT", s"/${encPath(bk)}?partNumber=$partNumber&uploadId=$id", body)
       if (code != 200) throw new IOException(s"UploadPart $partNumber of $bk: $code")
       partNumber += 1
     }
@@ -171,11 +171,11 @@ final class S3FileSystem extends FileSystem {
       uploadId match {
         case None =>
           // never crossed one part: single-shot PUT (s3manager's small-object path)
-          val code = requestCode("PUT", s"/$bk", buf.toByteArray)
+          val code = requestCode("PUT", s"/${encPath(bk)}", buf.toByteArray)
           if (code != 200) throw new IOException(s"PUT $bk: $code")
         case Some(id) =>
           if (buf.size() > 0) shipPart()
-          val code = requestCode("POST", s"/$bk?uploadId=$id", Array.emptyByteArray)
+          val code = requestCode("POST", s"/${encPath(bk)}?uploadId=$id", Array.emptyByteArray)
           if (code != 200) throw new IOException(s"CompleteMultipartUpload $bk: $code")
       }
     }
@@ -189,14 +189,13 @@ final class S3FileSystem extends FileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val bk = bucketKey(f)
     if (!bk.contains("/")) return dirStatus(f) // bucket root
-    val head = connect("HEAD", s"/$bk", Map.empty)
+    val head = connect("HEAD", s"/${encPath(bk)}", Map.empty)
     if (head.getResponseCode == 200) {
       val len = head.getHeaderField("Content-Length").toLong
       new FileStatus(len, false, 1, blockSizeOf, 0L, makeQualified(f))
     } else {
       // a "directory" exists iff anything lives under key/ (incl. marker)
-      val list = listRaw(bk + "/", delimiter = None, maxKeys = 1)
-      if (list._1.nonEmpty || list._2.nonEmpty) dirStatus(f)
+      if (prefixNonEmpty(bk + "/")) dirStatus(f)
       else throw new java.io.FileNotFoundException(f.toString)
     }
   }
@@ -211,7 +210,7 @@ final class S3FileSystem extends FileSystem {
     val bk = bucketKey(f)
     val prefix = if (bk.contains("/")) bk.substring(bk.indexOf('/') + 1) + "/" else ""
     val bucket = bk.takeWhile(_ != '/')
-    val (contents, prefixes) = listRaw(bk + "/", delimiter = Some("/"), maxKeys = 10000)
+    val (contents, prefixes) = listRaw(bk + "/", delimiter = Some("/"))
     val base = makeQualified(f)
     val files = contents.collect {
       case (k, size) if k != prefix => // skip the dir marker itself
@@ -224,31 +223,62 @@ final class S3FileSystem extends FileSystem {
     (files ++ dirs).toArray
   }
 
-  /** (Contents(key,size), CommonPrefixes) for `/bucket/key...` prefix. */
-  private def listRaw(bkPrefix: String, delimiter: Option[String],
-                      maxKeys: Int): (Vector[(String, Long)], Vector[String]) = {
+  /** Existence probe: one max-keys=1 request, no pagination walk. */
+  private def prefixNonEmpty(bkPrefix: String): Boolean = {
+    val bucket = bkPrefix.takeWhile(_ != '/')
+    val keyPrefix = bkPrefix.substring(bkPrefix.indexOf('/') + 1)
+    val resp = new String(
+      requestBytes("GET",
+        s"/$bucket?list-type=2&prefix=${enc(keyPrefix)}&max-keys=1"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    resp.contains("<Contents>") || resp.contains("<CommonPrefixes>")
+  }
+
+  /** (Contents(key,size), CommonPrefixes) for `/bucket/key...` prefix.
+    *
+    * Follows `NextContinuationToken` until `IsTruncated=false`, so a
+    * directory with more keys than one ListObjectsV2 page (a parquet
+    * table with tens of thousands of part files at 100 TB scale) is
+    * enumerated completely — a single-shot list with a large max-keys
+    * would silently truncate and corrupt listStatus/rename/delete.
+    * Page size comes from `fs.gs3.list.page` (specs shrink it to force
+    * multi-page walks over small fixtures).
+    */
+  private def listRaw(bkPrefix: String, delimiter: Option[String])
+      : (Vector[(String, Long)], Vector[String]) = {
     val bucket = bkPrefix.takeWhile(_ != '/')
     val keyPrefix = bkPrefix.substring(bkPrefix.indexOf('/') + 1)
     val d = delimiter.map(x => s"&delimiter=${enc(x)}").getOrElse("")
-    val resp = new String(
-      requestBytes("GET",
-        s"/$bucket?list-type=2&prefix=${enc(keyPrefix)}$d&max-keys=$maxKeys"),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val contents = "<Contents>.*?</Contents>".r.findAllIn(resp).map { c =>
-      val k = xmlField(c, "Key").getOrElse(throw new IOException("list: no Key"))
-      val size = xmlField(c, "Size").getOrElse("0").toLong
-      (xmlUnesc(k), size)
-    }.toVector
-    val prefixes = "<CommonPrefixes>.*?</CommonPrefixes>".r.findAllIn(resp)
-      .flatMap(p => xmlField(p, "Prefix")).map(xmlUnesc).toVector
-    (contents, prefixes)
+    val contents = Vector.newBuilder[(String, Long)]
+    val prefixes = Vector.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val t = token.map(x => s"&continuation-token=${enc(x)}").getOrElse("")
+      val resp = new String(
+        requestBytes("GET",
+          s"/$bucket?list-type=2&prefix=${enc(keyPrefix)}$d&max-keys=$listPage$t"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "<Contents>.*?</Contents>".r.findAllIn(resp).foreach { c =>
+        val k = xmlField(c, "Key").getOrElse(throw new IOException("list: no Key"))
+        val size = xmlField(c, "Size").getOrElse("0").toLong
+        contents += ((xmlUnesc(k), size))
+      }
+      "<CommonPrefixes>.*?</CommonPrefixes>".r.findAllIn(resp)
+        .flatMap(p => xmlField(p, "Prefix")).foreach(p => prefixes += xmlUnesc(p))
+      more = xmlField(resp, "IsTruncated").contains("true")
+      token = xmlField(resp, "NextContinuationToken").map(xmlUnesc)
+      if (more && token.isEmpty)
+        throw new IOException("list: truncated response without continuation token")
+    }
+    (contents.result(), prefixes.result())
   }
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val bk = bucketKey(f)
     if (!bk.contains("/")) return true // bucket root
     // leaf marker only — S3 has no directories; parents are implied
-    requestCode("PUT", s"/$bk/", Array.emptyByteArray) == 200
+    requestCode("PUT", s"/${encPath(bk)}/", Array.emptyByteArray) == 200
   }
 
   // -------------------------------------------------------- rename/delete
@@ -267,27 +297,55 @@ final class S3FileSystem extends FileSystem {
     val dstBk = bucketKey(target)
     if (srcSt.isFile) {
       copyOne(srcBk, dstBk)
-      requestCode("DELETE", s"/$srcBk", Array.emptyByteArray)
+      requestCode("DELETE", s"/${encPath(srcBk)}", Array.emptyByteArray)
     } else {
-      val (contents, _) = listRaw(srcBk + "/", delimiter = None, maxKeys = 100000)
+      val (contents, _) = listRaw(srcBk + "/", delimiter = None)
       val bucket = srcBk.takeWhile(_ != '/')
       val srcKey = srcBk.substring(srcBk.indexOf('/') + 1)
       val dstKey = dstBk.substring(dstBk.indexOf('/') + 1)
-      contents.foreach { case (k, _) =>
-        val suffix = k.stripPrefix(srcKey + "/")
-        val from = s"$bucket/$k"
-        val to = s"$bucket/$dstKey/$suffix"
-        if (k.endsWith("/")) requestCode("PUT", s"/$to", Array.emptyByteArray)
-        else copyOne(from, to)
-        requestCode("DELETE", s"/$from", Array.emptyByteArray)
-      }
-      requestCode("DELETE", s"/$srcBk/", Array.emptyByteArray) // marker
+      // server-side copies are independent — run them on a bounded pool.
+      // The committer path renames a task dir with hundreds of part
+      // files; serial round-trips would make commit latency linear in
+      // file count.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, contents.size)))
+      try {
+        val futs = contents.map { case (k, _) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val suffix = k.stripPrefix(srcKey + "/")
+              val to = s"$bucket/$dstKey/$suffix"
+              if (k.endsWith("/"))
+                requestCode("PUT", s"/${encPath(to)}", Array.emptyByteArray)
+              else copyOne(s"$bucket/$k", to)
+            }
+          })
+        }
+        futs.foreach(_.get()) // surface the first copy failure
+      } finally pool.shutdown()
+      // sources go in one batched DeleteObjects sweep, not N round-trips
+      deleteBatch(bucket, contents.map(_._1) :+ (srcKey + "/"))
     }
     true
   }
 
+  /** DeleteObjects in chunks of 1000 (the wire cap): one POST per chunk. */
+  private def deleteBatch(bucket: String, keys: Seq[String]): Unit =
+    keys.grouped(1000).foreach { chunk =>
+      val body = new StringBuilder
+      body ++= """<?xml version="1.0" encoding="UTF-8"?><Delete>"""
+      chunk.foreach(k => body ++= s"<Object><Key>${xmlEsc(k)}</Key></Object>")
+      body ++= "</Delete>"
+      val resp = request("POST", s"/$bucket?delete",
+        body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val deleted = "<Deleted>".r.findAllIn(resp).size
+      if (deleted != chunk.size)
+        throw new IOException(
+          s"DeleteObjects: ${chunk.size} requested, $deleted confirmed")
+    }
+
   private def copyOne(fromBk: String, toBk: String): Unit = {
-    val c = connect("PUT", s"/$toBk", Map("x-amz-copy-source" -> s"/$fromBk"))
+    val c = connect("PUT", s"/${encPath(toBk)}", Map("x-amz-copy-source" -> s"/${encPath(fromBk)}"))
     c.setFixedLengthStreamingMode(0)
     c.setDoOutput(true)
     c.getOutputStream.close()
@@ -301,17 +359,15 @@ final class S3FileSystem extends FileSystem {
       try getFileStatus(f)
       catch { case _: java.io.FileNotFoundException => return false }
     val bk = bucketKey(f)
-    if (st.isFile) requestCode("DELETE", s"/$bk", Array.emptyByteArray) == 204
+    if (st.isFile) requestCode("DELETE", s"/${encPath(bk)}", Array.emptyByteArray) == 204
     else {
-      val (contents, _) = listRaw(bk + "/", delimiter = None, maxKeys = 100000)
+      val (contents, _) = listRaw(bk + "/", delimiter = None)
       val real = contents.filterNot(_._1.endsWith("/"))
       if (real.nonEmpty && !recursive)
         throw new IOException(s"directory not empty: $f")
       val bucket = bk.takeWhile(_ != '/')
-      contents.foreach { case (k, _) =>
-        requestCode("DELETE", s"/$bucket/$k", Array.emptyByteArray)
-      }
-      requestCode("DELETE", s"/$bk/", Array.emptyByteArray)
+      val dirKey = bk.substring(bk.indexOf('/') + 1)
+      deleteBatch(bucket, contents.map(_._1) :+ (dirKey + "/"))
       true
     }
   }
@@ -394,6 +450,28 @@ final class S3FileSystem extends FileSystem {
   private def xmlUnesc(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Percent-encode a `bucket/key` path for the request line: every
+    * byte outside the URI unreserved set (plus '/') becomes %XX. The
+    * server decodes exactly once, so literal '%', '+', and spaces in
+    * keys round-trip — Spark's partition-dir escaping writes literal
+    * '%' routinely (`ts=00%3A00`), and a raw interpolation would be
+    * double-decoded server-side.
+    */
+  private def encPath(bk: String): String = {
+    val sb = new StringBuilder(bk.length + 8)
+    bk.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val unreserved = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '/' || c == '-' || c == '.' ||
+        c == '_' || c == '~'
+      if (unreserved) sb += c else sb ++= f"%%${b & 0xff}%02X"
+    }
+    sb.toString
+  }
 }

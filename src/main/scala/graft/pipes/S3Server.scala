@@ -33,6 +33,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    (concatenate parts in part order, atomically publish the key)
   *  - `DELETE /bucket/key?uploadId=U` → AbortMultipartUpload
   *  - `DELETE /bucket/key` → DeleteObject
+  *  - `POST /bucket?delete` → DeleteObjects (≤1000 keys per request)
   *
   * No request signing: a loopback fixture authenticates nobody, the
   * protocol surface is what is under test. Counters expose the multipart
@@ -49,6 +50,7 @@ final class S3Server(backing: File) extends AutoCloseable {
   val partsUploaded = new AtomicInteger(0)
   val multipartCompletes = new AtomicInteger(0)
   val singlePuts = new AtomicInteger(0)
+  val batchDeletes = new AtomicInteger(0)
   val bytesIn = new AtomicLong(0L)
   val bytesOut = new AtomicLong(0L)
 
@@ -115,6 +117,8 @@ final class S3Server(backing: File) extends AutoCloseable {
           case Some(src) => copyObject(ex, bucket, key, src)
           case None => putObject(ex, bucket, key)
         }
+      case ("POST", true) if q.contains("delete") =>
+        deleteObjects(ex, bucket)
       case ("POST", false) if q.contains("uploads") =>
         createMultipart(ex, bucket, key)
       case ("POST", false) if q.contains("uploadId") =>
@@ -256,7 +260,7 @@ final class S3Server(backing: File) extends AutoCloseable {
     // paths); splitBucketKey performs the single decode
     val (sb, sk) = splitBucketKey("/" + rawSrc.stripPrefix("/"))
     val from = objectFile(sb, sk)
-    if (!from.isFile) { respondXml(ex, 404, errorXml("NoSuchKey", src)); return }
+    if (!from.isFile) { respondXml(ex, 404, errorXml("NoSuchKey", sk)); return }
     val to = objectFile(bucket, key)
     to.getParentFile.mkdirs()
     val tmp = File.createTempFile("s3copy", ".tmp", backing)
@@ -344,6 +348,43 @@ final class S3Server(backing: File) extends AutoCloseable {
     ex.sendResponseHeaders(204, -1) // S3 delete is idempotent: 204 either way
   }
 
+  /** `POST /bucket?delete` — DeleteObjects: up to 1000 keys per request
+    * (the documented S3 cap), one round-trip instead of N. This is the
+    * op that makes committer cleanup viable at scale: a temporary dir
+    * with 10k task files is 10 requests, not 10k.
+    */
+  private def deleteObjects(ex: HttpExchange, bucket: String): Unit = {
+    val body = new String(readBodyBytes(ex), StandardCharsets.UTF_8)
+    val keys = "<Key>(.*?)</Key>".r.findAllMatchIn(body)
+      .map(m => xmlUnesc(m.group(1))).toVector
+    if (keys.size > 1000) {
+      respondXml(ex, 400, errorXml("MalformedXML",
+        s"${keys.size} keys exceeds the 1000-key DeleteObjects cap"))
+      return
+    }
+    batchDeletes.incrementAndGet()
+    val out = new StringBuilder
+    out ++= """<?xml version="1.0" encoding="UTF-8"?><DeleteResult>"""
+    keys.foreach { k =>
+      val f = objectFile(bucket, k)
+      if (f.isFile) f.delete()
+      pruneEmptyDirs(f.getParentFile)
+      // S3 delete is idempotent: a missing key still reports Deleted
+      out ++= s"<Deleted><Key>${xmlEsc(k)}</Key></Deleted>"
+    }
+    out ++= "</DeleteResult>"
+    respondXml(ex, 200, out.toString)
+  }
+
+  private def readBodyBytes(ex: HttpExchange): Array[Byte] = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val b = new Array[Byte](1 << 16)
+    var r = in.read(b)
+    while (r >= 0) { if (r > 0) buf.write(b, 0, r); r = in.read(b) }
+    buf.toByteArray
+  }
+
   // ------------------------------------------------------------- helpers
 
   /** Objects live as files under backing/bucket/<key-with-slashes>.
@@ -427,6 +468,9 @@ final class S3Server(backing: File) extends AutoCloseable {
 
   private def xmlEsc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def xmlUnesc(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
   private def errorXml(code: String, message: String): String =
     s"""<?xml version="1.0" encoding="UTF-8"?><Error><Code>$code</Code>""" +

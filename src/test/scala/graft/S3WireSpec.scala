@@ -127,6 +127,75 @@ class S3WireSpec extends SparkSuite {
     }
   }
 
+  test("paginated ListObjectsV2: multi-page walks are complete and page " +
+    "boundaries never split a CommonPrefixes run") {
+    val backing = Files.createTempDirectory("graft-s3-page").toFile
+    val srv = new S3Server(backing)
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("fs.gs3.impl", "graft.pipes.S3FileSystem")
+      conf.setBoolean("fs.gs3.impl.disable.cache", true)
+      conf.setInt("fs.gs3.list.page", 3) // force many pages over the fixture
+      val fs = FileSystem.get(new java.net.URI(s"gs3://127.0.0.1:${srv.port}/"), conf)
+      try {
+        val base = s"gs3://127.0.0.1:${srv.port}/data/paged"
+        // 11 files + 4 subdirs of 3 files each = 23 keys, page size 3:
+        // listStatus must roll each subdir into ONE dir entry even when
+        // its keys straddle page boundaries, and report every file
+        val files = (0 until 11).map(i => f"f$i%02d.bin")
+        files.foreach(n => writeBytes(fs, new Path(s"$base/$n"), pattern(64)))
+        val dirs = Seq("d0", "d1", "d2", "d3")
+        for (d <- dirs; i <- 0 until 3)
+          writeBytes(fs, new Path(s"$base/$d/part$i.bin"), pattern(32))
+        val ls = fs.listStatus(new Path(base))
+        val (dirSt, fileSt) = ls.partition(_.isDirectory)
+        assert(fileSt.map(_.getPath.getName).sorted.toSeq == files,
+          "paginated list dropped or duplicated files")
+        assert(dirSt.map(_.getPath.getName).sorted.toSeq == dirs,
+          "delimiter rollup broke across a page boundary")
+        // recursive delete must enumerate ALL pages, not just the first,
+        // and sweep them in ONE batched DeleteObjects request (23 keys
+        // ≤ the 1000-key cap), not 23 per-key round-trips
+        val batchesBefore = srv.batchDeletes.get
+        assert(fs.delete(new Path(base), true))
+        assert(srv.batchDeletes.get == batchesBefore + 1,
+          s"expected one DeleteObjects batch, got ${srv.batchDeletes.get - batchesBefore}")
+        intercept[java.io.FileNotFoundException](fs.getFileStatus(new Path(base)))
+        assert(fs.listStatus(new Path(s"gs3://127.0.0.1:${srv.port}/data")).isEmpty)
+      } finally fs.close()
+    } finally srv.close()
+  }
+
+  test("keys with literal '%', '+', and spaces round-trip (Spark partition escaping)") {
+    withFs { (srv, fs) =>
+      val base = s"gs3://127.0.0.1:${srv.port}/data/esc"
+      // Spark writes partition values percent-escaped INTO the path:
+      // ts=2020-01-01 00%3A00%3A00 has a literal '%' and a space;
+      // lang=C++ has literal '+'
+      val names = Seq(
+        "ts=2020-01-01 00%3A00%3A00/part-0.bin",
+        "lang=C++/part-0.bin",
+        "a+b %c/mixed +%2B.bin")
+      names.zipWithIndex.foreach { case (n, i) =>
+        writeBytes(fs, new Path(s"$base/$n"), pattern(100 + i))
+      }
+      names.zipWithIndex.foreach { case (n, i) =>
+        val p = new Path(s"$base/$n")
+        assert(fs.getFileStatus(p).getLen == 100 + i, s"HEAD $n")
+        assert(java.util.Arrays.equals(readBytes(fs, p), pattern(100 + i)),
+          s"GET $n returned wrong bytes")
+      }
+      // rename crosses the copy-source header with the same encoding
+      assert(fs.rename(new Path(base), new Path(s"$base-moved")))
+      names.zipWithIndex.foreach { case (n, i) =>
+        assert(java.util.Arrays.equals(
+          readBytes(fs, new Path(s"$base-moved/$n")), pattern(100 + i)),
+          s"post-rename $n")
+      }
+      assert(fs.delete(new Path(s"$base-moved"), true))
+    }
+  }
+
   test("spark parquet round-trip over gs3:// (committer rename path)") {
     withFs { (srv, fs) =>
       val conf = spark.sparkContext.hadoopConfiguration
