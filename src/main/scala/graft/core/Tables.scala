@@ -16,13 +16,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read ns as long, then truncate to microseconds
-    // (same floor DuckDB applies when reading ns into its us timestamps).
+    // events.parquet `ts` has shipped as TIMESTAMP(NANOS) in some fixture
+    // generations and TIMESTAMP(MICROS) in others. Normalize BOTH to the
+    // session-zoned TimestampType every query sees: nanos read as long
+    // (reader rejects them otherwise) and truncate to micros — the same
+    // floor DuckDB applies — while micros arrive as TIMESTAMP_NTZ and
+    // cast value-identically under the UTC session zone.
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -13,9 +13,20 @@ import graft.core.Tables
   */
 class BucketingSpec extends SparkSuite {
 
+  /** DROP TABLE alone misses the case where a previous run died between
+    * metastore wipe and warehouse cleanup: the catalog entry is gone but
+    * the location survives, and CTAS then fails LOCATION_ALREADY_EXISTS.
+    */
+  private def dropHard(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), n)
+    if (wh.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(wh)
+  }
+
   test("bucketed fact-fact join plans with zero exchanges") {
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    dropHard("li_bucketed", "ord_bucketed")
 
     Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
@@ -54,8 +65,7 @@ class BucketingSpec extends SparkSuite {
       val plainPlan = plain.queryExecution.executedPlan.toString
       assert(planJoinHasShuffle(plainPlan), plainPlan)
     }
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    dropHard("li_bucketed", "ord_bucketed")
   }
 
   /** Does any Exchange feed the SortMergeJoin's inputs? (Scan-side
