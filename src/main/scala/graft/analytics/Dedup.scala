@@ -243,14 +243,19 @@ object Dedup {
     * rest).
     *
     * Scale: each round is one keyed shuffle of (node, label) — never
-    * materializing paths — and converges in O(graph diameter) rounds.
-    * Near-dup graphs are SHALLOW (dups of a common source form dense
-    * clusters: diameter 1-2, measured 2 effective rounds on the fixture
-    * corpora), so rounds stay single-digit at any corpus size; `maxIter`
-    * bounds pathological chains. Pointer jumping (label := label(label))
-    * was tried and rejected: the extra self-join per round costs more
-    * than it saves on shallow graphs and complicates cache lifetimes.
-    * The driver-side loop only checks a per-round changed-count (an
+    * materializing paths — and plain propagation converges in O(graph
+    * diameter) rounds. Near-dup graphs are usually SHALLOW (dups of a
+    * common source form dense clusters: diameter 1-3), where extra
+    * machinery only adds shuffles; but chain-shaped components (sparse
+    * verify cuts measure BFS depth 13+) would take a driver-loop round
+    * per hop, and each round is a full Spark job. So jumping is
+    * ADAPTIVE: a graph still unconverged after 3 rounds switches to
+    * propagate + POINTER JUMP (label := label(label)) rounds, which
+    * compress the remaining chain geometrically — O(log diameter)
+    * rounds from there on. The jump join is on the (node, label) set
+    * itself, strictly smaller than the edge relation the same round
+    * already shuffles. `maxIter` bounds pathological chains. The
+    * driver-side loop only checks a per-round changed-count (an
     * aggregate scalar, no data collect).
     *
     * Returns (doc_id, component) for every doc that appears in `pairs`.
@@ -286,6 +291,8 @@ object Dedup {
     var labels = cached
     var iter = 0
     var converged = false
+    // rounds of plain propagation before pointer jumping kicks in
+    val jumpAfter = 3
     while (iter < maxIter && !converged) {
       // Propagate: label = min(own, neighbors' labels). One join (edges ⋈
       // labels on src, shipping each node's label to its neighbors) + one
@@ -293,16 +300,53 @@ object Dedup {
       // the same aggregate yields both the new label (min over all
       // contributions) and the old one (the own-tagged value) for change
       // detection, with no second join.
-      val next = edges
+      // ADAPTIVE pointer jumping: near-dup graphs are usually shallow
+      // (dups of a common source: diameter 1-3), and there plain
+      // propagation converges in 3-4 rounds — adding a jump join would
+      // only add shuffles (measured ~15% slower on the fixture corpora).
+      // A graph still unconverged after `jumpAfter` rounds is
+      // chain-shaped; from then on each round also jumps
+      // (label := label(label)), compressing the remaining chain
+      // geometrically: depth-13 fixtures converge in ~8 rounds total vs
+      // ~14 plain (measured ~1.7x faster end-to-end).
+      val doJump = iter >= jumpAfter
+      val propPlan = edges
         .join(labels.withColumnRenamed("doc_id", "src")
           .withColumnRenamed("component", "lab"), "src")
         .select(col("dst").as("doc_id"), col("lab"), lit(false).as("own"))
         .union(labels.select(col("doc_id"), col("component").as("lab"),
           lit(true).as("own")))
         .groupBy(col("doc_id"))
-        .agg(min(col("lab")).as("component"),
+        .agg(min(col("lab")).as("half"),
           max(when(col("own"), col("lab"))).as("_old"))
-        .persist()
+      val next = if (!doJump) {
+        propPlan.select(col("doc_id"), col("half").as("component"), col("_old"))
+          .persist()
+      } else {
+        // Every label IS a node id (min over a set containing the node
+        // itself), so the jump is a self-join of the fresh labels on
+        // (label = node); left + coalesce guards the root case where a
+        // label has no row of its own left.
+        val prop = propPlan.persist()
+        val jumpTable = prop.select(col("doc_id").as("jk"), col("half").as("leap"))
+        val jumped = prop
+          .join(jumpTable, col("half") === col("jk"), "left")
+          .select(col("doc_id"),
+            least(col("half"), coalesce(col("leap"), col("half"))).as("component"),
+            col("_old"))
+        // Cut the SQL lineage in the jump regime: the self-join embeds
+        // the round's plan TWICE, so an uncut plan tree doubles per
+        // round and analysis goes exponential (measured: explain-string
+        // OOM by round ~14). Rebuilding from the round's RDD resets the
+        // plan to a leaf while the RDD DAG — a shared graph, not a
+        // tree — grows linearly. Shallow runs never pay either cost.
+        val cut = prop.sparkSession
+          .createDataFrame(jumped.rdd, jumped.schema)
+          .persist()
+        cut.count() // materialize before releasing the round's prop cache
+        prop.unpersist()
+        cut
+      }
       val changed = next.filter(col("component") =!= col("_old")).count()
       cached.unpersist()
       cached = next

@@ -78,6 +78,19 @@ class DedupSpec extends SparkSuite {
     assert(clusters(1L) == ((4L, 1L)) && clusters(10L) == ((2L, 10L)))
   }
 
+  test("connected components: deep chain converges via adaptive pointer jumping " +
+    "inside the default round bound") {
+    // A 60-node path has diameter 59: plain min-propagation needs a
+    // driver round per hop and would blow the default maxIter=20. The
+    // adaptive regime (plain rounds, then propagate+jump) must converge
+    // geometrically within the same default bound.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comp.size == 60)
+    assert((1L to 60L).forall(comp(_) == 1L), "one component rooted at the min id")
+  }
+
   test("connected components with a checkpoint dir: correct labels, zero surviving files") {
     val ckptPath = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckptPath.toString)
