@@ -294,6 +294,26 @@ object QueriesAnalytics {
         element_at(col("m"), lit(tri + d + 1)).as("n"))
   }
 
+  /** Oracle-gated PCA projection — the eigen + projection half of the
+    * pipeline whose moment half is q_embed_covariance. Trains the model
+    * (ONE distributed [[graft.functions.VecOuterSum]] pass + driver-side
+    * deterministic cyclic Jacobi, O(d^3) independent of corpus size),
+    * then projects every vector onto the top-4 sign-canonical components
+    * through the native integer QDot path. Deterministic end-to-end
+    * (fixed sweeps, canonical signs, quantized integer math), so the
+    * DuckDB oracle replays the projection from the trained components as
+    * SQL literals ([[graft.analytics.PcaModels.oracleEntries]] — emitted
+    * by Verify AFTER the query stashed the model for its sf dir).
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val e = emb(s, dir)
+    val model = graft.analytics.Pca.train(e, col("embedding"), d = 64)
+    graft.analytics.PcaModels.stash(dir, model)
+    graft.analytics.Pca.project(e, col("embedding"), model, k = 4)
+      .select(col("vec_id"), col("pc0"), col("pc1"), col("pc2"), col("pc3"))
+  }
+
   /** IVF ANN probe over a MATERIALIZED index: train coarse centroids
     * deterministically (fixed sample/init/iterations, no RNG), round-trip
     * the model through its serialized form (what a production job
@@ -439,6 +459,7 @@ object QueriesAnalytics {
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
     "q_embed_covariance" -> embedCovariance _,
+    "q_pca_project" -> pcaProject _,
     "q_ivf_probe" -> ivfProbe _,
     "q_ivfpq_topk" -> ivfpqTopk _,
     "q_text_langid" -> textLangid _,

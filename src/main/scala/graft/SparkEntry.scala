@@ -81,7 +81,10 @@ object SparkEntry {
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
       QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++
       QueriesRelational.oracleSql ++ QueriesLayout.oracleSql ++
-      QueriesGraph.oracleSql ++ Map(
+      QueriesGraph.oracleSql ++
+      // data-dependent oracle: literals from the model q_pca_project
+      // trained when it ran (Verify runs queries before dumping SQL)
+      graft.analytics.PcaModels.oracleEntries ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,

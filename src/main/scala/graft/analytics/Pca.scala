@@ -167,3 +167,56 @@ object Pca {
     }
   }
 }
+
+/** Holder for trained PCA models, keyed by data dir, so the q_pca_project
+  * DuckDB oracle can be emitted with the TRAINED quantized mean/components
+  * as SQL literals. Verify runs every query (training and stashing the
+  * model for its sf dir) before it dumps `SparkEntry.oracleSql`, so the
+  * entry is present exactly when the query ran; if the query never ran the
+  * oracle entry is simply omitted (the driver falls back to a rows-only
+  * check instead of comparing against a stale or untrained model).
+  */
+object PcaModels {
+  private val byDir = new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+
+  def stash(dir: String, m: Pca.Model): Unit = byDir.put(dir, m)
+
+  /** The model to bake into the oracle: the sf0.01 one when present (the
+    * driver's correctness SF), else any stashed model (dev loops).
+    */
+  private def current(): Option[Pca.Model] = {
+    import scala.jdk.CollectionConverters._
+    val all = byDir.asScala
+    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
+      .orElse(all.values.headOption)
+  }
+
+  /** q_pca_project oracle SQL (empty map when no model was trained).
+    * Mirrors [[Pca.project]] bit-for-bit: quantize (scale 1000), subtract
+    * the quantized mean, integer-dot against the quantized (1e6)
+    * sign-canonical components — all BIGINT math on both engines.
+    */
+  def oracleEntries: Map[String, String] = current() match {
+    case None => Map.empty
+    case Some(m) =>
+      val d = m.d
+      val mq = m.mean.map(x => math.round(x * 1000)).mkString("[", ", ", "]")
+      def vq(c: Int) = m.components(c).map(x => math.round(x * 1e6)).mkString("[", ", ", "]")
+      val pcs = (0 until 4).map(c =>
+        s"  CAST(SUM((q.qv[CAST(g.i AS INT)] - l.m[CAST(g.i AS INT)]) * l.v$c[CAST(g.i AS INT)]) AS BIGINT) AS pc$c")
+        .mkString(",\n")
+      Map("q_pca_project" ->
+        s"""WITH lit AS (SELECT $mq AS m,
+           |  ${vq(0)} AS v0,
+           |  ${vq(1)} AS v1,
+           |  ${vq(2)} AS v2,
+           |  ${vq(3)} AS v3),
+           |q AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           |  FROM embeddings)
+           |SELECT q.vec_id,
+           |$pcs
+           |FROM q, lit l, generate_series(1, $d) g(i)
+           |GROUP BY q.vec_id""".stripMargin)
+  }
+}

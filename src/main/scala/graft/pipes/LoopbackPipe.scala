@@ -163,13 +163,26 @@ object LoopbackPipe {
           val fs = pdir.getFileSystem(graft.core.HadoopConf.rebuild(confEntries))
           val start = base.getOrElse(pid, 0L)
           val tmp = new HPath(pdir, s".segment-$start.tmp")
-          val out = fs.create(tmp, true)
-          val m = new ObjectMapper()
-          try rows.zipWithIndex.foreach { case ((ord, k, v), i) =>
-            val n = m.createObjectNode()
-            n.put("o", start + i); n.put("k", k); n.put("v", v); n.put("ts", ord)
-            out.write((m.writeValueAsString(n) + "\n").getBytes(StandardCharsets.UTF_8))
-          } finally out.close()
+          val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          // stream one JSON object per line straight into the (buffered)
+          // output — no per-record tree or intermediate string
+          val gen = new com.fasterxml.jackson.core.JsonFactory()
+            .createGenerator(out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
+          gen.setRootValueSeparator(null)
+          try {
+            var i = 0
+            while (i < rows.length) {
+              val (ord, k, v) = rows(i)
+              gen.writeStartObject()
+              gen.writeNumberField("o", start + i)
+              gen.writeStringField("k", k)
+              gen.writeStringField("v", v)
+              gen.writeNumberField("ts", ord)
+              gen.writeEndObject()
+              gen.writeRaw('\n')
+              i += 1
+            }
+          } finally gen.close()
           // rename returns false (not an exception) on several
           // FileSystems, e.g. when a task retry's first attempt already
           // committed the segment — losing the batch silently is the one
@@ -212,17 +225,26 @@ object LoopbackPipe {
       p.getName match {
         case SegmentRe(start, count) =>
           val s = start.toLong; val c = count.toLong
-          if (s + c <= from || s >= until) None else Some((s, p))
+          if (s + c <= from || s >= until) None else Some((s, c, p))
         case _ => None
       }
     }.sortBy(_._1)
-    segs.iterator.flatMap { case (_, p) =>
+    segs.iterator.flatMap { case (segStart, segCount, p) =>
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(p), StandardCharsets.UTF_8))
+        fs.open(p), StandardCharsets.UTF_8), 1 << 16)
+      // offsets within a segment are consecutive from segStart (the
+      // producer writes o = segStart + lineIdx), so the [from, until)
+      // slice is positional: skip lines without parsing, stop at the
+      // slice end instead of draining the file — a micro-batch reading
+      // the middle of a large segment parses only its own rows
+      val skip = math.max(0L, from - segStart)
+      val take = math.min(segStart + segCount, until) - math.max(segStart, from)
+      var skipped = 0L
+      while (skipped < skip && in.readLine() != null) skipped += 1
       val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
+        .take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
         .map(parseRecord(partition, _))
-        .filter(r => r.offset >= from && r.offset < until)
       // close at EOF or on a parse failure, never leak the descriptor
       new Iterator[Record] {
         private var closed = false
