@@ -163,10 +163,14 @@ object Bench {
     // median at sf0.1) so a real plan regression trips it while ordinary
     // scheduling jitter does not. A ceiling violation on a load_suspect
     // run is noise; on a clean run it is a regression to investigate.
+    // r11: hybrid CC (driver union-find under 1M edges) collapsed the
+    // cluster-family times — ceilings re-pinned to ~2.5x the new
+    // same-build clean medians (embed_clusters 2.2 s, semdedup 1.6 s,
+    // dedup_clusters 1.7 s)
     val ceilings = Map(
-      "q_dedup_clusters" -> 5.0, "q_binlog_binary" -> 11.0,
-      "q_pagerank" -> 15.0, "q_embed_clusters" -> 13.0,
-      "q_semdedup_prune" -> 12.0, "q_kafka_socket" -> 6.0,
+      "q_dedup_clusters" -> 4.5, "q_binlog_binary" -> 11.0,
+      "q_pagerank" -> 15.0, "q_embed_clusters" -> 6.0,
+      "q_semdedup_prune" -> 5.0, "q_kafka_socket" -> 6.0,
       "q_approx_stats" -> 8.0, "q_stream_neardup" -> 8.0,
       "q_stream_join" -> 7.0, "q_changelog_socket" -> 6.5)
     val ceilingVerdicts = ceilings.toSeq.sortBy(_._1)

@@ -280,6 +280,23 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist()
+    // HYBRID: a small edge set is a driver-trivial union-find — the same
+    // bounded-driver-work stance as IVF's sampled k-means. The iterative
+    // path costs ~1 s of scheduling per round regardless of data size
+    // (join + agg + checkpoint jobs), so a 22k-edge fixture graph paid
+    // ~6 s for what is microseconds of actual work; at 100 TB the
+    // near-dup graph (edges between CANDIDATES, not the corpus) often
+    // still fits this bound, and when it doesn't the distributed
+    // HashMin + pointer-jumping loop below takes over. Labels are
+    // identical by construction: min reachable id per component.
+    val nDirected = edges.count()
+    val driverEdgeCap = sys.props.get("graft.cc.driverEdgeThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+    if (nDirected / 2 <= driverEdgeCap) {
+      val result = driverComponents(edges)
+      edges.unpersist()
+      return result
+    }
     // IMPORTANT cache discipline: unpersist must be called on the EXACT
     // DataFrame that was persisted — calling it on a projection is a
     // silent no-op, caches pile up, and eviction then cascades into
@@ -374,6 +391,49 @@ object Dedup {
     edges.unpersist()
     cached.unpersist()
     result
+  }
+
+  /** Driver-side exact components for a collected edge list: union-find
+    * with path compression, then per-root minimum under the key type's
+    * natural ordering — bit-identical to what HashMin converges to.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val keyType = edges.schema("src").dataType
+    val rows = edges.select(col("src"), col("dst")).collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var root = x0
+      var p = parent.getOrDefault(root, root)
+      while (p != root) { root = p; p = parent.getOrDefault(root, root) }
+      var x = x0
+      while (x != root) { val nxt = parent.get(x); parent.put(x, root); x = nxt }
+      root
+    }
+    val nodes = new java.util.HashSet[Any]()
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      nodes.add(a); nodes.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ord.lt(n, cur)) minOfRoot.put(r, n)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nodes.size)
+    nodes.forEach(n => out += org.apache.spark.sql.Row(n, minOfRoot.get(find(n))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(1, math.min(32, out.size / 50000 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", keyType),
+        org.apache.spark.sql.types.StructField("component", keyType))))
   }
 
   /** Cluster summary: component root (= canonical keeper), member count.

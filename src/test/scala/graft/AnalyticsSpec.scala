@@ -83,12 +83,34 @@ class DedupSpec extends SparkSuite {
     // A 60-node path has diameter 59: plain min-propagation needs a
     // driver round per hop and would blow the default maxIter=20. The
     // adaptive regime (plain rounds, then propagate+jump) must converge
-    // geometrically within the same default bound.
+    // geometrically within the same default bound. Forced onto the
+    // DISTRIBUTED path (threshold 0) — a graph this small would
+    // otherwise take the driver union-find and leave the loop untested.
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(pairs).collect()
+    val comp = forceDistributed { Dedup.connectedComponents(pairs).collect() }
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
     assert(comp.size == 60)
     assert((1L to 60L).forall(comp(_) == 1L), "one component rooted at the min id")
+  }
+
+  private def forceDistributed[T](body: => T): T = {
+    System.setProperty("graft.cc.driverEdgeThreshold", "0")
+    try body finally System.clearProperty("graft.cc.driverEdgeThreshold")
+  }
+
+  test("hybrid CC: driver union-find and distributed HashMin label identically") {
+    // branchy graph with multiple components, merges arriving in
+    // non-min-first order, and id gaps — both strategies must emit the
+    // same (doc_id, component) set
+    val pairs = Seq(
+      (7L, 3L), (3L, 9L), (9L, 1L), (50L, 40L), (40L, 60L), (41L, 40L),
+      (100L, 101L), (5L, 7L), (2L, 9L)).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLoop = forceDistributed { Dedup.connectedComponents(pairs).collect() }
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver == viaLoop, s"strategies disagree: ${viaDriver.diff(viaLoop)} vs ${viaLoop.diff(viaDriver)}")
+    assert(viaDriver.filter(_._1 <= 9L).forall(_._2 == 1L))
   }
 
   test("connected components with a checkpoint dir: correct labels, zero surviving files") {
@@ -96,7 +118,9 @@ class DedupSpec extends SparkSuite {
     spark.sparkContext.setCheckpointDir(ckptPath.toString)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-      val comp = Dedup.connectedComponents(pairs)
+      // the loop's checkpoint discipline is what's under test — force past
+      // the driver shortcut
+      val comp = forceDistributed { Dedup.connectedComponents(pairs) }
       val got = comp.collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
