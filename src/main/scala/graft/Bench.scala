@@ -214,10 +214,16 @@ object Bench {
       .map(k => "\"" + k + "\":" + j(resMap(k))).mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
     val fv = floorVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+    val cv = ceilingVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+    // the load instruments belong IN the artifact: a reader of
+    // BENCH_r{N}.json must be able to tell a loaded run from engine drift
+    // without this process's stderr
+    val loadJson =
+      s""""load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"calib_idle_ref_s":${j(calibRef)},"loadavg_start":[${loadStart.map(j).mkString(",")}],"loadavg_end":[${loadEnd.map(j).mkString(",")}]"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
@@ -225,7 +231,7 @@ object Bench {
       java.nio.file.Paths.get(fullName),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

@@ -792,6 +792,92 @@ object QueriesCdc {
     } finally broker.close()
   }
 
+  /** S3/O-surface e2e: the reference's IN-PROCESS consumer-group
+    * redistribution ([[graft.pipes.TopicGroup]] — pipe/kafka.go:226-292
+    * `redistributeConsumers`) driven through every membership transition
+    * it defines, gated by the same oracle as [[kafkaRoundtrip]] because a
+    * rebalance must change WHO consumes each partition, never WHAT is
+    * consumed:
+    *
+    *  1. two consumers drain the first quarter of the topic;
+    *  2. a third JOINS mid-flight (live re-split, in-flight lookahead
+    *     re-offered to the new owner);
+    *  3. one leaves GRACEFULLY (commits its partitions' next offsets
+    *     exactly — the successor resumes with no overlap);
+    *  4. one CRASHES (`kill()` — commits nothing; successors rewind to
+    *     the last persisted offset, re-delivering the uncommitted
+    *     window) and a fourth consumer replaces it.
+    *
+    * The crash leg makes the raw feed at-least-once, so the query
+    * keeps LAST-delivery-wins by (partition, offset): loss of any record
+    * (or a corrupted redelivery) still hash-mismatches, while the
+    * permitted duplicates collapse. Consumption is driver-side by
+    * construction — this IS the reference's control-plane consumer API
+    * (its streamers poll in-process); the data-plane scale path remains
+    * the DSv2 source (q_kafka_roundtrip), and the volume here is bounded
+    * by the fixture topic.
+    */
+  def groupRebalance(s: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val base = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id").as("ord"),
+        col("user_id").cast("string").as("key"),
+        col("user_id"),
+        to_json(struct(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
+    val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_group_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(topicDir), true)
+    val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
+      partitionCol = Some(pmod(col("user_id"), lit(nParts))))
+    val conf = s.sparkContext.hadoopConfiguration
+    // short persist interval so the crash-rewind window is exercised but
+    // bounded (kafka.go:43-49 offsetPersistInterval)
+    val group = new graft.pipes.TopicGroup(topicDir, "graft-rebalance", conf,
+      persistInterval = 499L)
+    val seen = new java.util.concurrent.ConcurrentHashMap[(Int, Long), graft.pipes.LoopbackPipe.Record]()
+    try {
+      import java.util.concurrent.atomic.AtomicBoolean
+      def spawn(c: group.GroupConsumer): (Thread, AtomicBoolean) = {
+        val stop = new AtomicBoolean(false)
+        val t = new Thread(() => {
+          while (!stop.get && seen.size < produced)
+            c.poll(25).foreach(r => seen.put((r.partition, r.offset), r))
+        }, "group-rebalance-consumer")
+        t.setDaemon(true); t.start(); (t, stop)
+      }
+      def drainedTo(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (seen.size < math.min(n, produced)) {
+          if (System.nanoTime() > deadline)
+            sys.error(s"group drain stalled at ${seen.size}/$produced (target $n)")
+          Thread.sleep(2)
+        }
+      }
+      val a = group.newConsumer(); val (ta, sa) = spawn(a)
+      val b = group.newConsumer(); val (tb, sb) = spawn(b)
+      drainedTo(produced / 4)
+      val c = group.newConsumer(); val (tc, sc) = spawn(c) // live join
+      drainedTo(produced / 2)
+      sa.set(true); ta.join(); a.close()                   // graceful leave
+      drainedTo(3 * produced / 4)
+      sb.set(true); tb.join(); b.kill()                    // crash leave
+      val d = group.newConsumer(); val (td, sd) = spawn(d) // replacement
+      drainedTo(produced)
+      Seq(sc, sd).foreach(_.set(true)); tc.join(); td.join()
+    } finally group.close()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    val rows = seen.values.asScala.toSeq
+      .map(r => (r.partition.toLong, r.offset, r.key.toLong, r.value))
+    rows.toDF("partition", "offset", "user_id", "value")
+      .select(col("partition"), col("offset"), col("user_id"),
+        get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
+  }
+
   /** Streaming windowed aggregation through the real streaming engine:
     * events replayed as a multi-batch file stream → watermarked tumbling
     * 1-hour windows ([[graft.stream.StreamOps.windowedCounts]]) → memory
@@ -1225,6 +1311,7 @@ object QueriesCdc {
     "q_kafka_roundtrip" -> kafkaRoundtrip _,
     "q_kafka_socket" -> kafkaSocket _,
     "q_rate_limited" -> rateLimited _,
+    "q_group_rebalance" -> groupRebalance _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_session" -> streamSession _,

@@ -229,6 +229,16 @@ object SparkEntry {
         |  user_id, event_id,
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
+    // consumer-group redistribution (join / graceful leave / crash /
+    // rejoin) must change WHO consumes, never WHAT: the round-trip
+    // oracle gates it; the crash leg's permitted redeliveries collapse
+    // under the query's by-(partition,offset) last-delivery-wins
+    "q_group_rebalance" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,
+        |  user_id, event_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
     // identical round-trip contract over the real Kafka wire protocol
     // (loopback broker, checkpointed restart between the two produced
     // halves), so the same oracle gates it

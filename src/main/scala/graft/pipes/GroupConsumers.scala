@@ -211,7 +211,14 @@ final class TopicGroup(topicDir: String, group: String, conf: Configuration,
           }
         }
       }
-    } catch { case _: InterruptedException => () }
+    } catch {
+      // both are the expected park signal: stopAll() interrupts a pump
+      // blocked in poll-sleep (InterruptedException) or mid-read on the
+      // segment channel (ClosedByInterruptException) — the un-delivered
+      // read position is still in nextRead, so the next owner re-reads it
+      case _: InterruptedException => ()
+      case _: java.nio.channels.ClosedByInterruptException => ()
+    }
   }
 
   /** Blocking offer that aborts when the pump is stopped; the record
