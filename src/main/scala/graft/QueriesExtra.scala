@@ -82,6 +82,54 @@ object QueriesExtra {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Count-Min-Sketch heavy hitters — the mergeable frequency sketch the
+    * 100 TB path uses where an exact per-term groupBy's shuffle would
+    * carry the full vocabulary. The sketch is built DECLARATIVELY: each
+    * term contributes one increment to d=4 seeded counter rows of w=512
+    * buckets (bucket = md5-derived, so DuckDB replays it bit-exactly),
+    * and `groupBy(seed,bucket)` map-side-combines every partition down to
+    * at most d*w cells before the only shuffle — the sketch IS the
+    * aggregation state, corpus-size-independent, exactly what a
+    * TypedImperativeAggregate buffer would hold but kept inside
+    * whole-stage codegen. Point estimate = MIN over the d cells (the CMS
+    * guarantee: estimate >= true count, within eps*N w.h.p.).
+    *
+    * The probe side anchors the sketch to the exact top-20 terms (same
+    * derivation as [[termFreq]]) so the oracle gates BOTH the exact
+    * counts and the replayed sketch estimates — the same
+    * exact-anchor-plus-sketch pairing as q_approx_stats.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 512
+    def bucket(seed: Int): org.apache.spark.sql.Column =
+      (conv(substring(md5(concat_ws(":", lit(seed.toString), col("term"))), 1, 8), 16, 10)
+        .cast("long") % w).as("bucket")
+    val terms = Spread.byKey(docs(s, dir), col("doc_id"))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cells = terms
+      .select(explode(array((0 until d).map(sd =>
+        struct(lit(sd).as("seed"), bucket(sd))): _*)).as("sb"))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+      .limit(20)
+    val probeCells = probes
+      .select(col("term"), col("exact_n"),
+        explode(array((0 until d).map(sd =>
+          struct(lit(sd).as("seed"), bucket(sd))): _*)).as("sb"))
+      .select(col("term"), col("exact_n"),
+        col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    probeCells.join(cells, Seq("seed", "bucket"))
+      .groupBy(col("term"), col("exact_n"))
+      .agg(min(col("c")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   /** Pivot: per-user event-type counts as conditional aggregations (the
     * shuffle-once form of PIVOT).
     */
@@ -102,20 +150,52 @@ object QueriesExtra {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
-  /** Exact interpolated percentiles over integer cents — the sf0.01 ORACLE
-    * ANCHOR only. `percentile` buffers every group value on one executor,
-    * which is an OOM at 100 TB; the documented scale path is the sketch
-    * twin [[approxStats]] (`approx_percentile`), whose rank-error bound is
-    * pinned to this exact form by ApproxStatsSpec.
+  /** Exact interpolated percentiles over integer cents, computed as a
+    * DISTRIBUTED counting sort: `percentile()` would buffer every group
+    * value on one executor (an OOM at 100 TB), but quantized cents have a
+    * BOUNDED domain — so groupBy (flag, cents) map-side-combines the
+    * corpus down to a histogram whose size tracks the price domain, not
+    * the row count, and the interpolated rank lookup
+    * (quantile_cont semantics: v[lo] + frac * (v[hi] - v[lo]) at
+    * h = (n-1)*q) reads two histogram rows per percentile via
+    * conditional aggregates over cumulative counts. The only shuffles
+    * are the tiny histogram and its per-flag cumulative window. The
+    * sketch twin for UNBOUNDED domains remains [[approxStats]]
+    * (`approx_percentile`), rank-error-pinned by ApproxStatsSpec.
     */
-  def percentiles(s: SparkSession, dir: String): DataFrame =
-    li(s, dir)
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = li(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_returnflag"))
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(cents, 0.5)").as("p50"),
-        expr("percentile(cents, 0.95)").as("p95"),
-        count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(win))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+    // 0-indexed rank h = (n-1)*q; the value covering index i is the
+    // histogram row with cum_start <= i < cum_end (exactly one matches,
+    // so max(when(...)) selects it); hi = lo+1 <= n-1 for q < 1
+    def idxVal(i: org.apache.spark.sql.Column) =
+      max(when(col("cum_start") <= i && i < col("cum_end"), col("cents")))
+    def lo(q: Double) = floor((col("n") - 1) * lit(q))
+    val agg = cum.groupBy(col("l_returnflag"), col("n"))
+      .agg(
+        idxVal(lo(0.5)).as("v50_lo"), idxVal(lo(0.5) + 1).as("v50_hi"),
+        idxVal(lo(0.95)).as("v95_lo"), idxVal(lo(0.95) + 1).as("v95_hi"))
+    def interp(q: Double, vLo: String, vHi: String) = {
+      val h = (col("n") - 1) * lit(q)
+      val frac = h - floor(h)
+      col(vLo).cast("double") +
+        frac * (col(vHi).cast("double") - col(vLo).cast("double"))
+    }
+    agg.select(col("l_returnflag"),
+      interp(0.5, "v50_lo", "v50_hi").as("p50"),
+      interp(0.95, "v95_lo", "v95_hi").as("p95"),
+      col("n"))
+  }
 
   /** Sketch-based stats — THE 100 TB path (HLL++ distinct counts +
     * Greenwald-Khanna quantiles, both mergeable partial aggregates: fixed
@@ -262,6 +342,7 @@ object QueriesExtra {
     "q_embed_neardup" -> embedNeardup _,
     "q_embed_clusters" -> embedClusters _,
     "q_term_freq" -> termFreq _,
+    "q_heavy_hitters" -> heavyHitters _,
     "q_bigrams" -> bigrams _,
     "q_pivot_users" -> pivotUsers _,
     "q_doc_stats" -> docStats _,
@@ -429,6 +510,27 @@ object QueriesExtra {
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+
+    // bit-exact CMS replay: same md5-derived buckets, same min-over-seeds
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tt AS (SELECT term FROM t WHERE term <> ''),
+        |sd AS (SELECT unnest(generate_series(0, 3)) AS seed),
+        |cells AS (
+        |  SELECT seed,
+        |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |    COUNT(*) AS c
+        |  FROM tt, sd GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT term, COUNT(*) AS exact_n FROM tt
+        |  GROUP BY 1 ORDER BY exact_n DESC, term LIMIT 20),
+        |pb AS (
+        |  SELECT term, exact_n, seed,
+        |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket
+        |  FROM probes, sd)
+        |SELECT pb.term, pb.exact_n, CAST(MIN(cells.c) AS BIGINT) AS cms_n
+        |FROM pb JOIN cells ON cells.seed = pb.seed AND cells.bucket = pb.bucket
+        |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin,
 
     "q_bigrams" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
