@@ -52,6 +52,16 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Unload every state-store provider and park the maintenance
+      // thread: a catalog pass runs ~15 streaming queries x 3 passes,
+      // and each bounded replay's providers linger in
+      // StateStore.loadedProviders after termination (unload is lazy,
+      // via the coordinator at the next maintenance tick) — dead stores
+      // pinning their final maps and doing snapshot maintenance against
+      // already-deleted checkpoints while LATER queries are being
+      // measured. Providers reload lazily, so the next streaming query
+      // pays a cold open it would have paid anyway on a fresh run.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       t
     }
 

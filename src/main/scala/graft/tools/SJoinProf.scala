@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * rows/memory) to locate where the wall time goes.
   *
   * FINDINGS (r11, idle machine): warm runs 2.9-3.4 s, matching the r10
-  * record — the 5-19 s samples that prompted this probe were ambient
-  * load below the 1.5x calibration flag. Cost split per warm run:
-  * state-store commits dominate (8 partitions x 4 join stores x 3
-  * batches incl. the 0-row watermark-finalize batch); the double scan
-  * (two readStream sources over the same files) is NOT the bottleneck —
-  * the ALT single-source self-join shape below measures the same wall
-  * time, so the catalog keeps the clearer two-source form.
+  * record. The 5-19 s samples that prompted this probe had TWO causes:
+  * ambient load below the 1.5x calibration flag, and — the reproducible
+  * part — dead state-store providers from earlier catalog queries doing
+  * lazy maintenance against deleted checkpoints while this query was
+  * being measured (fixed: Bench.onceClean now calls StateStore.stop()
+  * between queries; q_stream_join inside a heavy 15-query set went
+  * 5.6 -> 2.9 s and the full catalog 155 -> 127 s with every floor and
+  * ceiling green). Cost split per warm run: state-store commits dominate
+  * (8 partitions x 4 join stores x 3 batches incl. the 0-row
+  * watermark-finalize batch); the double scan (two readStream sources
+  * over the same files) is NOT the bottleneck — the ALT single-source
+  * self-join shape below measures the same wall time, so the catalog
+  * keeps the clearer two-source form.
   */
 object SJoinProf {
   def main(args: Array[String]): Unit = {
@@ -37,12 +43,24 @@ object SJoinProf {
       }
     }
     spark.streams.addListener(listener)
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries("q_stream_join")(spark, dir)
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    def run(name: String): Unit = {
+      val g0 = gcMs; val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      println(f"[sjoin] RUN $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (sys.env.get("SJOIN_STATESTOP").contains("1"))
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      println(f"[sjoin] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  gc=${gcMs - g0} ms")
     }
+    (1 to 3).foreach(_ => run("q_stream_join"))
+    // heavy batch residue, then the stream join again
+    Seq("q_pagerank", "q_multimodal_resize", "q_multimodal_video", "q_dedup_pipeline",
+      "q_semdedup_prune", "q_knn_classify", "q_simhash_pairs", "q_ngram_lm").foreach(run)
+    (1 to 3).foreach(_ => run("q_stream_join"))
     // ALT shape: single source, self-join (one scan instead of two)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
