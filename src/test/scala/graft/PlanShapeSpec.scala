@@ -238,4 +238,24 @@ class PlanShapeSpec extends SparkSuite {
       s"expected a single percentile(array(...)) aggregate:\n${p.take(3000)}")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("exact percentiles run as a distributed counting sort — no Percentile value buffer") {
+    // percentile() buffers every group value on one executor (OOM at
+    // 100 TB); the counting-sort form keeps state bounded by the value
+    // DOMAIN. A refactor back to percentile() would still pass the
+    // value oracle — pin the plan.
+    val p = plan("q_percentiles")
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext,
+      s"q_percentiles must not use the percentile() buffer aggregate:\n${p.take(3000)}")
+    // the histogram aggregation must partial-aggregate before its shuffle
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("CMS heavy hitters map-side-combine to sketch cells before the shuffle") {
+    // the sketch's whole point: the ONLY shuffle for the counter build
+    // carries at most d*w cells per map task, not the vocabulary
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
