@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // unload dead state-store providers between queries (same churn
+      // Bench.onceClean guards against — see its comment)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
