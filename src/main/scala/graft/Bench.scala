@@ -62,6 +62,12 @@ object Bench {
       // measured. Providers reload lazily, so the next streaming query
       // pays a cold open it would have paid anyway on a fresh run.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      // SPARK_GRAFT_GC=1 experiment: shuffle files are only deleted when
+      // ContextCleaner's weak refs get GC'd, and an idle-heap catalog run
+      // (~tens of ms of GC per query) almost never collects — local dirs
+      // accumulate a full pass's shuffle output and file-heavy queries
+      // pay the page-cache pressure
+      if (sys.env.get("SPARK_GRAFT_GC").contains("1")) System.gc()
       t
     }
 

@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // JVM-wide, once: ImageIO's DEFAULT stream cache backs every
+  // ImageIO.read/write call with a temp FILE in java.io.tmpdir — in a
+  // codec pipeline that is one disk file created+deleted PER ROW, and
+  // the resize/video rows' wall time was observed swinging 0.7-5.9 s at
+  // sf0.1 purely with ambient /tmp pressure. Media blobs here are
+  // bounded (bytes already in memory), so memory-cached streams are
+  // strictly better; decodeImage/sampleContainerFrames already
+  // construct MemoryCacheImageInputStream explicitly, this closes the
+  // ImageIO.read/write-created ones.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata struct carried alongside every media blob. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("media_type", StringType), // image | audio | video
