@@ -191,7 +191,9 @@ object Bench {
     // dedup_clusters 1.7 s)
     val ceilings = Map(
       "q_dedup_clusters" -> 4.5, "q_binlog_binary" -> 11.0,
-      "q_pagerank" -> 15.0, "q_embed_clusters" -> 6.0,
+      // r11: hybrid driver fixed-point loop at fixture scale (2.1 s
+      // same-build clean; distributed rounds only above the edge cap)
+      "q_pagerank" -> 6.0, "q_embed_clusters" -> 6.0,
       "q_semdedup_prune" -> 5.0, "q_kafka_socket" -> 6.0,
       "q_approx_stats" -> 8.0, "q_stream_neardup" -> 8.0,
       "q_stream_join" -> 7.0, "q_changelog_socket" -> 6.5)

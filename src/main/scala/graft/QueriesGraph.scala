@@ -76,6 +76,24 @@ object QueriesGraph {
     // same pattern and the reliable-checkpoint variant at cluster scale.)
     val edges = trunc(pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("c").as("dst"))))
+    // HYBRID, same stance as Dedup.connectedComponents: the iteration's
+    // arithmetic is 64-bit integer fixed point — truncating division per
+    // source, long sums per destination — which is ORDER-INDEPENDENT, so
+    // a driver loop over a collected edge list produces bit-identical
+    // ranks. The distributed loop pays ~0.6 s/round of join+agg+checkpoint
+    // scheduling regardless of data size; the ENTITY graph here (distinct
+    // customer—supplier pairs, bounded by the dim cross product, not the
+    // fact table) fits the driver at fixture scale. Above the cap the
+    // Pregel loop below takes over unchanged.
+    val nDirected = edges.count()
+    val driverCap = sys.props.get("graft.pagerank.driverEdgeThreshold")
+      .map(_.toLong).getOrElse(2500000L)
+    val integralKeys = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (nDirected <= driverCap && integralKeys)
+      return driverPagerank(s, edges, iters)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.agg(count(lit(1)).as("cnt"))
     val nodes = deg.crossJoin(broadcast(nTotal))
@@ -111,6 +129,66 @@ object QueriesGraph {
         .transform(trunc)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** Driver fixed-point loop — replicates the distributed rounds'
+    * integer arithmetic exactly: v(src) = r(src) div deg(src) once per
+    * source, acc(dst) = Σ v over in-edges, r' = base + (85·acc) div 100.
+    * Node ids are opaque map keys (original Spark type preserved in the
+    * output schema).
+    */
+  private def driverPagerank(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val keyType = edges.schema("src").dataType
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val m = rows.length
+    // dense-index the node ids once, then iterate over primitive arrays:
+    // 10 rounds over a couple of million edges is tens of milliseconds,
+    // vs HashMap-per-edge boxing that would eat the distributed savings
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def internId(x: Long): Int = {
+      val h = idx.get(x)
+      if (h != null) h.intValue()
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val srcIdx = new Array[Int](m)
+    val dstIdx = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      srcIdx(i) = internId(rows(i).getLong(0))
+      dstIdx(i) = internId(rows(i).getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    i = 0; while (i < m) { deg(srcIdx(i)) += 1L; i += 1 }
+    val init = 1000000000000L / n
+    val base = (15L * init) / 100L
+    var rank = Array.fill(n)(init)
+    for (_ <- 1 to iters) {
+      val v = new Array[Long](n)
+      var j = 0
+      while (j < n) { v(j) = rank(j) / deg(j); j += 1 }
+      val acc = new Array[Long](n)
+      j = 0; while (j < m) { acc(dstIdx(j)) += v(srcIdx(j)); j += 1 }
+      val next = new Array[Long](n)
+      j = 0; while (j < n) { next(j) = base + (85L * acc(j)) / 100L; j += 1 }
+      rank = next
+    }
+    val isInt = keyType == org.apache.spark.sql.types.IntegerType
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      val node: Any = if (isInt) ids(i).toInt else ids(i)
+      out += org.apache.spark.sql.Row(node, rank(i))
+      i += 1
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(out.toSeq, math.max(1, math.min(32, out.size / 50000 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", keyType),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType))))
   }
 
   private def pagerankOracle(iters: Int): String = {
