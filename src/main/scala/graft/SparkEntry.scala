@@ -687,6 +687,42 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |FROM b GROUP BY vec_id""".stripMargin,
 
+    // ANN recall eval: the SQL-replicated LSH bucket scheme (same CTEs as
+    // q_embed_lsh), candidate re-rank by exact quantized dot, brute-force
+    // ground truth, top-10 overlap per probe — the whole eval is integer
+    // math, replayed bit-exactly
+    "q_ann_recall" ->
+      """WITH s AS (
+        |  SELECT vec_id, p.j,
+        |    (CASE WHEN ((g.i * 31 + p.j * 17) % 7) < 3 THEN 1 ELSE -1 END)
+        |    * CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS term
+        |  FROM embeddings, generate_series(0, 7) p(j), generate_series(1, 64) g(i)),
+        |b AS (SELECT vec_id, j, CAST(SUM(term) AS BIGINT) AS sdot FROM s GROUP BY vec_id, j),
+        |bk AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM b GROUP BY vec_id),
+        |dots AS (
+        |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
+        |    CAST(SUM(CAST(ROUND(CAST(p.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(ROUND(CAST(c.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM embeddings p, embeddings c, generate_series(1, 64) g(i)
+        |  WHERE p.vec_id % 40 = 0 AND c.vec_id <> p.vec_id
+        |  GROUP BY 1, 2),
+        |exact10 AS (SELECT p_id, c_id FROM (
+        |  SELECT p_id, c_id, row_number() OVER (PARTITION BY p_id ORDER BY dot DESC, c_id) AS rn
+        |  FROM dots) WHERE rn <= 10),
+        |cand AS (SELECT p.vec_id AS p_id, c.vec_id AS c_id
+        |  FROM bk p JOIN bk c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id % 40 = 0),
+        |approx10 AS (SELECT p_id, c_id FROM (
+        |  SELECT d.p_id, d.c_id, row_number() OVER (PARTITION BY d.p_id ORDER BY d.dot DESC, d.c_id) AS rn
+        |  FROM dots d JOIN cand USING (p_id, c_id)) WHERE rn <= 10),
+        |hits AS (SELECT e.p_id, CAST(COUNT(*) AS BIGINT) AS hits10
+        |  FROM exact10 e JOIN approx10 a USING (p_id, c_id) GROUP BY 1)
+        |SELECT p.vec_id, CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 40 = 0) p
+        |LEFT JOIN hits h ON h.p_id = p.vec_id""".stripMargin,
+
     "q_text_scrub" ->
       // same augmented text, same RE2/Java-common patterns, same order
       """WITH a AS (SELECT doc_id,
