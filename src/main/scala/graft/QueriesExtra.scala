@@ -188,8 +188,11 @@ object QueriesExtra {
     def interp(q: Double, vLo: String, vHi: String) = {
       val h = (col("n") - 1) * lit(q)
       val frac = h - floor(h)
-      col(vLo).cast("double") +
-        frac * (col(vHi).cast("double") - col(vLo).cast("double"))
+      // When frac is 0 the hi index (lo+1) can fall past the histogram
+      // (single-row group: n=1 → hi=1 → no matching row → NULL); fall back
+      // to vLo so 0.0 * (vLo - vLo) = 0 instead of NULL-propagating.
+      val hi = coalesce(col(vHi), col(vLo)).cast("double")
+      col(vLo).cast("double") + frac * (hi - col(vLo).cast("double"))
     }
     agg.select(col("l_returnflag"),
       interp(0.5, "v50_lo", "v50_hi").as("p50"),

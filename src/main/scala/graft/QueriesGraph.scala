@@ -92,7 +92,11 @@ object QueriesGraph {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    if (nDirected <= driverCap && integralKeys)
+    // count cap bounds driver CPU; the bytes gate (fraction of free
+    // driver heap, key-width aware) bounds driver memory — see
+    // core.DriverBudget scaladoc for the estimation model
+    if (nDirected <= driverCap && integralKeys &&
+        graft.core.DriverBudget.fitsDriver(edges, nDirected))
       return driverPagerank(s, edges, iters)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.agg(count(lit(1)).as("cnt"))
@@ -168,7 +172,10 @@ object QueriesGraph {
     for (_ <- 1 to iters) {
       val v = new Array[Long](n)
       var j = 0
-      while (j < n) { v(j) = rank(j) / deg(j); j += 1 }
+      // deg can be 0 for a node appearing only as dst (sink); it then
+      // contributes nothing, matching the distributed loop where such a
+      // node never produces a contribution row
+      while (j < n) { v(j) = if (deg(j) > 0) rank(j) / deg(j) else 0L; j += 1 }
       val acc = new Array[Long](n)
       j = 0; while (j < m) { acc(dstIdx(j)) += v(srcIdx(j)); j += 1 }
       val next = new Array[Long](n)

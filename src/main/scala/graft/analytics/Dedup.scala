@@ -265,6 +265,12 @@ object Dedup {
       connectedComponentsBody(pairs, maxIter)
     }
 
+  /** Observability for specs: whether the last connectedComponents call
+    * took the driver union-find path (true) or the distributed HashMin
+    * loop (false).
+    */
+  @volatile private[graft] var lastPathDriver: Boolean = false
+
   private def connectedComponentsBody(pairs: DataFrame, maxIter: Int): DataFrame = {
     // Undirected edge list, both directions, in ONE pass over `pairs`: a
     // union of two projections would compute the (expensive) upstream
@@ -292,11 +298,17 @@ object Dedup {
     val nDirected = edges.count()
     val driverEdgeCap = sys.props.get("graft.cc.driverEdgeThreshold")
       .map(_.toLong).getOrElse(1000000L)
-    if (nDirected / 2 <= driverEdgeCap) {
+    // count cap bounds driver CPU; the bytes gate bounds driver MEMORY —
+    // a wide-key graph (string doc ids) can sit under the count cap and
+    // still not fit a fraction of free driver heap (see DriverBudget)
+    if (nDirected / 2 <= driverEdgeCap &&
+        graft.core.DriverBudget.fitsDriver(edges, nDirected)) {
+      lastPathDriver = true
       val result = driverComponents(edges)
       edges.unpersist()
       return result
     }
+    lastPathDriver = false
     // IMPORTANT cache discipline: unpersist must be called on the EXACT
     // DataFrame that was persisted — calling it on a projection is a
     // silent no-op, caches pile up, and eviction then cascades into
