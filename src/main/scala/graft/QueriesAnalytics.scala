@@ -265,54 +265,77 @@ object QueriesAnalytics {
   def embedLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshBucket(emb(s, dir), "vec_id", col("embedding"), dims = 64, numPlanes = 8)
 
-  /** ANN index-quality EVAL: recall@10 of the hyperplane-LSH candidate
-    * path against brute-force ground truth, per probe vector — the gate
-    * a production pipeline runs before trusting an approximate index.
-    * Probes are every 40th vector (an eval set is small by
-    * construction); the approximate side re-ranks SAME-BUCKET candidates
-    * by the exact quantized dot (the real serving path: bucket prune →
-    * exact re-rank), the exact side is the broadcast brute-force scan,
-    * and `hits10` counts their top-10 overlap. Every piece is
-    * deterministic integer math over the SQL-replicated bucket scheme,
-    * so DuckDB replays the whole evaluation bit-exactly.
+  /** ANN index-quality EVAL with a SEMANTIC recall gate: recall@10 of
+    * the hyperplane-LSH candidate path against brute-force ground truth,
+    * per probe vector and per MULTIPROBE radius — the gate a production
+    * pipeline runs before trusting an approximate index. Probes are
+    * every 40th vector (an eval set is small by construction); each arm
+    * re-ranks candidates whose 8-bit bucket lies within Hamming distance
+    * r of the probe's bucket (r = 0: plain bucket prune; r = 1/2: the
+    * classic multiprobe ladder) by the exact quantized dot, the exact
+    * side is the broadcast brute-force scan, and `hits10` counts their
+    * top-10 overlap. Every piece is deterministic integer math
+    * (bit_count over xor'd bucket keys, QDot re-rank), so DuckDB replays
+    * the whole evaluation bit-exactly.
+    *
+    * The CONTRACT is the `floor_ok` column: each arm's corpus-mean
+    * recall (in thousandths, integer division — exact on both engines)
+    * must clear a per-arm floor set at ~half the measured value
+    * (bucket ~0.11 → floor 0.05; probe1 ~0.21 → 0.10; probe2 ~0.41 →
+    * 0.20, stable across sf0.01/sf0.1). A silent LSH-parameter or
+    * banding regression (empty candidate sets, broken bucket hash)
+    * crashes through a floor and fails the gate SEMANTICALLY — the
+    * oracle row flips to false — rather than only perturbing hash
+    * values. The ladder also documents the multiprobe trade: each rung
+    * buys ~2× recall for ~9×/37× the candidate volume.
     *
     * Scale shape: ground truth costs probes × corpus — bounded by the
     * EVAL-set size, with the probe side broadcast (the knnClassify
-    * stance); the candidate side shuffles only bucket keys and ids.
-    *
-    * The measured number is the point: ONE 8-plane bucket recalls ~0.11
-    * at 2k vectors (mean hits10 1.1) — quantifying exactly why the
-    * serving paths band (embedNeardup: 2×8 planes) or multi-probe
-    * (q_ivf_probe): this row is the regression gate on that trade.
+    * stance); the scored table is computed ONCE and every arm filters
+    * it by the precomputed Hamming distance, so adding arms adds only
+    * window passes, not dot products.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     val buckets = embedLsh(s, dir)
     val q = emb(s, dir).select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-    val probeIds = buckets.filter(col("vec_id") % 40 === 0)
-      .select(col("vec_id").as("p_id"), col("bucket"))
-    val pq = q.select(col("vec_id").as("p_id"), col("qv").as("pq")).filter(col("p_id") % 40 === 0)
-    val cq = q.select(col("vec_id").as("c_id"), col("qv").as("cq"))
+    val pq = q.filter(col("vec_id") % 40 === 0)
+      .join(buckets, "vec_id")
+      .select(col("vec_id").as("p_id"), col("qv").as("pqv"), col("bucket").as("p_bucket"))
+    val cq = q.join(buckets, "vec_id")
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"), col("bucket").as("c_bucket"))
+    // one probes × corpus pass: exact dot (ground truth AND re-rank
+    // score) + bucket Hamming distance (the multiprobe radius)
+    val scored = broadcast(pq).crossJoin(cq)
+      .filter(col("c_id") =!= col("p_id"))
+      .select(col("p_id"), col("c_id"),
+        Similarity.dotQ(col("pqv"), col("cqv")).as("dot"),
+        bit_count(col("p_bucket").bitwiseXOR(col("c_bucket"))).as("hd"))
+      .localCheckpoint() // 4 consumers (ground truth + 3 arms)
     val w = Window.partitionBy(col("p_id")).orderBy(col("dot").desc, col("c_id"))
-    // approximate path: same-bucket candidates, exact re-rank, top-10
-    val approx10 = probeIds
-      .join(buckets.select(col("vec_id").as("c_id"), col("bucket")), "bucket")
-      .filter(col("c_id") =!= col("p_id"))
-      .join(broadcast(pq), "p_id").join(cq, "c_id")
-      .select(col("p_id"), col("c_id"), Similarity.dotQ(col("pq"), col("cq")).as("dot"))
+    val exact10 = scored
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("p_id"), col("c_id"))
-    // ground truth: broadcast probes × corpus, top-10
-    val exact10 = broadcast(pq).crossJoin(cq)
-      .filter(col("c_id") =!= col("p_id"))
-      .select(col("p_id"), col("c_id"), Similarity.dotQ(col("pq"), col("cq")).as("dot"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-      .select(col("p_id"), col("c_id"))
-    val hits = exact10.join(approx10, Seq("p_id", "c_id"), "left_semi")
-      .groupBy(col("p_id")).agg(count(lit(1)).as("hits10"))
-    probeIds.select(col("p_id"))
-      .join(hits, Seq("p_id"), "left")
-      .select(col("p_id").as("vec_id"), coalesce(col("hits10"), lit(0L)).as("hits10"))
+    val arms = Seq(("bucket", 0, 50L), ("probe1", 1, 100L), ("probe2", 2, 200L))
+    val perArm = arms.map { case (name, r, floorMills) =>
+      val approx10 = scored.filter(col("hd") <= r)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("p_id"), col("c_id"))
+      val hits = exact10.join(approx10, Seq("p_id", "c_id"), "left_semi")
+        .groupBy(col("p_id")).agg(count(lit(1)).as("hits10"))
+      pq.select(col("p_id"))
+        .join(hits, Seq("p_id"), "left")
+        .select(lit(name).as("arm"), col("p_id").as("vec_id"),
+          coalesce(col("hits10"), lit(0L)).as("hits10"),
+          lit(floorMills).as("floor_mills"))
+    }.reduce(_ unionByName _)
+    // corpus-mean recall per arm in integer thousandths: hits are out of
+    // 10, so mills = (Σ hits10 × 100) div n — exact on both engines
+    val armStats = perArm.groupBy(col("arm"))
+      .agg(expr("(sum(hits10) * 100) div count(1)").as("mean_mills"))
+    perArm.join(broadcast(armStats), "arm")
+      .select(col("arm"), col("vec_id"), col("hits10"), col("mean_mills"),
+        col("floor_mills"), (col("mean_mills") >= col("floor_mills")).as("floor_ok"))
   }
 
   /** Distributed covariance moments of the embedding corpus — the one

@@ -687,10 +687,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |FROM b GROUP BY vec_id""".stripMargin,
 
-    // ANN recall eval: the SQL-replicated LSH bucket scheme (same CTEs as
-    // q_embed_lsh), candidate re-rank by exact quantized dot, brute-force
-    // ground truth, top-10 overlap per probe — the whole eval is integer
-    // math, replayed bit-exactly
+    // ANN recall eval with the multiprobe ladder and the SEMANTIC floor
+    // gate: the SQL-replicated LSH bucket scheme (same CTEs as
+    // q_embed_lsh), per-arm candidates by bucket Hamming radius
+    // (bit_count over xor), exact-dot re-rank, brute-force ground truth,
+    // top-10 overlap per probe, and the per-arm corpus-mean floor_ok
+    // boolean — the whole eval is integer math, replayed bit-exactly
     "q_ann_recall" ->
       """WITH s AS (
         |  SELECT vec_id, p.j,
@@ -701,27 +703,40 @@ object SparkEntry {
         |bk AS (SELECT vec_id,
         |  CAST(SUM(CASE WHEN sdot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM b GROUP BY vec_id),
-        |dots AS (
+        |scored AS (
         |  SELECT p.vec_id AS p_id, c.vec_id AS c_id,
         |    CAST(SUM(CAST(ROUND(CAST(p.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
-        |           * CAST(ROUND(CAST(c.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
-        |  FROM embeddings p, embeddings c, generate_series(1, 64) g(i)
-        |  WHERE p.vec_id % 40 = 0 AND c.vec_id <> p.vec_id
-        |  GROUP BY 1, 2),
+        |           * CAST(ROUND(CAST(c.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot,
+        |    bit_count(xor(pb.bucket, cb.bucket)) AS hd
+        |  FROM embeddings p
+        |  JOIN bk pb ON pb.vec_id = p.vec_id
+        |  JOIN embeddings c ON c.vec_id <> p.vec_id
+        |  JOIN bk cb ON cb.vec_id = c.vec_id
+        |  CROSS JOIN generate_series(1, 64) g(i)
+        |  WHERE p.vec_id % 40 = 0
+        |  GROUP BY 1, 2, pb.bucket, cb.bucket),
         |exact10 AS (SELECT p_id, c_id FROM (
         |  SELECT p_id, c_id, row_number() OVER (PARTITION BY p_id ORDER BY dot DESC, c_id) AS rn
-        |  FROM dots) WHERE rn <= 10),
-        |cand AS (SELECT p.vec_id AS p_id, c.vec_id AS c_id
-        |  FROM bk p JOIN bk c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
-        |  WHERE p.vec_id % 40 = 0),
-        |approx10 AS (SELECT p_id, c_id FROM (
-        |  SELECT d.p_id, d.c_id, row_number() OVER (PARTITION BY d.p_id ORDER BY d.dot DESC, d.c_id) AS rn
-        |  FROM dots d JOIN cand USING (p_id, c_id)) WHERE rn <= 10),
-        |hits AS (SELECT e.p_id, CAST(COUNT(*) AS BIGINT) AS hits10
-        |  FROM exact10 e JOIN approx10 a USING (p_id, c_id) GROUP BY 1)
-        |SELECT p.vec_id, CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
-        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 40 = 0) p
-        |LEFT JOIN hits h ON h.p_id = p.vec_id""".stripMargin,
+        |  FROM scored) WHERE rn <= 10),
+        |arms AS (SELECT * FROM (VALUES ('bucket', 0, 50), ('probe1', 1, 100),
+        |                               ('probe2', 2, 200)) v(arm, r, floor_mills)),
+        |approx10 AS (SELECT arm, p_id, c_id FROM (
+        |  SELECT a.arm, d.p_id, d.c_id,
+        |    row_number() OVER (PARTITION BY a.arm, d.p_id ORDER BY d.dot DESC, d.c_id) AS rn
+        |  FROM scored d JOIN arms a ON d.hd <= a.r) WHERE rn <= 10),
+        |hits AS (SELECT a.arm, e.p_id, CAST(COUNT(*) AS BIGINT) AS hits10
+        |  FROM exact10 e JOIN approx10 a USING (p_id, c_id) GROUP BY 1, 2),
+        |per_probe AS (
+        |  SELECT a.arm, p.vec_id, CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10,
+        |    CAST(a.floor_mills AS BIGINT) AS floor_mills
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 40 = 0) p
+        |  CROSS JOIN arms a
+        |  LEFT JOIN hits h ON h.p_id = p.vec_id AND h.arm = a.arm),
+        |stats AS (SELECT arm, CAST((SUM(hits10) * 100) // COUNT(*) AS BIGINT) AS mean_mills
+        |  FROM per_probe GROUP BY arm)
+        |SELECT p.arm, p.vec_id, p.hits10, s.mean_mills, p.floor_mills,
+        |  (s.mean_mills >= p.floor_mills) AS floor_ok
+        |FROM per_probe p JOIN stats s USING (arm)""".stripMargin,
 
     "q_text_scrub" ->
       // same augmented text, same RE2/Java-common patterns, same order
