@@ -474,9 +474,14 @@ object QueriesCdc {
       // rows with seq < ddlSeq were governed by the pre-ALTER schema.
       var ddlSeq = Long.MaxValue
       var preCols = v1.columns.length
+      val prof = sys.props.contains("graft.ddl.prof")
+      val tStart = System.nanoTime()
+      def mark(what: String): Unit = if (prof)
+        System.err.println(f"[ddlprof] $what%-28s ${(System.nanoTime() - tStart) / 1e9}%.3f")
       val loop = new SchemaRestartLoop(repull =
         () => throw new IllegalStateException("ADD COLUMN applies locally; no repull"))
       val (_, restarts) = loop.run(v1, (schema, signal) => {
+        mark(s"launch cols=${schema.columns.length}")
         val struct = Schema.toStructType(schema)
         val launchCols = schema.columns.length
         def write(b: DataFrame, batchId: Long): Unit =
@@ -496,41 +501,70 @@ object QueriesCdc {
             .write.mode("overwrite").parquet(s"$dataDir/batch=$batchId")
         s.readStream.format("graft-binlog")
           .option("path", srv.url)
-          .option("maxEventsPerTrigger", math.max(256L, built / 4 + 1))
+          // 55% of the log per trigger: the DDL (at the median event)
+          // lands MID-batch-0 — the abort/replay protocol is exercised on
+          // the very first trigger — and the remainder is exactly one
+          // more batch, so the restart loop pays the fewest trigger
+          // constants that still cover multi-batch admission + mid-batch
+          // abort (3 batch bodies total vs 4 with a 1/3 cap)
+          .option("maxEventsPerTrigger", math.max(256L, built * 11 / 20 + 1))
           .load()
           .writeStream
           .option("checkpointLocation", s"$work/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val ddls = batch.filter(col("op") === "ddl")
-              .select("seq", "gtid_uuid", "gno", "payload")
-              .collect().sortBy(_.getAs[Long]("seq"))
-            ddls.foreach { r =>
-              val seq = r.getAs[Long]("seq")
-              val gtid = s"${r.getAs[String]("gtid_uuid")}:${r.getAs[Long]("gno")}"
-              SchemaFlow.onQueryEvent(state, schema, r.getAs[String]("payload"), gtid, seq) match {
-                case SchemaFlow.SchemaChanged(next, _) =>
-                  // commit rows BEFORE the ALTER under the old schema,
-                  // then stop; the batch replays under the new one
-                  write(batch.filter(col("seq") < seq), batchId)
-                  preCols = launchCols
-                  ddlSeq = seq
-                  signal.schemaChanged(next)
-                case SchemaFlow.NeedsRepull(reason) => signal.needsRepull(reason)
-                case SchemaFlow.AlreadyApplied => ddlSeq = seq // replay: boundary known
-                case SchemaFlow.NotSchemaRelated => ()
+          .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+            // pin the micro-batch: foreachBatch re-executes the source
+            // scan PER ACTION, and this body runs up to three (ddl
+            // collect, pre-DDL write, full write) — uncached, each one
+            // re-dials the replication socket and replays the dump
+            mark(s"batch $batchId begin")
+            val batch = batch0.persist()
+            try {
+              val ddls = batch.filter(col("op") === "ddl")
+                .select("seq", "gtid_uuid", "gno", "payload")
+                .collect().sortBy(_.getAs[Long]("seq"))
+              ddls.foreach { r =>
+                val seq = r.getAs[Long]("seq")
+                val gtid = s"${r.getAs[String]("gtid_uuid")}:${r.getAs[Long]("gno")}"
+                SchemaFlow.onQueryEvent(state, schema, r.getAs[String]("payload"), gtid, seq) match {
+                  case SchemaFlow.SchemaChanged(next, _) =>
+                    // commit rows BEFORE the ALTER under the old schema,
+                    // then stop; the batch replays under the new one
+                    write(batch.filter(col("seq") < seq), batchId)
+                    preCols = launchCols
+                    ddlSeq = seq
+                    signal.schemaChanged(next)
+                  case SchemaFlow.NeedsRepull(reason) => signal.needsRepull(reason)
+                  case SchemaFlow.AlreadyApplied => ddlSeq = seq // replay: boundary known
+                  case SchemaFlow.NotSchemaRelated => ()
+                }
               }
-            }
-            write(batch, batchId)
+              write(batch, batchId)
+              mark(s"batch $batchId end")
+            } finally batch.unpersist()
           }.start()
       })
+      mark("loop done")
       require(restarts == 1, s"expected exactly one schema restart, got $restarts")
       // explicit per-batch dirs, not a glob: FileStreamSink.hasMetadata
       // stats the literal glob string first and logs a noisy (harmless)
       // FileNotFoundException stack on every run
       val batchDirs = new java.io.File(dataDir).listFiles()
         .filter(_.getName.startsWith("batch=")).map(_.getPath).sorted
-      s.read.parquet(batchDirs.toIndexedSeq: _*)
+      mark("read back")
+      // explicit schema: every batch dir writes these 8 columns, so the
+      // footer-merge inference pass (a listing + footer-read job over all
+      // batch dirs before the real scan) is pure overhead
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("gtid_uuid", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gno", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("etype", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value_cents", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value_dec", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_schema_cols", org.apache.spark.sql.types.LongType)))
+      s.read.schema(outSchema).parquet(batchDirs.toIndexedSeq: _*)
         .select("event_id", "gtid_uuid", "gno", "user_id", "etype",
           "value_cents", "value_dec", "n_schema_cols")
     } finally srv.close()
