@@ -59,9 +59,26 @@ object QueriesGraph {
     // Dedup.connectedComponents. The ~12 per-invocation checkpoint trees
     // (edges, nodes, 10 rounds) live in a Checkpoints.scoped subdir that
     // is deleted before pagerank returns — nothing survives the call.
-    def trunc(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // AQE is toggled OFF around each checkpoint: under AQE the
+    // checkpoint's LogicalRDD records UnknownPartitioning (the adaptive
+    // wrapper hides the final plan's partitioning), which would force
+    // every round to re-shuffle and re-sort the static edge table AND
+    // the rank state. With it off, the checkpoint preserves
+    // hash-partitioning + ordering, and each round's join runs with NO
+    // exchange on either side (ranks exit the previous round's agg
+    // already hash(node)-partitioned = hash(sn); edges are pre-sorted
+    // by src) — the round's only shuffle is the node aggregation.
+    // AQE's in-round value here is marginal (fixed-width long keys, no
+    // skew-join rewrite for aggs), so the trade is one-sided.
+    def trunc(df: DataFrame): DataFrame = {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(k)
+      s.conf.set(k, "false")
+      try {
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      } finally s.conf.set(k, prev)
+    }
     val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -74,8 +91,18 @@ object QueriesGraph {
     // the pinned 32-partition blocks defeat AQE's coalescing of these
     // metadata-sized shuffles. See Dedup.connectedComponents for the
     // same pattern and the reliable-checkpoint variant at cluster scale.)
+    //
+    // HASH-PARTITIONED BY src AND SORTED within partitions before the
+    // checkpoint: LogicalRDD preserves both outputPartitioning and
+    // outputOrdering, so the one-time deg/adjacency builds below run
+    // without re-shuffling, and the per-round join (against the CSR
+    // adjacency derived from these edges) is exchange-free on both
+    // sides. PlanShapeSpec pins the round shape: exactly one exchange
+    // (the node aggregation), one sort (the rank side).
     val edges = trunc(pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst"))))
+      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     // HYBRID, same stance as Dedup.connectedComponents: the iteration's
     // arithmetic is 64-bit integer fixed point — truncating division per
     // source, long sums per destination — which is ORDER-INDEPENDENT, so
@@ -98,6 +125,21 @@ object QueriesGraph {
     if (nDirected <= driverCap && integralKeys &&
         graft.core.DriverBudget.fitsDriver(edges, nDirected))
       return driverPagerank(s, edges, iters)
+    // CSR-style adjacency: one row per (src, 64k-chunk of neighbors)
+    // instead of one row per edge. The per-round contribution join then
+    // touches node-count-sized inputs (the 12M-edge merge join was the
+    // round's CPU floor) and the edge fan-out happens in a narrow
+    // explode. Chunking bounds the array per row at 65 536 entries so a
+    // celebrity node cannot materialize its whole adjacency in one
+    // buffer at 100 TB; sum is order-independent so the chunk split
+    // cannot perturb the fixed-point arithmetic.
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = trunc(edges
+      .withColumn("chunk", ((row_number().over(wSrc) - 1) / 65536).cast("int"))
+      .groupBy(col("src"), col("chunk"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nTotal = deg.agg(count(lit(1)).as("cnt"))
     val nodes = deg.crossJoin(broadcast(nTotal))
@@ -114,25 +156,37 @@ object QueriesGraph {
     var ranks = nodes.select(col("node"), col("deg"), col("base"),
       col("init").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.select(col("node").as("sn"), expr("r div deg").as("v"))
-        .join(edges, col("sn") === col("src"))
-        .select(col("dst").as("node"), col("v"), lit(false).as("isCarrier"),
-          lit(null).cast("long").as("cdeg"), lit(null).cast("long").as("cbase"))
-      val carriers = ranks.select(col("node"), lit(0L).as("v"),
-        lit(true).as("isCarrier"), col("deg").as("cdeg"), col("base").as("cbase"))
       // ranks feeds BOTH branches of the union: truncate per round or the
       // dual reference doubles the recompute tree every iteration
       // (measured 6× slower unmaterialized)
-      ranks = contrib.unionByName(carriers)
-        .groupBy(col("node"))
-        .agg(max(when(col("isCarrier"), col("cdeg"))).as("deg"),
-          max(when(col("isCarrier"), col("cbase"))).as("base"),
-          sum(when(!col("isCarrier"), col("v"))).as("sc"))
-        .select(col("node"), col("deg"), col("base"),
-          (col("base") + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
-        .transform(trunc)
+      ranks = trunc(pagerankRound(ranks, adj))
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** One Pregel round, exposed for the plan-shape pin: contributions
+    * (ranks ⋈ adjacency on src, then a narrow explode of each chunk's
+    * neighbor array) unioned with a per-node carrier row, folded by ONE
+    * node-keyed aggregation. With `adj` pre-partitioned and pre-sorted
+    * on src and ranks exiting the previous round's agg hash(node)-
+    * partitioned (= hash(sn)), the join is exchange-free and the
+    * round's only shuffle is the aggregation — the static adjacency is
+    * never re-shuffled or re-sorted (PlanShapeSpec pins this).
+    */
+  private[graft] def pagerankRound(ranks: DataFrame, adj: DataFrame): DataFrame = {
+    val contrib = ranks.select(col("node").as("sn"), expr("r div deg").as("v"))
+      .join(adj, col("sn") === col("src"))
+      .select(explode(col("dsts")).as("node"), col("v"), lit(false).as("isCarrier"),
+        lit(null).cast("long").as("cdeg"), lit(null).cast("long").as("cbase"))
+    val carriers = ranks.select(col("node"), lit(0L).as("v"),
+      lit(true).as("isCarrier"), col("deg").as("cdeg"), col("base").as("cbase"))
+    contrib.unionByName(carriers)
+      .groupBy(col("node"))
+      .agg(max(when(col("isCarrier"), col("cdeg"))).as("deg"),
+        max(when(col("isCarrier"), col("cbase"))).as("base"),
+        sum(when(!col("isCarrier"), col("v"))).as("sc"))
+      .select(col("node"), col("deg"), col("base"),
+        (col("base") + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
   }
 
   /** Driver fixed-point loop — replicates the distributed rounds'

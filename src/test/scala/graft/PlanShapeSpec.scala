@@ -258,4 +258,62 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("pagerank round: static edge table is never re-shuffled or re-sorted") {
+    // The distributed loop's per-round cost: with edges pre-partitioned
+    // and pre-sorted on src before the checkpoint, each round must
+    // exchange ONLY the rank side of the join plus the node aggregation
+    // — re-shuffling the (much larger) static edge table every round is
+    // the regression this pins out. Broadcast is disabled so the shape
+    // under test is the 100 TB one (rank side too big to broadcast).
+    import org.apache.spark.sql.functions._
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def aqeOff[T](f: => T): T = { // mirror pagerankBody's trunc
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try f finally spark.conf.set(k, prev)
+    }
+    try {
+      import spark.implicits._
+      val pairs = Seq.tabulate(200)(i => (i.toLong % 20, i.toLong % 7 + 100))
+        .toDF("c", "p")
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      // the body's CSR adjacency: (src, chunk) rows with neighbor arrays
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))
+      val adj = aqeOff {
+        edges
+          .withColumn("chunk", ((row_number().over(wSrc) - 1) / 65536).cast("int"))
+          .groupBy(col("src"), col("chunk"))
+          .agg(collect_list(col("dst")).as("dsts"))
+          .repartition(col("src")).sortWithinPartitions(col("src"))
+          .localCheckpoint()
+      }
+      // mimic a round's output state: node-keyed agg, checkpointed with
+      // its hash(node) partitioning preserved
+      val ranks = aqeOff {
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .withColumn("base", lit(1000L)).withColumn("r", lit(10000L))
+          .select(col("node"), col("deg"), col("base"), col("r"))
+          .repartition(col("node"))
+          .localCheckpoint()
+      }
+      val round = QueriesGraph.pagerankRound(ranks, adj)
+      val p = round.queryExecution.executedPlan.toString
+      // hash(node) = hash(sn) on the rank side and hash(src) on the edge
+      // side are co-partitioned: the join runs exchange-free and the
+      // round's ONLY shuffle is the node aggregation
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"expected exactly 1 exchange (node agg only), got $exchanges:\n${p.take(4000)}")
+      // edges arrive sorted: the join must add exactly one Sort (rank side)
+      val sorts = p.linesIterator.count(_.contains("Sort ["))
+      assert(sorts == 1,
+        s"expected exactly 1 sort (rank side only — edges pre-sorted), got $sorts:\n${p.take(4000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
