@@ -139,6 +139,27 @@ object Bench {
       val runs = passes.map(_(n))
       n -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
     }
+    // PER-QUERY SPREAD: the calibration probe brackets passes, so a
+    // sub-threshold load window (calib "clean" at 0.9x-1.5x ref) can
+    // still spike individual sub-second queries 5-6x within one pass.
+    // min/median/max across the repeats plus spread_ratio = max/min let
+    // a reader classify every outlier from the artifact alone: a
+    // suspect-flagged query's MEDIAN is still load-robust (one corrupted
+    // pass of three cannot move it), but its max is not to be read as
+    // engine cost. Flag threshold 2.5x — ordinary scheduler jitter on
+    // sub-second queries stays under ~2x.
+    // `runs` stays in PASS ORDER in the artifact: a suspect whose max is
+    // pass 1 is per-query cold cost (fixture memoization, first codegen),
+    // one whose max is a later pass is a transient load window — the two
+    // are indistinguishable from min/max alone.
+    val spread = names.map { n =>
+      val inOrder = passes.map(_(n))
+      val runs = inOrder.filter(_ >= 0)
+      val (mn, mx) = if (runs.isEmpty) (-1.0, -1.0) else (runs.min, runs.max)
+      val ratio = if (mn > 0) mx / mn else -1.0
+      n -> ((inOrder, mn, mx, ratio, ratio > 2.5))
+    }
+    val spreadSuspects = spread.collect { case (n, (_, _, _, _, true)) => n }
 
     // source-level throughput (rows/s) for the two streaming sources, so
     // source regressions are visible distinctly from planner jitter.
@@ -246,16 +267,24 @@ object Bench {
       s""""load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"calib_idle_ref_s":${j(calibRef)},"loadavg_start":[${loadStart.map(j).mkString(",")}],"loadavg_end":[${loadEnd.map(j).mkString(",")}]"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spreadJson = spread.map { case (k, (inOrder, mn, mx, ratio, sus)) =>
+      "\"" + k + "\":{\"runs\":[" + inOrder.map(j).mkString(",") +
+        "],\"min\":" + j(mn) + ",\"max\":" + j(mx) +
+        ",\"ratio\":" + j(ratio) + ",\"suspect\":" + sus + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"spread":$spreadJson,"spread_suspects":[${spreadSuspects.map("\"" + _ + "\"").mkString(",")}],"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullName),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the compact line carries only the spread VERDICT (count + first
+    // few names); per-query min/max/ratio live in the full artifact
+    val susHead = spreadSuspects.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"spread_suspect_n":${spreadSuspects.size},"spread_suspects_head":$susHead,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

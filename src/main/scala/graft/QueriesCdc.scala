@@ -912,6 +912,62 @@ object QueriesCdc {
         get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
   }
 
+  /** The consumer-group redistribution COMPOSED with the streaming
+    * engine (the round-11 verdict's task 6): a `graft-kafka` DSv2 run in
+    * GROUP MODE, where each trigger's partitions are split among N
+    * member readers by the reference's contiguous partsPerConsumer
+    * arithmetic — the SAME [[graft.pipes.TopicGroup.contiguousSplit]]
+    * the live thread-level rebalancer uses — and the member schedule
+    * changes MID-STREAM (2 members → 3 join → 2 crash-leave → 3
+    * rejoin, one step per trigger via the members log). A re-split
+    * must change WHO reads a partition, never WHAT arrives: the
+    * round-trip oracle (identical to q_group_rebalance's) gates that
+    * rows stay exact across every membership change, and
+    * KafkaGroupModeSpec pins the assignment arithmetic itself.
+    * Mid-stream membership that Spark cannot see any other way —
+    * executor-thread scheduling is opaque — becomes visible and
+    * checkable at the planInputPartitions boundary.
+    */
+  def groupStream(s: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val base = events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id").as("ord"),
+        col("user_id").cast("string").as("key"),
+        col("user_id"),
+        to_json(struct(col("event_id"),
+          round(col("value") * 100).cast("long").as("value_cents"))).as("value"))
+    val topicDir = s"${System.getProperty("java.io.tmpdir")}/graft_kafka_gstream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(topicDir), true)
+    val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
+      partitionCol = Some(pmod(col("user_id"), lit(nParts))))
+    // the join/leave schedule, one line per trigger: 4 triggers (cap at
+    // produced/4) walk 2 → 3 (join) → 2 (leave) → 3 (rejoin)
+    val memberLog = java.nio.file.Files.createTempFile("graft-group-members", ".log")
+    java.nio.file.Files.write(memberLog,
+      "2\n3\n2\n3\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      runWithTempCkpt("graft-kafka-gstream-ckpt") { ckpt =>
+        s.readStream.format("graft-kafka")
+          .option("path", topicDir)
+          .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
+          .option("groupMembersLog", memberLog.toString)
+          .load()
+          .writeStream.format("memory").queryName("graft_group_stream")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+    } finally java.nio.file.Files.deleteIfExists(memberLog)
+    s.table("graft_group_stream")
+      .select(col("partition").cast("long").as("partition"), col("offset"),
+        col("key").cast("long").as("user_id"),
+        get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("value"), "$.value_cents").cast("long").as("value_cents"))
+  }
+
   /** Streaming windowed aggregation through the real streaming engine:
     * events replayed as a multi-batch file stream → watermarked tumbling
     * 1-hour windows ([[graft.stream.StreamOps.windowedCounts]]) → memory
@@ -1346,6 +1402,7 @@ object QueriesCdc {
     "q_kafka_socket" -> kafkaSocket _,
     "q_rate_limited" -> rateLimited _,
     "q_group_rebalance" -> groupRebalance _,
+    "q_group_stream" -> groupStream _,
     "q_stream_window" -> streamWindow _,
     "q_stream_dedup" -> streamDedup _,
     "q_stream_session" -> streamSession _,

@@ -239,6 +239,15 @@ object SparkEntry {
         |  user_id, event_id,
         |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
+    // the same redistribution composed with the DSv2 source (group-mode
+    // planInputPartitions, members re-split per trigger): identical
+    // roundtrip contract, so the identical oracle gates it
+    "q_group_stream" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS partition,
+        |  row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS offset,
+        |  user_id, event_id,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type IN ('purchase', 'view')""".stripMargin,
     // identical round-trip contract over the real Kafka wire protocol
     // (loopback broker, checkpointed restart between the two produced
     // halves), so the same oracle gates it

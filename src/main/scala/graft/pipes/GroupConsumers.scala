@@ -161,14 +161,11 @@ final class TopicGroup(topicDir: String, group: String, conf: Configuration,
     stopAll() // cancel + wg.Wait (kafka.go:231-235)
     if (members.isEmpty || closed) { pumps.foreach(_.owner = null); return }
     val nparts = pumps.length
-    var j = 0
-    // (the reference assumes nparts >= consumers; floor at 1 so extra
-    // consumers simply receive no partitions instead of div-by-zero)
-    var partsPerConsumer = math.max(1, nparts / (members.size - j))
+    val assign = TopicGroup.contiguousSplit(nparts, members.size)
     val started = new CountDownLatch(nparts)
     for (i <- 0 until nparts) {
       val pump = pumps(i)
-      val owner = members(math.min(j, members.size - 1))
+      val owner = members(assign(i))
       pump.owner = owner
       pump.stop.set(false)
       val t = new Thread(() => { started.countDown(); run(pump, owner) },
@@ -176,12 +173,6 @@ final class TopicGroup(topicDir: String, group: String, conf: Configuration,
       t.setDaemon(true)
       pump.thread = t
       t.start()
-      // "Try our best to equally redistribute work" — kafka.go:283-289
-      if ((nparts - i - 1) % partsPerConsumer == 0) {
-        j += 1
-        if (members.size != j)
-          partsPerConsumer = math.max(1, (nparts - i - 1) / (members.size - j))
-      }
     }
     started.await()
   }
@@ -235,5 +226,35 @@ final class TopicGroup(topicDir: String, group: String, conf: Configuration,
     lock.synchronized { closed = true; members = Vector.empty }
     pumps.foreach { p => p.stop.set(true); val t = p.thread; if (t != null) t.interrupt() }
     pumps.foreach { p => val t = p.thread; if (t != null) t.join(); p.thread = null }
+  }
+}
+
+/** The contiguous best-effort-equal split, as a pure function — shared
+  * by the live [[TopicGroup]] rebalancer and the DSv2 source's
+  * group-mode `planInputPartitions` so both surfaces provably assign
+  * identically (the exact `partsPerConsumer` loop arithmetic of
+  * /root/reference/pipe/kafka.go:245-289).
+  */
+object TopicGroup {
+
+  /** `result(i)` = member index owning partition i (partitions in id
+    * order). The reference assumes nparts >= members; the floor at 1
+    * makes extra members simply receive no partitions.
+    */
+  def contiguousSplit(nparts: Int, nMembers: Int): Array[Int] = {
+    require(nMembers > 0, "contiguousSplit needs at least one member")
+    val out = new Array[Int](nparts)
+    var j = 0
+    var partsPerConsumer = math.max(1, nparts / nMembers)
+    for (i <- 0 until nparts) {
+      out(i) = math.min(j, nMembers - 1)
+      // "Try our best to equally redistribute work" — kafka.go:283-289
+      if ((nparts - i - 1) % partsPerConsumer == 0) {
+        j += 1
+        if (nMembers != j)
+          partsPerConsumer = math.max(1, (nparts - i - 1) / (nMembers - j))
+      }
+    }
+    out
   }
 }

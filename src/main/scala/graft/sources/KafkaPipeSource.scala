@@ -69,7 +69,8 @@ class KafkaPipeScan(path: String, options: Map[String, String]) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaPipeMicroBatchStream(path, options.get("maxoffsetspertrigger").map(_.toLong),
       options.get("targetrowspertrigger").map(_.toLong),
-      options.get("ratewindowtriggers").map(_.toInt).getOrElse(4))
+      options.get("ratewindowtriggers").map(_.toInt).getOrElse(4),
+      options.get("groupmemberslog"))
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     SourceMetrics.supported
 }
@@ -98,7 +99,8 @@ object PartitionOffsets {
 
 class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long],
                                 targetRowsPerTrigger: Option[Long] = None,
-                                rateWindowTriggers: Int = 4)
+                                rateWindowTriggers: Int = 4,
+                                groupMembersLog: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val confEntries = graft.core.HadoopConf.shipActive()
@@ -182,13 +184,53 @@ class KafkaPipeMicroBatchStream(path: String, maxOffsetsPerTrigger: Option[Long]
     PartitionOffsets(endMap)
   }
 
+  // group mode: trigger counter for the member-log lookup. Planning is
+  // driver-side and single-threaded per stream instance; on a checkpoint
+  // restart the counter resets, which can only change which MEMBER reads
+  // a partition's replayed range — row correctness rides the offsets.
+  private var groupTrigger = 0
+
+  /** Member count in effect for trigger `idx`: line idx of the member
+    * log (1-based counts, last line sticks once the log is exhausted).
+    * The file is the join/leave schedule — rewriting it mid-stream is
+    * how a live membership change reaches the next trigger's plan.
+    */
+  private def membersAt(idx: Int): Int = groupMembersLog.map { f =>
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toVector
+    require(lines.nonEmpty, s"empty group members log: $f")
+    lines(math.min(idx, lines.size - 1))
+  }.getOrElse(0)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PartitionOffsets].offsets.withDefaultValue(0L)
     val e = end.asInstanceOf[PartitionOffsets].offsets
-    e.toSeq.sortBy(_._1).collect {
+    val perPartition = e.toSeq.sortBy(_._1).collect {
       case (p, until) if until > s(p) =>
         KafkaPipeInputPartition(path, p, s(p), until, confEntries)
-    }.toArray
+    }
+    if (groupMembersLog.isEmpty) return perPartition.toArray
+    // GROUP MODE — the reference's in-process consumer-group shape
+    // composed with the engine: this trigger's partitions are split
+    // among N member readers with the SAME contiguous partsPerConsumer
+    // arithmetic the live TopicGroup rebalancer uses
+    // (pipe/kafka.go:245-289 via TopicGroup.contiguousSplit), so a
+    // join/leave between triggers re-splits partition ownership
+    // mid-stream while the offset ranges — and therefore the rows —
+    // stay exact. Assignment is computed over the topic's FULL sorted
+    // partition list (the reference splits all partitions, drained or
+    // not), then empty members drop out.
+    val nMembers = membersAt(groupTrigger)
+    groupTrigger += 1
+    val allParts = e.keys.toSeq.sorted
+    val assign = graft.pipes.TopicGroup.contiguousSplit(allParts.size, nMembers)
+    val owner = allParts.zipWithIndex.map { case (p, i) => p -> assign(i) }.toMap
+    perPartition.groupBy(ip => owner(ip.partition)).toSeq.sortBy(_._1)
+      .map { case (member, ips) =>
+        KafkaPipeGroupInputPartition(member, ips.sortBy(_.partition))
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new KafkaPipeReaderFactory
@@ -201,11 +243,48 @@ case class KafkaPipeInputPartition(path: String, partition: Int, from: Long, unt
                                    confEntries: Seq[(String, String)])
     extends InputPartition
 
+/** Group-mode split: ONE reader (= one group member) drains its assigned
+  * topic partitions sequentially — the task-level analogue of a
+  * TopicGroup consumer's pump set for this trigger.
+  */
+case class KafkaPipeGroupInputPartition(member: Int, parts: Seq[KafkaPipeInputPartition])
+    extends InputPartition
+
 class KafkaPipeReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KafkaPipeInputPartition]
-    new KafkaPipePartitionReader(p)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: KafkaPipeInputPartition => new KafkaPipePartitionReader(p)
+      case g: KafkaPipeGroupInputPartition => new KafkaPipeGroupReader(g)
+    }
+}
+
+/** Chains one [[KafkaPipePartitionReader]] per assigned partition, in
+  * partition order — records within a partition keep offset order, the
+  * per-member interleaving across partitions is immaterial to the
+  * at-least-once set contract (same as a TopicGroup member's pumps).
+  */
+class KafkaPipeGroupReader(g: KafkaPipeGroupInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val queue = g.parts.iterator
+  private var cur: KafkaPipePartitionReader = _
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    while (cur == null || !cur.next()) {
+      if (cur != null) cur.close()
+      if (!queue.hasNext) { cur = null; done = true; return false }
+      cur = new KafkaPipePartitionReader(queue.next())
+    }
+    true
   }
+
+  override def get(): InternalRow = cur.get()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (cur != null) cur.currentMetricsValues() else Array.empty
+
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 class KafkaPipePartitionReader(p: KafkaPipeInputPartition)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""sf1 heavy-set oracle gate -> CORRECTNESS_sf1.json.
+
+The per-round driver gate runs at sf0.01; SF-dependent machinery (hybrid
+driver-path caps, LSH bucket-population caps, counting-sort histogram
+width, pointer-jumping depth) only exercises its at-scale branches on a
+bigger corpus. This gate runs the same three checks (rows + schema +
+hash, identical canonicalization to tools/oracle_check.py) over the
+tools.ScaleUp sf1 fixture for the ~20 heaviest catalog queries and emits
+the round-file format.
+
+Usage: python3 tools/sf1_gate.py <sf1Dir> <verifyOutDir> [outJson]
+(run `sbt "runMain graft.Verify <sf1Dir> <verifyOutDir> <heavy,set>"` first)
+"""
+import sys, json, glob, os
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_check import canon
+
+HEAVY = [
+    "q_dedup_exact", "q_dedup_minhash", "q_minhash_lsh", "q_dedup_pipeline",
+    "q_incr_index", "q_dedup_simhash", "q_simhash_pairs", "q_dedup_clusters",
+    "q_cluster_keeper", "q_embed_clusters", "q_semdedup_prune", "q_pagerank",
+    "q_percentiles", "q_heavy_hitters", "q_substring_dedup", "q_line_dedup",
+    "q_chunk_windows", "q_changelog_native", "q_stratified_split",
+    "q_corpus_clean",
+]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_sf1.json"
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        # ScaleUp writes Spark-style DIRECTORIES; driver fixtures are files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    n_fail = 0
+    for name in HEAVY:
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        results[name] = rec
+        try:
+            spark_dir = f"{out_dir}/{name}"
+            if not os.path.isdir(spark_dir):
+                raise RuntimeError("no spark output")
+            if name not in oracle:
+                raise RuntimeError("no oracle sql")
+            scols, snrows, shash = canon(con, f"SELECT * FROM '{spark_dir}/*.parquet'", "spark")
+            ocols, onrows, ohash = canon(con, f"SELECT * FROM ({oracle[name]})", "oracle")
+            rec["spark_rows"], rec["oracle_rows"] = snrows, onrows
+            rec["rows_match"] = snrows == onrows
+            rec["schema_match"] = scols == ocols
+            rec["hash_match"] = shash == ohash
+        except Exception as e:
+            rec["err"] = str(e)[:300]
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        if not ok:
+            n_fail += 1
+        print(("PASS" if ok else "FAIL"), name,
+              f"({rec['spark_rows']} rows)" if ok else rec)
+    with open(out_json, "w") as f:
+        json.dump({"sf": sf_dir, "queries": results}, f, indent=1)
+    print(f"== {len(HEAVY) - n_fail} pass, {n_fail} fail -> {out_json}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
