@@ -35,7 +35,14 @@ object Multimodal {
   // strictly better; decodeImage/sampleContainerFrames already
   // construct MemoryCacheImageInputStream explicitly, this closes the
   // ImageIO.read/write-created ones.
-  javax.imageio.ImageIO.setUseCache(false)
+  //
+  // This IS a JVM-global side effect visible to any other ImageIO user
+  // sharing the process (also documented in SCALE.md): an embedder that
+  // needs the disk cache (e.g. images larger than heap elsewhere in the
+  // JVM) can opt out with -Dgraft.imageio.keepDiskCache=true before
+  // this class loads.
+  if (!sys.props.get("graft.imageio.keepDiskCache").contains("true"))
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** Metadata struct carried alongside every media blob. */
   val mediaMetaType: StructType = StructType(Seq(

@@ -155,8 +155,39 @@ object Lease {
       out
     }
 
+  // Tiny per-URL connection pool: every lease operation was paying a
+  // fresh DriverManager.getConnection (Derby embedded ~ms, a remote
+  // store a full TCP+auth round trip) — heartbeat-heavy workers
+  // multiply that. Borrow-or-dial, return on success, DISCARD on error
+  // (a connection that just threw may be poisoned; the next borrower
+  // dials fresh). Cap per URL bounds idle sockets; validation on borrow
+  // drops connections a server closed while pooled.
+  private val pools = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Connection]]()
+  private val MaxPooledPerUrl = 8
+
   private def withConn[A](url: String)(f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
-    try { c.setAutoCommit(true); f(c) } finally c.close()
+    val pool = pools.computeIfAbsent(url,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Connection]())
+    var c: Connection = null
+    var borrowed = pool.poll()
+    while (borrowed != null && c == null) {
+      val ok = try !borrowed.isClosed && borrowed.isValid(1)
+               catch { case _: Throwable => false }
+      if (ok) c = borrowed
+      else {
+        try borrowed.close() catch { case _: Throwable => () }
+        borrowed = pool.poll()
+      }
+    }
+    if (c == null) c = DriverManager.getConnection(url)
+    var failed = false
+    try { c.setAutoCommit(true); f(c) }
+    catch { case e: Throwable => failed = true; throw e }
+    finally {
+      if (failed || pool.size >= MaxPooledPerUrl) {
+        try c.close() catch { case _: Throwable => () }
+      } else pool.offer(c)
+    }
   }
 }
