@@ -285,6 +285,13 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
+      // pre-sorted within partitions: the cache scan reports the stored
+      // ordering, so each round's merge join skips re-sorting the edge
+      // side (the labels side, node-count-sized, still sorts). The join
+      // itself is already exchange-free — cached hash(src) edges against
+      // hash(src)-partitioned label aggs (probe: tools.CcPlanProbe, one
+      // live exchange per round = the doc_id aggregation).
+      .sortWithinPartitions(col("src"))
       .persist()
     // HYBRID: a small edge set is a driver-trivial union-find — the same
     // bounded-driver-work stance as IVF's sampled k-means. The iterative

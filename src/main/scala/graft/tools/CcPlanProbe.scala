@@ -23,6 +23,7 @@ object CcPlanProbe {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist()
     edges.count()
     val labels = edges.groupBy(col("src").as("doc_id"))
