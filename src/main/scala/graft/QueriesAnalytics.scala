@@ -311,24 +311,47 @@ object QueriesAnalytics {
       .select(col("p_id"), col("c_id"),
         Similarity.dotQ(col("pqv"), col("cqv")).as("dot"),
         bit_count(col("p_bucket").bitwiseXOR(col("c_bucket"))).as("hd"))
-      .localCheckpoint() // 4 consumers (ground truth + 3 arms)
+    // ONE window pass ranks every arm at once: over the per-probe
+    // dot-desc order, the inclusive running count of rows with hd <= r
+    // IS the row's rank within arm r's candidate set (and the plain
+    // running count is the brute-force rank). A candidate is a HIT for
+    // arm r exactly when it sits in the brute-force top-10 AND in its
+    // arm's top-10 — so hits10 per (probe, arm) is one conditional
+    // aggregation, no joins, no re-sorts. (The previous shape — one
+    // row_number window per arm plus per-arm semi-joins against the
+    // exact top-10 — sorted the probes × corpus table four times; at
+    // sf1 those sorts rivaled the dot products themselves.)
     val w = Window.partitionBy(col("p_id")).orderBy(col("dot").desc, col("c_id"))
-    val exact10 = scored
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-      .select(col("p_id"), col("c_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val arms = Seq(("bucket", 0, 50L), ("probe1", 1, 100L), ("probe2", 2, 200L))
-    val perArm = arms.map { case (name, r, floorMills) =>
-      val approx10 = scored.filter(col("hd") <= r)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-        .select(col("p_id"), col("c_id"))
-      val hits = exact10.join(approx10, Seq("p_id", "c_id"), "left_semi")
-        .groupBy(col("p_id")).agg(count(lit(1)).as("hits10"))
-      pq.select(col("p_id"))
-        .join(hits, Seq("p_id"), "left")
-        .select(lit(name).as("arm"), col("p_id").as("vec_id"),
-          coalesce(col("hits10"), lit(0L)).as("hits10"),
-          lit(floorMills).as("floor_mills"))
-    }.reduce(_ unionByName _)
+    val rankedCols = Seq(col("p_id"), col("hd"),
+      count(lit(1)).over(w).as("rng")) ++
+      arms.map { case (name, r, _) =>
+        sum(when(col("hd") <= r, 1L).otherwise(0L)).over(w).as(s"rn_$name")
+      }
+    val ranked = scored.select(rankedCols: _*)
+    val hitCols = arms.map { case (name, r, _) =>
+      sum(when(col("rng") <= 10 && col("hd") <= r && col(s"rn_$name") <= 10, 1L)
+        .otherwise(0L)).as(s"hits_$name")
+    }
+    val hitsWide = ranked.groupBy(col("p_id")).agg(hitCols.head, hitCols.tail: _*)
+    // widen to (arm, probe) long form in ONE pass over hitsWide (a
+    // per-arm join would re-run the heavy upstream once per arm); the
+    // left join keeps a zero row for a probe with no candidates (cannot
+    // happen here — only the probe itself is excluded — free guard).
+    // The result is 3 × |probes| rows: checkpoint it so the mean-recall
+    // aggregate and the final join both read the tiny table instead of
+    // re-running the probes × corpus plan.
+    val perArm = pq.select(col("p_id"))
+      .join(hitsWide, Seq("p_id"), "left")
+      .select(col("p_id"), explode(array(arms.map { case (name, _, fl) =>
+        struct(lit(name).as("arm"),
+          coalesce(col(s"hits_$name"), lit(0L)).as("hits10"),
+          lit(fl).as("floor_mills"))
+      }: _*)).as("a"))
+      .select(col("a.arm").as("arm"), col("p_id").as("vec_id"),
+        col("a.hits10").as("hits10"), col("a.floor_mills").as("floor_mills"))
+      .localCheckpoint()
     // corpus-mean recall per arm in integer thousandths: hits are out of
     // 10, so mills = (Σ hits10 × 100) div n — exact on both engines
     val armStats = perArm.groupBy(col("arm"))
