@@ -376,6 +376,49 @@ object QueriesTraining {
     * at production scale the same cut runs as a per-source TakeOrdered
     * of budget/avg_doc_tokens docs before the exact windowed pass.
     */
+  /** Data-MIXTURE weighting — the step between corpus stats and the
+    * sampler in every large-scale LM data pipeline (temperature-scaled
+    * source weights, the multilingual-training standard; τ = 2 here, so
+    * weight ∝ √tokens): per source, the sampling weight, its share of
+    * the mix in parts-per-million, the expected token draw against a
+    * fixed total budget, and the per-source sampling RATE (expected /
+    * available, capped at 1.0) a downstream reservoir applies. The
+    * DERIVE half of the mixing knob: [[domainMix]] is the APPLY half
+    * (deterministic content-hash cut at a given rate) — production
+    * chains this op's sample_rate_ppm into that filter.
+    *
+    * All integer math so the oracle replays it bit-exactly: the isqrt
+    * is floor(sqrt) computed in doubles then CORRECTED by one
+    * conditional step in each direction (a double sqrt near a perfect
+    * square can land on either side; ±1 adjustment makes it exact for
+    * any count below 2^52), shares are integer ppm via `div`, and the
+    * rate caps with least(). Scale shape: one map-side-combined
+    * aggregate to per-source totals (rows = |sources|, constant), then
+    * scalar arithmetic — nothing about this step grows with the corpus.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val budgetTokens = 20000L
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    // exact integer sqrt: float floor, then ±1 correction
+    val s0 = floor(sqrt(col("tokens").cast("double"))).cast("long")
+    val isqrt = (s0
+      + when((s0 + 1) * (s0 + 1) <= col("tokens"), 1L).otherwise(0L)
+      - when(s0 * s0 > col("tokens"), 1L).otherwise(0L)).as("weight")
+    val weighted = perSource.select(col("source"), col("n_docs"), col("tokens"), isqrt)
+    val total = weighted.agg(sum(col("weight")).as("wsum"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        expr("(weight * 1000000) div wsum").as("mix_ppm"))
+      .withColumn("expected_tokens",
+        expr(s"($budgetTokens * mix_ppm) div 1000000"))
+      .withColumn("sample_rate_ppm",
+        least(lit(1000000L), expr("(expected_tokens * 1000000) div tokens")))
+  }
+
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val budget = 800L // tokens per source
     val w = Window.partitionBy(col("source"))
@@ -543,6 +586,7 @@ object QueriesTraining {
     "q_curation_e2e" -> curationE2e _,
     "q_substring_dedup" -> substringDedup _,
     "q_token_budget" -> tokenBudget _,
+    "q_mix_weights" -> mixWeights _,
     "q_decontaminate" -> decontaminate _,
     "q_repetition" -> repetition _,
     "q_domain_mix" -> domainMix _,
@@ -641,6 +685,24 @@ object QueriesTraining {
         |  COALESCE(nd.n_dup_windows, 0) AS n_dup_windows,
         |  COALESCE(cov.n_covered_tokens, 0) AS n_covered_tokens
         |FROM nw LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // temperature-mixture weights: exact integer isqrt (float floor,
+    // ±1 correction), ppm shares by integer division — bit-exact replay
+    "q_mix_weights" ->
+      """WITH t AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |s0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS r0 FROM t),
+        |w AS (SELECT source, n_docs, tokens,
+        |  r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= tokens THEN 1 ELSE 0 END)
+        |     - (CASE WHEN r0 * r0 > tokens THEN 1 ELSE 0 END) AS weight
+        |  FROM s0),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w),
+        |m AS (SELECT w.*, (weight * 1000000) // wsum AS mix_ppm FROM w, tot),
+        |e AS (SELECT *, (20000 * mix_ppm) // 1000000 AS expected_tokens FROM m)
+        |SELECT source, n_docs, tokens, weight, mix_ppm, expected_tokens,
+        |  LEAST(1000000, (expected_tokens * 1000000) // tokens) AS sample_rate_ppm
+        |FROM e""".stripMargin,
 
     "q_token_budget" ->
       """WITH t AS (SELECT doc_id, source, n_chars,

@@ -192,4 +192,29 @@ class TrainingSpec extends SparkSuite {
       "survivors = corpus minus non-root members; roots and unclustered pass through")
     assert(comp.values.toSet.subsetOf(pruned), "every cluster root survives")
   }
+
+  test("mix weights: exact isqrt, ppm shares sum <= 1e6, rates capped") {
+    val rows = QueriesTraining.mixWeights(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val w = r.getAs[Long]("weight")
+      assert(w * w <= tokens && tokens < (w + 1) * (w + 1),
+        s"isqrt exact: $w^2 <= $tokens < ${w + 1}^2")
+      val rate = r.getAs[Long]("sample_rate_ppm")
+      assert(rate >= 0 && rate <= 1000000L, s"rate in [0, 1e6]: $rate")
+      val exp = r.getAs[Long]("expected_tokens")
+      assert(exp <= 20000L, "no source expects more than the whole budget")
+    }
+    // integer-floor shares can undershoot, never overshoot the whole
+    val ppmSum = rows.map(_.getAs[Long]("mix_ppm")).sum
+    assert(ppmSum <= 1000000L && ppmSum > 900000L, s"ppm sum sane: $ppmSum")
+    // temperature flattening: the largest source's mix share must be
+    // SMALLER than its raw token share (and small sources' larger)
+    val totTok = rows.map(_.getAs[Long]("tokens")).sum
+    val big = rows.maxBy(_.getAs[Long]("tokens"))
+    val rawPpm = big.getAs[Long]("tokens") * 1000000L / totTok
+    assert(big.getAs[Long]("mix_ppm") <= rawPpm,
+      "sqrt temperature must flatten the head source")
+  }
 }
