@@ -461,7 +461,16 @@ object QueriesCdc {
     }.longValue()
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val srv = new graft.changelog.MysqlRepl.Server(bytes)
-    val work = java.nio.file.Files.createTempDirectory("graft-ddl-socket")
+    // pid-scoped work dir, WIPED at entry: the batch parquet must outlive
+    // this call (the returned DataFrame reads it lazily), so each run
+    // reclaims the previous run's ~tens of MB instead of leaking one dir
+    // per invocation into java.io.tmpdir (ambient /tmp pressure measurably
+    // skewed multimodal rows in r11 — see BASELINE.md ImageIO addendum)
+    val work = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-ddl-socket-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-${ProcessHandle.current().pid()}")
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(work.toString), true)
+    java.nio.file.Files.createDirectories(work)
     val dataDir = s"$work/data"
     try {
       val state = new graft.state.StateStore(s"$work/state")
