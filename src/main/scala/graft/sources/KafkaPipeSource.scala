@@ -268,11 +268,21 @@ class KafkaPipeGroupReader(g: KafkaPipeGroupInputPartition)
   private val queue = g.parts.iterator
   private var cur: KafkaPipePartitionReader = _
   private var done = false
+  // metrics roll up across completed inner readers, not just the live one
+  private var doneTotals = Map.empty[String, Long]
+
+  private def retire(r: KafkaPipePartitionReader): Unit = {
+    r.currentMetricsValues().foreach { m =>
+      doneTotals = doneTotals.updated(m.name,
+        doneTotals.getOrElse(m.name, 0L) + m.value)
+    }
+    r.close()
+  }
 
   override def next(): Boolean = {
     if (done) return false
     while (cur == null || !cur.next()) {
-      if (cur != null) cur.close()
+      if (cur != null) retire(cur)
       if (!queue.hasNext) { cur = null; done = true; return false }
       cur = new KafkaPipePartitionReader(queue.next())
     }
@@ -281,8 +291,15 @@ class KafkaPipeGroupReader(g: KafkaPipeGroupInputPartition)
 
   override def get(): InternalRow = cur.get()
 
-  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    if (cur != null) cur.currentMetricsValues() else Array.empty
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val live = if (cur != null)
+      cur.currentMetricsValues().map(m => m.name -> m.value).toMap
+    else Map.empty[String, Long]
+    (doneTotals.keySet ++ live.keySet).toArray.map { name =>
+      SourceMetrics.Task(name,
+        { val v = doneTotals.getOrElse(name, 0L) + live.getOrElse(name, 0L); () => v })
+    }
+  }
 
   override def close(): Unit = if (cur != null) cur.close()
 }

@@ -25,6 +25,14 @@ HEAVY = [
     "q_percentiles", "q_heavy_hitters", "q_substring_dedup", "q_line_dedup",
     "q_chunk_windows", "q_changelog_native", "q_stratified_split",
     "q_corpus_clean",
+    # r12 additions: the multiprobe recall ladder (floors must hold at
+    # 10x — they RISE: the replicated corpus puts each probe's replicas
+    # in its own bucket), the mixture-weight derivation (integer
+    # isqrt/ppm arithmetic on 10x token counts), and the source/wire
+    # family (partition/offset assignment, group-mode re-split, and
+    # adaptive rate admission over a 10x backlog)
+    "q_ann_recall", "q_mix_weights", "q_kafka_roundtrip", "q_group_stream",
+    "q_rate_limited",
 ]
 
 
