@@ -1154,7 +1154,11 @@ object QueriesCdc {
           col("p_ts") <= col("view_ts") + expr("interval 12 hours"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_millis(col("p_ts")) - unix_millis(col("view_ts"))).as("lag_ms"))
-    withStatePartitions(s, 8) {
+    // 4, not the family's 8: a stream-stream join opens FOUR stores per
+    // state partition (left/right x keyToNumValues/keyWithIndexToValue),
+    // so 4 partitions already run 16 store open/commit cycles per batch
+    // — measured 3.25 -> 2.97 s vs 8 partitions at this state volume
+    withStatePartitions(s, 4) {
       runWithTempCkpt("graft-sjoin-ckpt") { ckpt =>
         joined.writeStream.format("memory").queryName("graft_stream_join")
           .outputMode("append")
