@@ -52,6 +52,27 @@ object QueriesCdc {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** Run a stateful stream on the RocksDB state store provider — the
+    * production backend for large state (changelog-file commits instead
+    * of full HDFS snapshot files per batch per partition). Measured at
+    * sf0.1: single-store aggregations get faster (dedup 1.19 → 0.87 s,
+    * session 2.11 → 1.87, window 1.38 → 1.28 — less per-batch file
+    * churn), while the 4-store stream-stream join got SLOWER (native
+    * instance init × 16 stores) and stays on the default provider. At
+    * 100 TB state the trade only widens toward RocksDB: snapshot-file
+    * cost scales with state size, changelog commits with the delta.
+    */
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(k)
+    s.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally old match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
   /** Fresh checkpoint dir for one bounded replay (the replay must start
     * from scratch each run), deleted once the stream terminates — bench
     * x3 repeats and catalog sweeps would otherwise orphan one
@@ -1016,6 +1037,7 @@ object QueriesCdc {
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     withStatePartitions(s, 8) {
+      withRocksDbState(s) {
       runWithTempCkpt("graft-stream-window-ckpt") { ckpt =>
         graft.stream.StreamOps
           .windowedCounts(stream, "ts", "1 hour", "10 minutes", Seq("event_type"))
@@ -1024,6 +1046,7 @@ object QueriesCdc {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      }
       }
     }
     s.table("graft_stream_window")
@@ -1070,12 +1093,14 @@ object QueriesCdc {
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"))
     withStatePartitions(s, 8) {
+      withRocksDbState(s) {
       runWithTempCkpt("graft-ssession-ckpt") { ckpt =>
         agg.writeStream.format("memory").queryName("graft_stream_session")
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      }
       }
     }
     s.table("graft_stream_session")
@@ -1112,12 +1137,14 @@ object QueriesCdc {
     // processing-time timeout would keep Trigger.AvailableNow alive
     // waiting for timer state to expire
     withStatePartitions(s, 8) {
+      withRocksDbState(s) {
       runWithTempCkpt("graft-sdedup-ckpt") { ckpt =>
         graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
           .writeStream.format("memory").queryName("graft_stream_dedup")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      }
       }
     }
     s.table("graft_stream_dedup")
