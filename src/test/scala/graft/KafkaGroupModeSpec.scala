@@ -69,4 +69,32 @@ class KafkaGroupModeSpec extends SparkSuite {
       assert(allParts == (0 until 8), allParts.toString)
     } finally java.nio.file.Files.deleteIfExists(memberLog)
   }
+
+  test("group mode is transport-agnostic: same split over the kafka:// wire") {
+    // the group split happens at planInputPartitions, above the
+    // transport — prove it against a REAL wire broker, not just the
+    // loopback topic dir
+    val broker = new graft.pipes.KafkaWire.Broker(partitionsPerTopic = 6)
+    val memberLog = java.nio.file.Files.createTempFile("graft-gmode-wire", ".log")
+    java.nio.file.Files.write(memberLog, "2\n".getBytes)
+    try {
+      for (p <- 0 until 6)
+        graft.pipes.KafkaWire.produce(s"${broker.url}/events", "events", p,
+          Seq((s"k$p".getBytes, s"v$p".getBytes, 1000L)))
+      val stream = new KafkaPipeMicroBatchStream(s"${broker.url}/events", None,
+        groupMembersLog = Some(memberLog.toString))
+      val end = stream.latestOffset(PartitionOffsets(Map.empty),
+        ReadLimit.allAvailable())
+      val groups = stream.planInputPartitions(PartitionOffsets(Map.empty), end)
+        .toSeq.map {
+          case g: KafkaPipeGroupInputPartition => g.member -> g.parts.map(_.partition)
+          case other => fail(s"expected group partitions, got $other")
+        }.toMap
+      assert(groups.keySet == Set(0, 1), groups.toString)
+      assert(groups(0) == Seq(0, 1, 2) && groups(1) == Seq(3, 4, 5), groups.toString)
+    } finally {
+      broker.close()
+      java.nio.file.Files.deleteIfExists(memberLog)
+    }
+  }
 }
