@@ -79,7 +79,7 @@ object Lease {
       val list = c.prepareStatement(
         """SELECT task_id FROM graft_leases
           |WHERE worker_id IS NULL OR locked_at IS NULL
-          |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)}
+          |   OR locked_at <= {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)}
           |ORDER BY task_id""".stripMargin)
       list.setLong(1, -timeoutSec)
       val rs = list.executeQuery()
@@ -130,13 +130,21 @@ object Lease {
     }.nextOption()
   }
 
-  /** Claim one SPECIFIC task iff free/expired (atomic). */
+  /** Claim one SPECIFIC task iff free/expired (atomic). The expiry
+    * boundary is INCLUSIVE — a lease exactly `timeoutSec` old IS
+    * expired. With `<` a zero-timeout steal racing a heartbeat into the
+    * same timestamp quantum was non-deterministic (connection pooling
+    * made consecutive ops fast enough to land in one quantum and
+    * LeaseSpec flaked); `<=` makes "timeout 0 ⇒ always stealable" hold
+    * by construction, and for real timeouts the exact-boundary tick was
+    * an arbitrary coin either way.
+    */
   def acquireOne(url: String, taskId: String, workerId: String,
                  timeoutSec: Long): Boolean = withConn(url) { c =>
     val claim = c.prepareStatement(
       """UPDATE graft_leases SET worker_id = ?, locked_at = CURRENT_TIMESTAMP
         |WHERE task_id = ? AND (worker_id IS NULL OR locked_at IS NULL
-        |   OR locked_at < {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)})""".stripMargin)
+        |   OR locked_at <= {fn TIMESTAMPADD(SQL_TSI_SECOND, ?, CURRENT_TIMESTAMP)})""".stripMargin)
     claim.setString(1, workerId)
     claim.setString(2, taskId)
     claim.setLong(3, -timeoutSec)
