@@ -205,6 +205,42 @@ class StateStore(dir: String) {
         .fromJson(n.get("schema").asText).asInstanceOf[StructType])
   }
 
+  /** Latest pushed version per (db, table), for the UI's schema listing
+    * (server/schema_handler.go:165-204 — the reference lists one row per
+    * registered schema name).
+    */
+  def listSchemas: Seq[StateStore.SchemaVersion] = synchronized {
+    val p = file("schemas")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      .map { l =>
+        val n = mapper.readTree(l)
+        StateStore.SchemaVersion(n.get("db").asText, n.get("table").asText,
+          n.get("gtid").asText, n.get("schema").asText, n.get("at").asLong)
+      }
+      .groupBy(v => (v.db, v.table)).values.map(_.last).toSeq
+      .sortBy(v => (v.db, v.table))
+  }
+
+  /** Drop every pushed version of `db`.`table` (schema_handler.go:260-267
+    * cmd=del). Atomic rewrite, same discipline as the cluster registry.
+    */
+  def delSchema(db: String, table: String): Unit = synchronized {
+    val p = file("schemas")
+    if (Files.exists(p)) {
+      val keep = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).filterNot { l =>
+        val n = mapper.readTree(l)
+        n.get("db").asText == db && n.get("table").asText == table
+      }
+      val tmp = Paths.get(dir, "schemas.tmp")
+      Files.write(tmp, keep.mkString("\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   // --- clusters (source connection registry) -------------------------------
 
   def addCluster(c: Cluster): Unit = synchronized {
