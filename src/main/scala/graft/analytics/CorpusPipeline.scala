@@ -53,21 +53,57 @@ object CorpusPipeline {
     * loader — exact first-fit would need a sequential scan, which no
     * engine does at corpus scale).
     *
-    * Scale: one global ordering — expressed as a window cumsum over
-    * `orderCol`. Spark executes the empty-frame window as a single-
-    * partition sort at small scale; at 100 TB the same plan runs as a
-    * range-partitioned sort (the ORDER is the contract, and packing is a
-    * per-epoch planning job, not a hot path).
+    * Scale: the naive form — `sum(tok).over(Window.orderBy(ord))` — is a
+    * single-partition WindowExec: Spark moves EVERY row to one node for
+    * an unpartitioned window, which is the one shape that cannot survive
+    * 100 TB. This is instead the classic two-phase distributed prefix
+    * sum: rows are sliced by a DETERMINISTIC bucket of the order key
+    * (min/max-scaled, monotone in `orderCol`, so bucket order == key
+    * order), cumsum runs LOCALLY within each bucket, and each bucket's
+    * starting offset — a cumsum over the per-bucket totals, a table
+    * bounded by the bucket count, same idiom as the counting-sort
+    * percentile histogram — is broadcast back. The bucket id is a pure
+    * function of the data (NOT `spark_partition_id` over a sampled range
+    * partitioning, whose physical boundaries are not guaranteed
+    * identical across the two plan branches that must agree), so the
+    * offsets branch and the cumsum branch agree by construction and the
+    * result is bit-identical to the single-partition form at any
+    * parallelism. Assumes `orderCol` is numeric-castable (it is an id or
+    * a timestamp in every packing pipeline); value-range bucketing skews
+    * only if the key distribution is extremely clumped — for a per-epoch
+    * planning job, pre-rank the keys first in that case.
     */
   def packSequences(docs: DataFrame, orderCol: Column, tokens: Column,
                     capacity: Long): DataFrame = {
-    val w = Window.orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val nb = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = docs
+      .withColumn("_ord", orderCol)
       .withColumn("_tok", tokens.cast("long"))
-      .withColumn("_cum", sum(col("_tok")).over(w))
+    val mm = base.agg(min(col("_ord").cast("double")).as("_lo"),
+      max(col("_ord").cast("double")).as("_hi"))
+    // floor of a monotone map is monotone: every row of bucket b precedes
+    // every row of bucket b+1 in _ord order, which is all the prefix sum
+    // needs; IEEE rounding can only move a boundary row between adjacent
+    // buckets, identically in both branches
+    val bucketed = base.crossJoin(broadcast(mm))
+      .withColumn("_b", least(lit(nb - 1L), greatest(lit(0L),
+        floor((col("_ord").cast("double") - col("_lo")) * nb /
+          (col("_hi") - col("_lo") + 1d)))))
+      .drop("_lo", "_hi")
+    // bucket start offsets: cumsum of per-bucket totals, EXCLUSIVE of
+    // own — bounded by the bucket count, not the corpus
+    val offsets = bucketed.groupBy(col("_b")).agg(sum(col("_tok")).as("_bsum"))
+      .withColumn("_start", coalesce(
+        sum(col("_bsum")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bsum")
+    val local = Window.partitionBy(col("_b")).orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), "_b")
+      .withColumn("_cum", sum(col("_tok")).over(local) + col("_start"))
       .withColumn("bin", ((col("_cum") - col("_tok")) / capacity).cast("long"))
-      .drop("_cum")
+      .drop("_cum", "_start", "_b", "_ord")
       .withColumnRenamed("_tok", "n_tokens")
   }
 
