@@ -33,7 +33,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCdc.queries ++ QueriesAnalytics.queries ++ QueriesExtra.queries ++
       QueriesQuality.queries ++ QueriesPipes.queries ++ QueriesTraining.queries ++
-      QueriesRelational.queries ++ QueriesLayout.queries ++ QueriesGraph.queries
+      QueriesRelational.queries ++ QueriesLayout.queries ++ QueriesGraph.queries ++
+      QueriesIncremental.queries
 
   // ------------------------------------------------------------------------
   // DuckDB oracles (dialect: DuckDB 1.0). Shared determinism conventions
@@ -81,7 +82,7 @@ object SparkEntry {
     QueriesExtra.oracleSql ++ QueriesQuality.oracleSql ++
       QueriesPipes.oracleSql ++ QueriesTraining.oracleSql ++
       QueriesRelational.oracleSql ++ QueriesLayout.oracleSql ++
-      QueriesGraph.oracleSql ++
+      QueriesGraph.oracleSql ++ QueriesIncremental.oracleSql ++
       // data-dependent oracle: literals from the model q_pca_project
       // trained when it ran (Verify runs queries before dumping SQL)
       graft.analytics.PcaModels.oracleEntries ++ Map(

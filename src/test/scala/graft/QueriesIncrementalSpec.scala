@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class QueriesIncrementalSpec extends SparkSuite {
+
+  test("incr_mv: delta fold equals last-version-per-key recompute") {
+    val s = spark
+    val folded = QueriesIncremental.incrMv(s, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // the expensive path the fold replaces: last row image per key, then agg
+    val ops = graft.core.Tables.events(s, sf0001)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select((col("event_id") % 997).cast("long").as("rid"),
+        unix_millis(col("ts")).as("tms"), col("event_id"),
+        when(col("event_type") === "error", lit(0L))
+          .otherwise(round(col("value") * 100).cast("long")).as("cur"),
+        when(col("event_type") === "error", lit(0L)).otherwise(lit(1L)).as("live"))
+    val w = Window.partitionBy(col("rid")).orderBy(col("tms").desc, col("event_id").desc)
+    val recomputed = ops.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy((col("rid") % 10).cast("long").as("mv_group"))
+      .agg(sum(col("live")).as("n_live"), sum(col("cur")).as("sum_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    assert(folded == recomputed)
+    assert(folded.nonEmpty)
+  }
+
+  test("weighted_sample: priorities are the exact replica-max draw, top-20 sorted") {
+    val rows = QueriesIncremental.weightedSample(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val prios = rows.map(_.getLong(2))
+    assert(prios.sameElements(prios.sortBy(-_)), "descending by priority")
+    rows.foreach { r =>
+      val (id, w, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(w >= 1 && w <= 8)
+      val expect = (1L to w).map { rep =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$rep".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md5.take(15), 16)
+      }.max
+      assert(p == expect, s"doc $id replica-max mismatch")
+    }
+  }
+
+  test("retention: offset-0 count is the cohort size, offsets non-negative") {
+    val rows = QueriesIncremental.retention(spark, sf0001).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val byCohort = rows.groupBy(_.getLong(0))
+    // every user is by definition active in their cohort week
+    val users = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(604800000L)).cast("long").as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCohort.foreach { case (cohort, rs) =>
+      val atZero = rs.find(_.getLong(1) == 0L).map(_.getLong(2))
+      assert(atZero.contains(users(cohort)), s"cohort $cohort offset-0 size")
+    }
+  }
+}
