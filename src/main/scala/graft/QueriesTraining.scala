@@ -579,7 +579,45 @@ object QueriesTraining {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_tokens"), col("c.chunk_md5"))
   }
 
+  /** Contrastive pair mining for embedding-model training: every 50th
+    * vector becomes an anchor, paired with its hardest POSITIVE (the
+    * corpus argmax by exact quantized dot, self excluded — integer math,
+    * deterministic tie on id) and a deterministic hash-drawn NEGATIVE
+    * (min md5-derived 60-bit draw over candidates — a uniform pick both
+    * engines replay bit-exactly, no RNG state).
+    *
+    * Scale shape: the anchor set is the small side and broadcasts; each
+    * corpus partition scores its vectors against all anchors in one
+    * BroadcastNestedLoop pass with the native [[graft.functions.QDot]]
+    * loop, and both argmins map-side-combine (min-of-struct partial
+    * aggregation) before one anchor-keyed shuffle. At 100 TB the
+    * candidate set swaps to an IVF probe list ([[graft.analytics.Ivf]])
+    * without changing the pair contract; the brute pass here doubles as
+    * the recall baseline, mirroring q_ann_recall's ladder.
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      graft.analytics.Similarity.quantize(col("embedding")).as("q"))
+    val anchors = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("q").as("qa"))
+    val scored = e.select(col("vec_id").as("cand_id"), col("q").as("qc"))
+      .join(broadcast(anchors), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        graft.analytics.Similarity.dotQ(col("qa"), col("qc"))(s).as("dot"),
+        conv(substring(md5(concat_ws(":", col("anchor_id"), col("cand_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        min(struct((-col("dot")).as("ndot"), col("cand_id").as("cand_id"))).as("pos"),
+        min(struct(col("h").as("h"), col("cand_id").as("cand_id"),
+          col("dot").as("dot"))).as("neg"))
+      .select(col("anchor_id"),
+        col("pos.cand_id").as("pos_id"), (-col("pos.ndot")).as("pos_dot"),
+        col("neg.cand_id").as("neg_id"), col("neg.dot").as("neg_dot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contrastive_pairs" -> contrastivePairs _,
     "q_chunk_windows" -> chunkWindows _,
     "q_inverted_index" -> invertedIndex _,
     "q_skipgram_pairs" -> skipgramPairs _,
@@ -597,6 +635,27 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_contrastive_pairs" ->
+      """WITH q AS (
+        |  SELECT vec_id, g.i,
+        |    CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings, generate_series(1, 64) g(i)),
+        |a AS (SELECT vec_id AS anchor_id, i, qv FROM q WHERE vec_id % 50 = 0),
+        |d AS (SELECT a.anchor_id, c.vec_id AS cand_id,
+        |        CAST(SUM(a.qv * c.qv) AS BIGINT) AS dot
+        |      FROM a JOIN q c ON a.i = c.i AND c.vec_id <> a.anchor_id
+        |      GROUP BY 1, 2),
+        |h AS (SELECT anchor_id, cand_id, dot,
+        |        CAST(concat('0x', substr(md5(anchor_id || ':' || cand_id), 1, 15)) AS BIGINT) AS hh
+        |      FROM d),
+        |pos AS (SELECT anchor_id, cand_id AS pos_id, dot AS pos_dot,
+        |          row_number() OVER (PARTITION BY anchor_id ORDER BY dot DESC, cand_id) AS rn
+        |        FROM h),
+        |neg AS (SELECT anchor_id, cand_id AS neg_id, dot AS neg_dot,
+        |          row_number() OVER (PARTITION BY anchor_id ORDER BY hh, cand_id) AS rn
+        |        FROM h)
+        |SELECT p.anchor_id, p.pos_id, p.pos_dot, n.neg_id, n.neg_dot
+        |FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id AND p.rn = 1 AND n.rn = 1""".stripMargin,
     // stride-48 windows of 64 tokens; the last chunk may be short. md5
     // fingerprints make the whole chunking hash-checkable
     "q_chunk_windows" ->

@@ -217,4 +217,21 @@ class TrainingSpec extends SparkSuite {
     assert(big.getAs[Long]("mix_ppm") <= rawPpm,
       "sqrt temperature must flatten the head source")
   }
+
+  test("contrastive pairs: one row per anchor, positive dominates, no self-pairs") {
+    val df = QueriesTraining.contrastivePairs(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "anchors must broadcast; the corpus side must not cartesian-shuffle")
+    val rows = df.collect()
+    val nAnchors = graft.core.Tables.embeddings(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0).count()
+    assert(rows.length == nAnchors && nAnchors > 0)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      assert(r.getAs[Long]("pos_id") != a && r.getAs[Long]("neg_id") != a, "self excluded")
+      assert(r.getAs[Long]("pos_dot") >= r.getAs[Long]("neg_dot"),
+        "the argmax positive can never score below any other candidate")
+    }
+  }
 }
