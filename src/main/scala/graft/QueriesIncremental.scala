@@ -46,6 +46,14 @@ object QueriesIncremental {
         when(col("event_type") === "error", lit(0L))
           .otherwise(round(col("value") * 100).cast("long")).as("cur"),
         when(col("event_type") === "error", lit(0L)).otherwise(lit(1L)).as("live"))
+    foldDeltas(ops)
+  }
+
+  /** The fold itself, reusable over any op stream with columns
+    * (rid, tms, event_id, cur, live) — PropertySpec-style fuzzing drives
+    * it with synthetic changelogs.
+    */
+  private[graft] def foldDeltas(ops: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("rid")).orderBy(col("tms"), col("event_id"))
     ops
       .withColumn("delta_cents", col("cur") - lag(col("cur"), 1, 0L).over(w))

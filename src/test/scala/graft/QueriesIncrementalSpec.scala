@@ -45,6 +45,32 @@ class QueriesIncrementalSpec extends SparkSuite {
     }
   }
 
+  test("incr_mv fold: seeded-fuzz changelogs all telescope to the brute final state") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      // random op stream: keys collide heavily, ts ties exercised via
+      // coarse tms (event_id breaks them), deletes may precede inserts
+      val n = 200 + rnd.nextInt(200)
+      val ops = (1 to n).map { i =>
+        val rid = rnd.nextInt(13).toLong
+        val tms = rnd.nextInt(5).toLong // heavy ts collisions on purpose
+        val del = rnd.nextInt(4) == 0
+        val cents = if (del) 0L else rnd.nextInt(1000).toLong
+        (rid, tms, i.toLong, cents, if (del) 0L else 1L)
+      }
+      val df = ops.toDF("rid", "tms", "event_id", "cur", "live")
+      val folded = QueriesIncremental.foldDeltas(df)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute reference: last op per rid by (tms, event_id), aggregated in Scala
+      val brute = ops.groupBy(_._1).view.mapValues(_.maxBy(o => (o._2, o._3)))
+        .values.toSeq.groupBy(_._1 % 10)
+        .view.mapValues(v => (v.map(_._5).sum, v.map(_._4).sum)).toMap
+      assert(folded == brute, s"fuzz round $round (n=$n)")
+    }
+  }
+
   test("retention: offset-0 count is the cohort size, offsets non-negative") {
     val rows = QueriesIncremental.retention(spark, sf0001).collect()
     assert(rows.forall(_.getLong(1) >= 0))

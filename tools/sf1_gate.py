@@ -33,6 +33,14 @@ HEAVY = [
     # adaptive rate admission over a 10x backlog)
     "q_ann_recall", "q_mix_weights", "q_kafka_roundtrip", "q_group_stream",
     "q_rate_limited",
+    # r12 second session: the delta-fold MV identity on a 10x changelog
+    # (997-key collision density rises 10x — many more multi-op keys),
+    # the replica-max weighted draw over 10x docs, and the retention
+    # matrix (collect_set week vectors at 10x user activity). The
+    # contrastive miner stays OUT: its brute ground-truth side is
+    # anchors x corpus by design (the IVF probe list is the scale path),
+    # and its DuckDB replay at sf1 is ~3B join terms.
+    "q_incr_mv", "q_weighted_sample", "q_retention",
 ]
 
 
