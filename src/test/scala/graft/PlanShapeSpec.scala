@@ -259,6 +259,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("incr_mv: exactly two exchanges — the keyed window and the MV-group fold") {
+    // the incremental-MV promise: per-batch cost is one changelog-keyed
+    // window pass (a partitioning the source topic already has) plus a
+    // partial-aggregated group fold; any third exchange means a refactor
+    // broke the single-pass shape
+    val p = plan("q_incr_mv")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("PushedFilters: [In(event_type"), p.take(3000))
+  }
+
+  test("weighted sample: replica max combines map-side; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Sort [priority"), "no full global sort:\n" + p.take(3000))
+  }
+
+  test("retention: the week-set rides ONE groupBy(user) pass — no countDistinct Expand") {
+    val p = plan("q_retention")
+    assert(p.contains("collect_set") || p.contains("partial_collect_set"), p.take(3000))
+    assert(!p.contains("Expand"), "no distinct-aggregate Expand:\n" + p.take(3000))
+  }
+
   test("pagerank round: static edge table is never re-shuffled or re-sorted") {
     // The distributed loop's per-round cost: with edges pre-partitioned
     // and pre-sorted on src before the checkpoint, each round must
