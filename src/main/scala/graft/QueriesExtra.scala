@@ -163,41 +163,54 @@ object QueriesExtra {
     * sketch twin for UNBOUNDED domains remains [[approxStats]]
     * (`approx_percentile`), rank-error-pinned by ApproxStatsSpec.
     */
-  def percentiles(s: SparkSession, dir: String): DataFrame = {
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    countingQuantiles(
+        li(s, dir).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("n"))
+
+  /** The counting-sort quantile kernel shared by [[percentiles]] and
+    * [[approxStats]]: exact `quantile_cont`-semantics percentiles of a
+    * bounded-domain long column, one histogram row per (key, value) —
+    * state tracks the value DOMAIN, never the row count. Output: key,
+    * one double column per requested (name, q), and `n`.
+    */
+  private def countingQuantiles(base: DataFrame, keyCol: String, valCol: String,
+                                qs: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = li(s, dir)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
-        col("l_returnflag"))
-      .groupBy(col("l_returnflag"), col("cents"))
+    val hist = base
+      .groupBy(col(keyCol), col(valCol))
       .agg(count(lit(1)).as("cnt"))
-    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val win = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
     val cum = hist
       .withColumn("cum_end", sum(col("cnt")).over(win))
       .withColumn("cum_start", col("cum_end") - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
     // 0-indexed rank h = (n-1)*q; the value covering index i is the
     // histogram row with cum_start <= i < cum_end (exactly one matches,
     // so max(when(...)) selects it); hi = lo+1 <= n-1 for q < 1
     def idxVal(i: org.apache.spark.sql.Column) =
-      max(when(col("cum_start") <= i && i < col("cum_end"), col("cents")))
+      max(when(col("cum_start") <= i && i < col("cum_end"), col(valCol)))
     def lo(q: Double) = floor((col("n") - 1) * lit(q))
-    val agg = cum.groupBy(col("l_returnflag"), col("n"))
+    val agg = cum.groupBy(col(keyCol), col("n"))
       .agg(
-        idxVal(lo(0.5)).as("v50_lo"), idxVal(lo(0.5) + 1).as("v50_hi"),
-        idxVal(lo(0.95)).as("v95_lo"), idxVal(lo(0.95) + 1).as("v95_hi"))
-    def interp(q: Double, vLo: String, vHi: String) = {
+        idxVal(lo(qs.head._2)).as(s"${qs.head._1}_lo"),
+        (idxVal(lo(qs.head._2) + 1).as(s"${qs.head._1}_hi") +:
+          qs.tail.flatMap { case (nm, q) =>
+            Seq(idxVal(lo(q)).as(s"${nm}_lo"), idxVal(lo(q) + 1).as(s"${nm}_hi"))
+          }): _*)
+    def interp(q: Double, nm: String) = {
       val h = (col("n") - 1) * lit(q)
       val frac = h - floor(h)
       // When frac is 0 the hi index (lo+1) can fall past the histogram
       // (single-row group: n=1 → hi=1 → no matching row → NULL); fall back
-      // to vLo so 0.0 * (vLo - vLo) = 0 instead of NULL-propagating.
-      val hi = coalesce(col(vHi), col(vLo)).cast("double")
-      col(vLo).cast("double") + frac * (hi - col(vLo).cast("double"))
+      // to lo so 0.0 * (vLo - vLo) = 0 instead of NULL-propagating.
+      val vLo = col(s"${nm}_lo").cast("double")
+      val hi = coalesce(col(s"${nm}_hi"), col(s"${nm}_lo")).cast("double")
+      (vLo + frac * (hi - vLo)).as(nm)
     }
-    agg.select(col("l_returnflag"),
-      interp(0.5, "v50_lo", "v50_hi").as("p50"),
-      interp(0.95, "v95_lo", "v95_hi").as("p95"),
-      col("n"))
+    agg.select(col(keyCol) +: qs.map { case (nm, q) => interp(q, nm) } :+ col("n"): _*)
   }
 
   /** Sketch-based stats — THE 100 TB path (HLL++ distinct counts +
@@ -214,34 +227,38 @@ object QueriesExtra {
     * part of the correctness gate.
     */
   def approxStats(s: SparkSession, dir: String): DataFrame = {
-    // Two independent subplans joined on the 3-row group key, so the
-    // distinct aggregate never shares a groupBy with the sketches: mixing
-    // countDistinct with other aggregates forces an Expand (every input
-    // row replicated per aggregate group), and three separate `percentile`
-    // calls each buffer + sort the full per-group value list. One
-    // percentile(array(...)) call = one buffer, one sort; the exact
-    // distinct count plans as a plain two-stage aggregate.
+    // Three independent subplans joined on the 3-row group key, so the
+    // distinct aggregate never shares a groupBy with the sketches (mixing
+    // countDistinct with other aggregates forces an Expand — every input
+    // row replicated per aggregate group) and the exact quantile anchors
+    // come from the SAME counting-sort histogram kernel as
+    // [[percentiles]] — no `percentile()` value buffer anywhere in the
+    // catalog: exact-anchor state tracks the cents domain, not the row
+    // count, which is the 100 TB requirement the sketches are being
+    // measured against in the first place.
     val base = li(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
     val sketches = base
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(cents, array(0.47D, 0.5D, 0.53D))").as("ps"),
-        count(lit(1)).as("n"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         expr("approx_percentile(cents, 0.5, 1000)").as("approx_p50"))
     val exactOrders = base
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val anchors = countingQuantiles(base.select(col("l_returnflag"), col("cents")),
+      "l_returnflag", "cents",
+      Seq("p47" -> 0.47, "exact_p50" -> 0.5, "p53" -> 0.53))
     sketches.join(broadcast(exactOrders), Seq("l_returnflag"))
+      .join(broadcast(anchors), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"),
-        col("ps").getItem(1).as("exact_p50"),
+        col("exact_p50"),
         col("n"),
         (abs(col("approx_orders") - col("exact_orders"))
           <= col("exact_orders") * 0.15).as("orders_within_bound"),
-        (col("approx_p50") >= col("ps").getItem(0)
-          && col("approx_p50") <= col("ps").getItem(2)).as("p50_within_bound"))
+        (col("approx_p50") >= col("p47")
+          && col("approx_p50") <= col("p53")).as("p50_within_bound"))
   }
 
   /** Full corpus-cleaning composition: length gate -> language gate ->

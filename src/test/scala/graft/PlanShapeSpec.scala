@@ -227,15 +227,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
-  test("approx stats: no Expand, one percentile buffer, distinct anchor broadcast back") {
+  test("approx stats: no Expand, NO percentile value buffer, anchors broadcast back") {
     // the r7 regression shape: countDistinct sharing a groupBy with the
     // sketches forced an Expand (every row replicated per aggregate
-    // group) and three separate percentile calls tripled the buffer+sort
-    // work — 10 s at sf0.1 for a 3-row result. Pin the fixed shape.
+    // group). r12 removed the last percentile() call entirely — the
+    // exact anchors come from the counting-sort histogram kernel shared
+    // with q_percentiles, so exact-anchor state tracks the cents domain,
+    // not the row count. Pin both properties.
     val p = plan("q_approx_stats")
     assert(!p.contains("Expand"), p.take(3000))
-    assert("(?<!approx_)percentile\\(".r.findAllIn(p).size <= 2, // one call (partial+final)
-      s"expected a single percentile(array(...)) aggregate:\n${p.take(3000)}")
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext,
+      s"q_approx_stats must not use the percentile() buffer aggregate:\n${p.take(3000)}")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
