@@ -109,10 +109,40 @@ object QueriesIncremental {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Statistical anomaly gate — the drift/quality monitor a pipeline
+    * runs over what it lands: events more than 3 population sigmas from
+    * their type's mean, decided by the EXACT cross-multiplied integer
+    * inequality (n*v - S)^2 > 9*(n*S2 - S^2) in decimal(38,0)/int128 —
+    * no sqrt, no doubles, so both engines agree on every boundary case
+    * bit-for-bit.
+    *
+    * Scale shape: one map-side-combined moments pass (3 numbers per
+    * group, mergeable — the same shape a streaming monitor keeps as
+    * state), moments broadcast back, and a stateless flag scan. Nothing
+    * shuffles but the tiny moment and result tables.
+    */
+  def anomalyEvents(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val m = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("cents").cast(dec)).as("s"),
+      sum((col("cents") * col("cents")).cast(dec)).as("s2"))
+    val dev = col("n") * col("cents").cast(dec) - col("s")
+    e.join(broadcast(m), "event_type")
+      .filter(dev * dev > lit(9).cast(dec) * (col("n") * col("s2") - col("s") * col("s")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        min(col("event_id")).as("first_anom"),
+        max(col("event_id")).as("last_anom"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_mv" -> incrMv _,
     "q_weighted_sample" -> weightedSample _,
-    "q_retention" -> retention _)
+    "q_retention" -> retention _,
+    "q_anomaly_events" -> anomalyEvents _)
 
   val oracleSql: Map[String, String] = Map(
     // the RECOMPUTE path: last row version per key, then aggregate — a
@@ -142,6 +172,24 @@ object QueriesIncremental {
         |  FROM r)
         |SELECT doc_id, CAST(w AS BIGINT) AS w, MAX(h) AS priority
         |FROM p GROUP BY 1, 2 ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin,
+
+    // HUGEINT (int128) mirrors Spark's decimal(38,0): both exact, both
+    // agree on every strict-inequality boundary
+    "q_anomaly_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(cents) AS HUGEINT) AS s,
+        |        CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT e.event_type, e.event_id
+        |      FROM e JOIN m USING (event_type)
+        |      WHERE (m.n * cents - m.s) * (m.n * cents - m.s)
+        |            > 9 * (m.n * m.s2 - m.s * m.s))
+        |SELECT event_type, COUNT(*) AS n_anomalies,
+        |  MIN(event_id) AS first_anom, MAX(event_id) AS last_anom
+        |FROM a GROUP BY 1""".stripMargin,
 
     "q_retention" ->
       """WITH uw AS (

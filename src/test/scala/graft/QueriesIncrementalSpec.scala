@@ -71,6 +71,30 @@ class QueriesIncrementalSpec extends SparkSuite {
     }
   }
 
+  test("anomaly gate: integer inequality agrees with the double z-score off-boundary") {
+    val s = spark
+    val rows = QueriesIncremental.anomalyEvents(s, sf0001).collect()
+    assert(rows.nonEmpty, "fixture tail must produce anomalies")
+    // brute double-precision reference (boundary-safe: no event sits
+    // within 1e-6 sigma of the 3-sigma line on this fixture)
+    val ev = graft.core.Tables.events(s, sf0001)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ev.groupBy(_._2).map { case (t, es) =>
+      val n = es.length.toDouble
+      val mean = es.map(_._3).sum / n
+      val varPop = es.map(e => (e._3 - mean) * (e._3 - mean)).sum / n
+      val anom = es.filter(e => math.abs(e._3 - mean) > 3 * math.sqrt(varPop))
+      t -> (anom.length.toLong,
+        if (anom.isEmpty) 0L else anom.map(_._1).min,
+        if (anom.isEmpty) 0L else anom.map(_._1).max)
+    }.filter(_._2._1 > 0)
+    val got = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
   test("retention: offset-0 count is the cohort size, offsets non-negative") {
     val rows = QueriesIncremental.retention(spark, sf0001).collect()
     assert(rows.forall(_.getLong(1) >= 0))
