@@ -397,7 +397,63 @@ object QueriesLayout {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  // ------------------------------------------------------ write-audit-publish
+
+  /** The WAP kernel: stage the DataFrame as files, audit WHAT WAS
+    * WRITTEN (read back from the staged files, not the logical plan —
+    * the audit must catch writer bugs too), and only then create the
+    * `_PUBLISHED` marker, whose single-file creation is the commit
+    * point (the same role FileSink's `_DONE` manifest plays). Audits:
+    * non-empty, PK-unique, no null measures. Returns whether the
+    * version published; a red audit leaves the staged files
+    * reader-invisible. LayoutSpec drives the failure path with a
+    * poisoned (duplicate-key) stage.
+    */
+  private[graft] def wapStageAuditPublish(s: SparkSession, staged: DataFrame,
+      keyCol: String, valCol: String, base: String): Boolean = {
+    val stagedPath = s"$base/staged"
+    staged.write.mode("overwrite").parquet(stagedPath)
+    val a = s.read.parquet(stagedPath).groupBy()
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col(keyCol)).as("keys"),
+        sum(when(col(valCol).isNull, 1L).otherwise(0L)).as("nulls"))
+      .head
+    val ok = a.getLong(0) > 0 && a.getLong(0) == a.getLong(1) && a.getLong(2) == 0
+    if (ok)
+      java.nio.file.Files.writeString(
+        new java.io.File(base, "_PUBLISHED").toPath,
+        s"rows=${a.getLong(0)}\n")
+    ok
+  }
+
+  /** Write-audit-publish — the lake-ops commit discipline every
+    * production 100 TB sink needs: a staged version becomes readable
+    * ONLY after its audits pass, so a bad upstream batch can never
+    * poison consumers. The audit pass is metadata-cheap (one aggregate
+    * over the staged files); the publish is one marker-file create.
+    * The catalog row proves the GREEN path end-to-end (readers resolve
+    * the manifest, content hash-matches the source rollup); the red
+    * path — staged-but-never-published — is LayoutSpec's.
+    */
+  def wapPublish(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_wap_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    ensureWritten(base, dir) {
+      new java.io.File(base).mkdirs()
+      val rollup = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      wapStageAuditPublish(s, rollup, "user_id", "cents", base)
+    }
+    // the reader side of the contract: no marker, no data
+    require(new java.io.File(base, "_PUBLISHED").isFile,
+      "fixture rollup must audit green")
+    s.read.parquet(s"$base/staged")
+      .select(col("user_id"), col("n_events"), col("cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wap_publish" -> wapPublish _,
     "q_compaction" -> compaction _,
     "q_incr_index" -> incrIndex _,
     "q_schema_merge" -> schemaMerge _,
@@ -409,6 +465,13 @@ object QueriesLayout {
     "q_scd2" -> scd2 _)
 
   val oracleSql: Map[String, String] = Map(
+    // the green path: published content == the source rollup (a red
+    // audit would leave no readable version at all and fail rows_match)
+    "q_wap_publish" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_compaction" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,

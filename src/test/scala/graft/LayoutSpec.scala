@@ -178,4 +178,27 @@ class LayoutSpec extends SparkSuite {
         sorted.last.fieldIndex("valid_to")), s"user $user last version must be open")
     }
   }
+
+  test("WAP: poisoned stages audit red and never publish; a clean stage commits") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-wap-red").toFile
+    def marker = new java.io.File(base, "_PUBLISHED")
+    // duplicate key -> red
+    val dup = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("user_id", "cents")
+    assert(!QueriesLayout.wapStageAuditPublish(s, dup, "user_id", "cents", base.getPath))
+    assert(!marker.isFile, "red audit must not create the commit marker")
+    // null measure -> red
+    val nulls = Seq((1L, Some(10L)), (2L, None)).toDF("user_id", "cents")
+    assert(!QueriesLayout.wapStageAuditPublish(s, nulls, "user_id", "cents", base.getPath))
+    assert(!marker.isFile)
+    // empty -> red (an upstream that produced nothing is not publishable)
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "cents")
+    assert(!QueriesLayout.wapStageAuditPublish(s, empty, "user_id", "cents", base.getPath))
+    assert(!marker.isFile)
+    // clean -> green, marker is the commit point
+    val good = Seq((1L, 10L), (2L, 30L)).toDF("user_id", "cents")
+    assert(QueriesLayout.wapStageAuditPublish(s, good, "user_id", "cents", base.getPath))
+    assert(marker.isFile)
+  }
 }
