@@ -252,6 +252,30 @@ object QueriesAnalytics {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment — |A∩B| / |A| per side — the quote/superset
+    * detector Jaccard is blind to: a short document fully embedded in a
+    * long one scores near-zero Jaccard (the union is dominated by the
+    * long side) but containment ≈ 1 on the short side. Real curation
+    * pipelines gate on BOTH (Jaccard for near-dups, containment for
+    * quotes/boilerplate supersets). Same one-shuffle shingle-set kernel
+    * as [[ngramJaccard]]; the extra measures are per-pair arithmetic on
+    * already-computed set sizes — free at 100 TB. Candidate pairs here
+    * are the consecutive-id stand-in (same rationale as q_ngram_jaccard);
+    * in production the pair list comes from LSH.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = d.select(col("doc_id").as("doc_a"))
+      .join(d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b")), "doc_a")
+    Dedup.ngramJaccard(pairs, d, "doc_id", col("text"), k = 8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b_in_a"),
+        (greatest(col("inter").cast("double") / col("n_a"),
+          col("inter").cast("double") / col("n_b")) >= 0.8
+          && col("jaccard") < 0.5).as("asym_quote"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   def embedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -552,6 +576,7 @@ object QueriesAnalytics {
     "q_topk_agg" -> topkAgg _,
     "q_skew_join" -> skewJoin _,
     "q_ngram_jaccard" -> ngramJaccard _,
+    "q_containment" -> containment _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
     "q_ann_recall" -> annRecall _,

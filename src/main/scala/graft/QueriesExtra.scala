@@ -213,6 +213,57 @@ object QueriesExtra {
     agg.select(col(keyCol) +: qs.map { case (nm, q) => interp(q, nm) } :+ col("n"): _*)
   }
 
+  /** Equi-depth feature binning (quantile bucketization) — the feature-
+    * engineering step that turns a heavy-tailed numeric column into a
+    * balanced categorical one for training. Boundaries are DISCRETE
+    * quantiles (the value at rank floor((n-1)*q)) read off the same
+    * bounded-domain counting-sort histogram as [[percentiles]] —
+    * integer-exact in both engines, no interpolation FP at the bin
+    * edges, and state that tracks the price domain rather than the row
+    * count. Assignment is a broadcast join of the 3-row boundary table
+    * plus a case expression — per-row work with NO extra shuffle; the
+    * summary aggregate map-side combines. At 100 TB: one histogram
+    * shuffle + one rollup shuffle, both tiny.
+    */
+  def quantileBins(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = countingBoundaries(base, "l_returnflag", "cents",
+      Seq("b25" -> 0.25, "b50" -> 0.5, "b75" -> 0.75))
+    base.join(broadcast(bounds), "l_returnflag")
+      .withColumn("bin",
+        when(col("cents") <= col("b25"), 0L)
+          .when(col("cents") <= col("b50"), 1L)
+          .when(col("cents") <= col("b75"), 2L)
+          .otherwise(3L))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /** Discrete-quantile boundaries off the counting-sort histogram: the
+    * value covering rank floor((n-1)*q) per key — the no-interpolation
+    * sibling of [[countingQuantiles]] (bin edges must be domain values,
+    * and integer edges keep the binning FP-free across engines).
+    */
+  private def countingBoundaries(base: DataFrame, keyCol: String, valCol: String,
+                                 qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = base.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(win))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
+    def idxVal(i: org.apache.spark.sql.Column) =
+      max(when(col("cum_start") <= i && i < col("cum_end"), col(valCol)))
+    val aggs = qs.map { case (nm, q) =>
+      idxVal(floor((col("n") - 1) * lit(q))).as(nm)
+    }
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sketch-based stats — THE 100 TB path (HLL++ distinct counts +
     * Greenwald-Khanna quantiles, both mergeable partial aggregates: fixed
     * memory per group regardless of group size). Raw sketch values differ
@@ -367,7 +418,8 @@ object QueriesExtra {
     "q_pivot_users" -> pivotUsers _,
     "q_doc_stats" -> docStats _,
     "q_percentiles" -> percentiles _,
-    "q_approx_stats" -> approxStats _)
+    "q_approx_stats" -> approxStats _,
+    "q_quantile_bins" -> quantileBins _)
 
   /** Shared DuckDB CTE chain: banded embedding LSH → capped candidate
     * pairs → exact quantized-dot verify → recursive connected components.
@@ -591,6 +643,36 @@ object QueriesExtra {
         |  COUNT(*) AS n,
         |  TRUE AS orders_within_bound,
         |  TRUE AS p50_within_bound
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // discrete (rank-floor) quantile boundaries replayed via the same
+    // cum-count histogram arithmetic — integer bin edges, no interp FP
+    "q_quantile_bins" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |h AS (SELECT l_returnflag, cents, COUNT(*) AS cnt
+        |      FROM b GROUP BY l_returnflag, cents),
+        |c AS (SELECT l_returnflag, cents, cnt,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum_end,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |      FROM h),
+        |q AS (SELECT l_returnflag,
+        |        MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.25) AS BIGINT)
+        |                  AND CAST(FLOOR((n - 1) * 0.25) AS BIGINT) < cum_end
+        |                 THEN cents END) AS b25,
+        |        MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+        |                  AND CAST(FLOOR((n - 1) * 0.5) AS BIGINT) < cum_end
+        |                 THEN cents END) AS b50,
+        |        MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.75) AS BIGINT)
+        |                  AND CAST(FLOOR((n - 1) * 0.75) AS BIGINT) < cum_end
+        |                 THEN cents END) AS b75
+        |      FROM c GROUP BY l_returnflag)
+        |SELECT b.l_returnflag,
+        |  CAST(CASE WHEN cents <= b25 THEN 0 WHEN cents <= b50 THEN 1
+        |            WHEN cents <= b75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        |  COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM b JOIN q USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -452,7 +452,96 @@ object QueriesLayout {
       .select(col("user_id"), col("n_events"), col("cents"))
   }
 
+  // ---------------------------------------------------- incremental version read
+
+  /** Incremental read between two table versions — the READER half of the
+    * lake's version story (q_wap_publish commits versions; this turns a
+    * pair of them back into a CDC changelog: insert / update / delete with
+    * pre- and post-images). It is the reference's pipeline inverted — the
+    * engine ships changelogs INTO the lake; a downstream consumer at
+    * 100 TB needs the lake to hand the delta BACK OUT without rereading
+    * the corpus (index refresh, downstream re-train, replication).
+    *
+    * Scale shape: a per-bucket FINGERPRINT pass first (one aggregate row
+    * per partition per version — metadata-sized, the role a table
+    * format's manifest stats play), then the key-level full-outer diff
+    * runs ONLY over buckets whose fingerprints differ: both scans carry
+    * the changed-bucket predicate in PartitionFilters, so a delta
+    * touching 7 of 16 buckets never opens the other 9 — at 100 TB the
+    * diff cost tracks the CHANGE, not the table. LayoutSpec asserts the
+    * skip list and that identical versions diff to zero rows without
+    * reading any data bucket.
+    *
+    * Fixture versions derive deterministically from events: v1 = v0 +
+    * late events concentrated in buckets 0-5 (updates) + users onboarded
+    * after v0 inside bucket 2 (inserts) + a GDPR-style erasure of one
+    * user class inside bucket 9 (deletes) — buckets 6-8, 10-15 are
+    * byte-identical → fingerprint-skipped.
+    */
+  private[graft] def versionDiffBase(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vdiff_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** The diff kernel: changed-bucket detection off per-bucket fingerprints,
+    * then a bucket-pruned full-outer key diff. Returns (changedBuckets,
+    * changelog); exposed for LayoutSpec.
+    */
+  private[graft] def diffVersions(s: SparkSession, v0Path: String, v1Path: String)
+      : (Seq[Int], DataFrame) = {
+    // one row per (version, bucket): count + measure sums + an order-free
+    // content hash (sum of per-row xxhash64) — equal fingerprints ⇒ equal
+    // bucket content (collision odds ~2^-64 per bucket pair)
+    def fp(path: String) = s.read.parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        sum(col("n_events")).as("sn"), sum(col("cents")).as("sc"),
+        // decimal(38,0) sum: order-free and overflow-proof (xxhash64
+        // values span the full long range; an ANSI long sum would throw)
+        sum(xxhash64(col("user_id"), col("n_events"), col("cents"))
+          .cast("decimal(38,0)")).as("h"))
+    val changed = fp(v0Path).as("a")
+      .join(fp(v1Path).as("b"), Seq("bucket"), "full_outer")
+      .filter(col("a.rows").isNull || col("b.rows").isNull ||
+        col("a.rows") =!= col("b.rows") || col("a.sn") =!= col("b.sn") ||
+        col("a.sc") =!= col("b.sc") || col("a.h") =!= col("b.h"))
+      .select(col("bucket")).collect().map(_.getInt(0)).sorted.toSeq // manifest-sized (≤ #partitions)
+    def side(path: String, pre: String) = s.read.parquet(path)
+      .filter(col("bucket").isin(changed.map(Int.box): _*)) // partition-pruned
+      .select(col("user_id"), col("bucket"),
+        col("n_events").as(s"${pre}_n"), col("cents").as(s"${pre}_cents"))
+    val log = side(v0Path, "pre")
+      .join(side(v1Path, "post"), Seq("user_id", "bucket"), "full_outer")
+      .filter(col("pre_n").isNull || col("post_n").isNull ||
+        col("pre_n") =!= col("post_n") || col("pre_cents") =!= col("post_cents"))
+      .select(col("user_id"),
+        when(col("pre_n").isNull, "insert")
+          .when(col("post_n").isNull, "delete")
+          .otherwise("update").as("op"),
+        col("pre_n"), col("pre_cents"), col("post_n"), col("post_cents"))
+    (changed, log)
+  }
+
+  def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = versionDiffBase(dir)
+    ensureWritten(base, dir) {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (col("user_id") % 16).cast("int").as("bucket"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def rollup(df: DataFrame) = df.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      // v0 predates one user class inside bucket 2 (they appear in v1 →
+      // inserts), so the changelog exercises all three ops
+      rollup(ev.filter(col("event_id") % 7 =!= 0
+          && !(col("user_id") % 16 === 2 && col("user_id") % 5 === 0)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/v0")
+      rollup(ev.filter(col("event_id") % 7 =!= 0 || col("user_id") % 16 < 6))
+        .filter(!(col("user_id") % 16 === 9 && col("user_id") % 6 === 1)) // erasure
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/v1")
+    }
+    diffVersions(s, s"$base/v0", s"$base/v1")._2
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_version_diff" -> versionDiff _,
     "q_wap_publish" -> wapPublish _,
     "q_compaction" -> compaction _,
     "q_incr_index" -> incrIndex _,
@@ -465,6 +554,30 @@ object QueriesLayout {
     "q_scd2" -> scd2 _)
 
   val oracleSql: Map[String, String] = Map(
+    // full-table key diff in SQL == the engine's fingerprint-pruned diff
+    // (unchanged buckets contribute no changelog rows by definition)
+    "q_version_diff" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |v0 AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        |       FROM ev WHERE event_id % 7 <> 0
+        |         AND NOT (user_id % 16 = 2 AND user_id % 5 = 0)
+        |       GROUP BY user_id),
+        |v1 AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        |       FROM ev
+        |       WHERE (event_id % 7 <> 0 OR user_id % 16 < 6)
+        |         AND NOT (user_id % 16 = 9 AND user_id % 6 = 1)
+        |       GROUP BY user_id)
+        |SELECT COALESCE(v0.user_id, v1.user_id) AS user_id,
+        |  CASE WHEN v0.user_id IS NULL THEN 'insert'
+        |       WHEN v1.user_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  v0.n AS pre_n, v0.c AS pre_cents,
+        |  v1.n AS post_n, v1.c AS post_cents
+        |FROM v0 FULL OUTER JOIN v1 ON v0.user_id = v1.user_id
+        |WHERE v0.user_id IS NULL OR v1.user_id IS NULL
+        |   OR v0.n <> v1.n OR v0.c <> v1.c""".stripMargin,
+
     // the green path: published content == the source rollup (a red
     // audit would leave no readable version at all and fail rows_match)
     "q_wap_publish" ->

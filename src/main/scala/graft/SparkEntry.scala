@@ -638,6 +638,31 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = i.doc_a
         |JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin,
 
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+        |          FROM pairs p
+        |          JOIN sh sa ON sa.doc_id = p.doc_a
+        |          JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |          GROUP BY p.doc_a, p.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.inter,
+        |  na.n_sh AS n_a, nb.n_sh AS n_b,
+        |  CAST(i.inter AS DOUBLE) / na.n_sh AS cont_a_in_b,
+        |  CAST(i.inter AS DOUBLE) / nb.n_sh AS cont_b_in_a,
+        |  (GREATEST(CAST(i.inter AS DOUBLE) / na.n_sh,
+        |            CAST(i.inter AS DOUBLE) / nb.n_sh) >= 0.8
+        |   AND CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) < 0.5)
+        |    AS asym_quote
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.doc_a
+        |JOIN sizes nb ON nb.doc_id = i.doc_b""".stripMargin,
+
     // exact integer second moments per (i, j) dim pair — the contract the
     // VecOuterSum aggregate must hit bit-exactly; covariance/eigen float
     // math happens after this line (PcaSpec)

@@ -41,6 +41,41 @@ class ApproxStatsSpec extends SparkSuite {
     }
   }
 
+  test("quantile bins are equi-depth: each bin holds n/4 rows within tie slack") {
+    val rows = SparkEntry.queries("q_quantile_bins")(spark, sf0001).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (flag, bins) =>
+      assert(bins.map(_.getAs[Long]("bin")).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+        s"flag=$flag must fill all four bins")
+      val n = bins.map(_.getAs[Long]("n")).sum
+      bins.foreach { b =>
+        // cents ties at sf0.001 are rare; a bin can deviate from n/4 only
+        // by the tie mass at its boundary value
+        assert(math.abs(b.getAs[Long]("n") - n / 4.0) <= n * 0.05,
+          s"flag=$flag bin=${b.getAs[Long]("bin")} n=${b.getAs[Long]("n")} of $n not equi-depth")
+      }
+      // bins tile the domain: max of bin k < min of bin k+1
+      val sorted = bins.sortBy(_.getAs[Long]("bin"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents"),
+          s"flag=$flag bins ${a.getAs[Long]("bin")}/${b.getAs[Long]("bin")} overlap")
+      }
+    }
+  }
+
+  test("containment bounds: inter <= min(n_a, n_b), containment in (0, 1]") {
+    val rows = SparkEntry.queries("q_containment")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inter, na, nb) = (r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(inter >= 1 && inter <= math.min(na, nb), r.toString)
+      val ca = r.getAs[Double]("cont_a_in_b"); val cb = r.getAs[Double]("cont_b_in_a")
+      assert(ca == inter.toDouble / na && cb == inter.toDouble / nb, r.toString)
+      // containment dominates Jaccard: J = inter/uni <= inter/max(n) <= cont
+      assert(math.max(ca, cb) >= inter.toDouble / (na + nb - inter), r.toString)
+    }
+  }
+
   test("approx_count_distinct within 10% of exact distinct count") {
     val rows = li.groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey")).as("approx"),

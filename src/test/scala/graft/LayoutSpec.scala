@@ -201,4 +201,38 @@ class LayoutSpec extends SparkSuite {
     assert(QueriesLayout.wapStageAuditPublish(s, good, "user_id", "cents", base.getPath))
     assert(marker.isFile)
   }
+
+  test("version diff: exact changelog on a synthetic version pair, untouched buckets skipped") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vdiff").toFile.getPath
+    def write(rows: Seq[(Long, Int, Long, Long)], path: String): Unit =
+      rows.toDF("user_id", "bucket", "n_events", "cents")
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // buckets: 0 untouched, 1 update (user 5), 2 delete (user 6), 3 insert (user 7)
+    write(Seq((4L, 0, 2L, 100L), (5L, 1, 3L, 200L), (6L, 2, 1L, 50L)), s"$base/v0")
+    write(Seq((4L, 0, 2L, 100L), (5L, 1, 4L, 260L), (7L, 3, 1L, 30L)), s"$base/v1")
+    val (changed, log) = QueriesLayout.diffVersions(s, s"$base/v0", s"$base/v1")
+    assert(changed == Seq(1, 2, 3), s"bucket 0 must fingerprint-skip: $changed")
+    val ops = log.collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("op")).toMap
+    assert(ops == Map(5L -> "update", 6L -> "delete", 7L -> "insert"), ops.toString)
+    // identical versions: zero changed buckets, empty changelog
+    val (none, empty) = QueriesLayout.diffVersions(s, s"$base/v0", s"$base/v0")
+    assert(none.isEmpty && empty.isEmpty)
+  }
+
+  test("version diff: the key-level diff scans carry the changed-bucket PartitionFilters") {
+    val df = SparkEntry.queries("q_version_diff")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.size >= 2 && pf.forall(_.contains("bucket")),
+      "both version scans must prune to changed buckets:\n" + p.take(3000))
+    // the fixture's untouched buckets (6-8, 10-15) never enter the diff
+    val changed = QueriesLayout.diffVersions(spark,
+      s"${QueriesLayout.versionDiffBase(sf0001)}/v0",
+      s"${QueriesLayout.versionDiffBase(sf0001)}/v1")._1
+    assert(changed.toSet.subsetOf(Set(0, 1, 2, 3, 4, 5, 9)),
+      s"only late-event/insert/erasure buckets may change: $changed")
+  }
 }
