@@ -462,6 +462,13 @@ object QueriesLayout {
     * 100 TB needs the lake to hand the delta BACK OUT without rereading
     * the corpus (index refresh, downstream re-train, replication).
     *
+    * Sibling of q_snapshot_diff (`QueriesCdc.snapshotDiff`), which is the
+    * LOGICAL diff — both versions fully scanned inside one plan. This is
+    * the PHYSICAL one: versions live as partitioned files, and a
+    * manifest-style fingerprint pass decides which partitions the diff
+    * may skip entirely — the property that matters when the table is
+    * 100 TB and the delta is 0.1%.
+    *
     * Scale shape: a per-bucket FINGERPRINT pass first (one aggregate row
     * per partition per version — metadata-sized, the role a table
     * format's manifest stats play), then the key-level full-outer diff

@@ -41,12 +41,23 @@ HEAVY = [
     # anchors x corpus by design (the IVF probe list is the scale path),
     # and its DuckDB replay at sf1 is ~3B join terms.
     "q_incr_mv", "q_weighted_sample", "q_retention",
+    # r12 third session: the version-diff changelog (fingerprint skip +
+    # bucket-pruned key diff over a 10x-key table — changed-bucket
+    # detection must stay exact as per-bucket populations grow) and the
+    # equi-depth binning (discrete boundaries off a 10x-deep histogram).
+    # q_containment stays out: its shingle-set kernel is q_substring_dedup's,
+    # already gated here; the containment arithmetic is per-pair division.
+    "q_version_diff", "q_quantile_bins",
 ]
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     out_json = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_sf1.json"
+    # optional 4th arg: comma-separated subset — recheck only those
+    # queries and MERGE into an existing out_json (incremental gating
+    # when the heavy list grows; prior entries carry over verbatim)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
@@ -55,8 +66,22 @@ def main():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    if only and os.path.isfile(out_json):
+        prior = json.load(open(out_json)).get("queries", {})
+        results.update({k: v for k, v in prior.items() if k in set(HEAVY) - only})
     n_fail = 0
     for name in HEAVY:
+        if only and name not in only:
+            if name not in results:
+                results[name] = {"rows_match": False, "schema_match": False,
+                                 "hash_match": False, "spark_rows": None,
+                                 "oracle_rows": None, "err": "not rechecked"}
+                n_fail += 1
+            elif not (results[name].get("rows_match") and
+                      results[name].get("schema_match") and
+                      results[name].get("hash_match")):
+                n_fail += 1
+            continue
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None}
         results[name] = rec
