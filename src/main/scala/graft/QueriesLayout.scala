@@ -452,6 +452,84 @@ object QueriesLayout {
       .select(col("user_id"), col("n_events"), col("cents"))
   }
 
+  // ------------------------------------------------ exactly-once stream sink
+
+  /** One micro-batch through the WAP kernel, fenced by batchId:
+    * Structured Streaming's foreachBatch contract is AT-LEAST-once (a
+    * failure after the sink write but before the checkpoint commit
+    * re-delivers the batch), so the sink must make re-application a
+    * no-op. The fence is the version's `_PUBLISHED` marker itself — if
+    * batch N already committed, the redelivery returns without touching
+    * the staged files. Marker-create is a single atomic file op, so a
+    * crash mid-batch leaves either an unpublished stage (invisible,
+    * restaged on redelivery) or a complete published version — never a
+    * torn one. Returns true iff THIS call published.
+    */
+  private[graft] def wapBatch(s: SparkSession, batch: DataFrame, batchId: Long,
+      base: String, keyCol: String, valCol: String): Boolean = {
+    val vdir = s"$base/v$batchId"
+    if (new java.io.File(vdir, "_PUBLISHED").isFile) false // redelivery fence
+    else {
+      new java.io.File(vdir).mkdirs()
+      wapStageAuditPublish(s, batch, keyCol, valCol, vdir)
+    }
+  }
+
+  /** Reader side of the stream-WAP contract: only marker-bearing
+    * versions exist. An unpublished stage (red audit, or crash before
+    * commit) is invisible.
+    */
+  private[graft] def publishedVersions(base: String): Seq[String] =
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty[java.io.File])
+      .toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+        && new java.io.File(f, "_PUBLISHED").isFile)
+      .map(f => s"${f.getPath}/staged").sorted
+
+  /** EXACTLY-ONCE streaming lake ingestion — the commit discipline a
+    * production CDC→lake sink needs, composed from pieces the catalog
+    * already proves separately: a file-source stream delivers the corpus
+    * over 4 micro-batches (at-least-once), each batch stages + audits +
+    * publishes as its own fenced version ([[wapBatch]]), and after the
+    * drain a batch-0 REDELIVERY is applied on purpose — the fence must
+    * skip it, and the hash gate proves the published table still holds
+    * every event exactly once (count + sum + min/max per key would all
+    * shift on a duplicated or dropped batch). At 100 TB each version
+    * commit is one marker-file create and the audit is one aggregate
+    * over the batch (not the table); version count is bounded by
+    * compaction ([[compaction]]) downstream.
+    */
+  def streamWap(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_swap_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+    ensureWritten(base, dir) {
+      val srcPath = s"$base/src"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(4).write.mode("overwrite").parquet(srcPath)
+      val ckpt = graft.core.Tmp.scratchDir("graft-swap-ckpt")
+      try {
+        s.readStream.schema("event_id bigint, user_id bigint, cents bigint")
+          .option("maxFilesPerTrigger", "1").parquet(srcPath)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            wapBatch(s, b, id, base, "event_id", "cents"); ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } finally graft.core.Tmp.deleteRecursively(ckpt)
+      // deliberate batch-0 redelivery: the fence must skip it
+      val replay = s.read.parquet(s"$base/v0/staged")
+      require(!wapBatch(s, replay, 0L, base, "event_id", "cents"),
+        "redelivered batch must hit the publish fence")
+    }
+    s.read.parquet(publishedVersions(base): _*)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+  }
+
   // ---------------------------------------------------- incremental version read
 
   /** Incremental read between two table versions — the READER half of the
@@ -549,6 +627,7 @@ object QueriesLayout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_diff" -> versionDiff _,
+    "q_stream_wap" -> streamWap _,
     "q_wap_publish" -> wapPublish _,
     "q_compaction" -> compaction _,
     "q_incr_index" -> incrIndex _,
@@ -584,6 +663,15 @@ object QueriesLayout {
         |FROM v0 FULL OUTER JOIN v1 ON v0.user_id = v1.user_id
         |WHERE v0.user_id IS NULL OR v1.user_id IS NULL
         |   OR v0.n <> v1.n OR v0.c <> v1.c""".stripMargin,
+
+    // exactly-once across 4 micro-batches + a deliberate batch-0
+    // redelivery: count/sum/min/max per key all shift on a duplicated
+    // or dropped batch, so the hash match proves the fence
+    "q_stream_wap" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // the green path: published content == the source rollup (a red
     // audit would leave no readable version at all and fail rows_match)
