@@ -419,10 +419,19 @@ object QueriesLayout {
         sum(when(col(valCol).isNull, 1L).otherwise(0L)).as("nulls"))
       .head
     val ok = a.getLong(0) > 0 && a.getLong(0) == a.getLong(1) && a.getLong(2) == 0
-    if (ok)
-      java.nio.file.Files.writeString(
-        new java.io.File(base, "_PUBLISHED").toPath,
-        s"rows=${a.getLong(0)}\n")
+    if (ok) {
+      // Commit point must be a single atomic file op (the claim the
+      // scaladoc makes): write to a temp sibling, then ATOMIC_MOVE into
+      // place — a crash mid-write can never leave a torn marker, only
+      // no marker (stage stays invisible) or a complete one. Same
+      // discipline as FileSink's _DONE manifest.
+      val marker = new java.io.File(base, "_PUBLISHED").toPath
+      val tmp = new java.io.File(base, "._PUBLISHED.tmp").toPath
+      java.nio.file.Files.writeString(tmp, s"rows=${a.getLong(0)}\n")
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     ok
   }
 
@@ -475,6 +484,25 @@ object QueriesLayout {
     }
   }
 
+  /** foreachBatch body for the exactly-once stream sink. [[wapBatch]]
+    * returns false for BOTH the redelivery fence (fine: the version
+    * already committed) and a red audit on a fresh stage (NOT fine:
+    * letting the micro-batch checkpoint commit would silently and
+    * permanently drop the batch). Distinguish via the marker: if the
+    * version was not already published and the publish did not happen,
+    * throw — Spark fails the stream instead of committing the
+    * checkpoint past lost data, and the batch is redelivered on
+    * restart. LayoutSpec drives the poisoned-fresh-batch path.
+    */
+  private[graft] def wapBatchOrFail(s: SparkSession, batch: DataFrame,
+      batchId: Long, base: String, keyCol: String, valCol: String): Unit = {
+    val fenced = new java.io.File(s"$base/v$batchId", "_PUBLISHED").isFile
+    if (!wapBatch(s, batch, batchId, base, keyCol, valCol) && !fenced)
+      throw new IllegalStateException(
+        s"batch $batchId failed the WAP audit; refusing to commit the " +
+          "checkpoint past an unpublished stage")
+  }
+
   /** Reader side of the stream-WAP contract: only marker-bearing
     * versions exist. An unpublished stage (red audit, or crash before
     * commit) is invisible.
@@ -484,7 +512,11 @@ object QueriesLayout {
       .toSeq
       .filter(f => f.isDirectory && f.getName.matches("v\\d+")
         && new java.io.File(f, "_PUBLISHED").isFile)
-      .map(f => s"${f.getPath}/staged").sorted
+      // numeric order on the batch id — lexicographic path sort puts
+      // v10 before v2, which breaks any latest-version / commit-order
+      // consumer once batch ids reach double digits
+      .sortBy(f => f.getName.drop(1).toLong)
+      .map(f => s"${f.getPath}/staged")
 
   /** EXACTLY-ONCE streaming lake ingestion — the commit discipline a
     * production CDC→lake sink needs, composed from pieces the catalog
@@ -513,7 +545,7 @@ object QueriesLayout {
           .option("maxFilesPerTrigger", "1").parquet(srcPath)
           .writeStream
           .foreachBatch { (b: DataFrame, id: Long) =>
-            wapBatch(s, b, id, base, "event_id", "cents"); ()
+            wapBatchOrFail(s, b, id, base, "event_id", "cents")
           }
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -202,6 +202,42 @@ class LayoutSpec extends SparkSuite {
     assert(marker.isFile)
   }
 
+  test("stream-WAP guard: fresh red batch fails the stream; redelivery of a committed batch is a silent no-op") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-guard").toFile.getPath
+    // a poisoned (duplicate-key) FRESH batch must throw — committing the
+    // micro-batch checkpoint past it would permanently drop the data
+    val dup = Seq((1L, 10L), (1L, 20L)).toDF("event_id", "cents")
+    val ex = intercept[IllegalStateException] {
+      QueriesLayout.wapBatchOrFail(s, dup, 0L, base, "event_id", "cents")
+    }
+    assert(ex.getMessage.contains("failed the WAP audit"))
+    assert(!new java.io.File(s"$base/v0", "_PUBLISHED").isFile)
+    // a clean batch publishes
+    val good = Seq((1L, 10L), (2L, 20L)).toDF("event_id", "cents")
+    QueriesLayout.wapBatchOrFail(s, good, 0L, base, "event_id", "cents")
+    assert(new java.io.File(s"$base/v0", "_PUBLISHED").isFile)
+    // REDELIVERY of the committed batch — even a poisoned payload — hits
+    // the fence and must NOT throw (at-least-once upstream, exactly-once
+    // published): the staged files stay untouched
+    QueriesLayout.wapBatchOrFail(s, dup, 0L, base, "event_id", "cents")
+    assert(s.read.parquet(s"$base/v0/staged").count() == 2)
+  }
+
+  test("publishedVersions orders numerically, not lexicographically (v10 after v2)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-order").toFile.getPath
+    for (id <- Seq(0L, 2L, 10L)) {
+      val b = Seq((id * 100 + 1, 1L)).toDF("event_id", "cents")
+      QueriesLayout.wapBatchOrFail(s, b, id, base, "event_id", "cents")
+    }
+    val names = QueriesLayout.publishedVersions(base)
+      .map(p => new java.io.File(p).getParentFile.getName)
+    assert(names == Seq("v0", "v2", "v10"))
+  }
+
   test("version diff: exact changelog on a synthetic version pair, untouched buckets skipped") {
     val s = spark
     import s.implicits._

@@ -58,6 +58,13 @@ def main():
     # queries and MERGE into an existing out_json (incremental gating
     # when the heavy list grows; prior entries carry over verbatim)
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only:
+        unknown = only - set(HEAVY)
+        if unknown:
+            # fail fast: a typo'd name would otherwise be silently ignored
+            # and the intended query's stale prior entry carried forward
+            # as green without a recheck
+            sys.exit(f"unknown queries in subset (not in HEAVY): {sorted(unknown)}")
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
@@ -68,7 +75,10 @@ def main():
     results = {}
     if only and os.path.isfile(out_json):
         prior = json.load(open(out_json)).get("queries", {})
-        results.update({k: v for k, v in prior.items() if k in set(HEAVY) - only})
+        # mark carried-over entries so the artifact records which rows
+        # were actually rechecked this run vs copied from the prior file
+        results.update({k: dict(v, carried=True)
+                        for k, v in prior.items() if k in set(HEAVY) - only})
     n_fail = 0
     for name in HEAVY:
         if only and name not in only:
