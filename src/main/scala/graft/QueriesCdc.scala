@@ -57,19 +57,29 @@ object QueriesCdc {
     * of full HDFS snapshot files per batch per partition). Measured at
     * sf0.1: single-store aggregations get faster (dedup 1.19 → 0.87 s,
     * session 2.11 → 1.87, window 1.38 → 1.28 — less per-batch file
-    * churn), while the 4-store stream-stream join got SLOWER (native
-    * instance init × 16 stores) and stays on the default provider. At
+    * churn). r13 moved the multi-store family (stream-stream join: FOUR
+    * stores per partition; LSH near-dup) onto RocksDB too — at 100 TB
+    * join state is exactly what does not fit a JVM heap — after taming
+    * the per-instance native cost r12 measured: `boundedMemoryUsage`
+    * shares ONE block cache + write-buffer manager across every store
+    * in the executor (instead of per-instance default arenas), and
+    * `trackTotalNumberOfRows=false` drops the per-op get-before-put
+    * bookkeeping (a metrics-only feature; semantics unchanged). At
     * 100 TB state the trade only widens toward RocksDB: snapshot-file
     * cost scales with state size, changelog commits with the delta.
     */
   private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.streaming.stateStore.providerClass"
-    val old = s.conf.getOption(k)
-    s.conf.set(k,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally old match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
+    val set = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "512",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+    val old = set.map { case (k, _) => k -> s.conf.getOption(k) }
+    set.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
@@ -1196,14 +1206,19 @@ object QueriesCdc {
     // 4, not the family's 8: a stream-stream join opens FOUR stores per
     // state partition (left/right x keyToNumValues/keyWithIndexToValue),
     // so 4 partitions already run 16 store open/commit cycles per batch
-    // — measured 3.25 -> 2.97 s vs 8 partitions at this state volume
+    // — measured 3.25 -> 2.97 s vs 8 partitions at this state volume.
+    // RocksDB since r13: join state is the store that outgrows the heap
+    // first at scale; bounded shared memory tames the 16-instance init
+    // cost that kept this family on the default provider in r12.
     withStatePartitions(s, 4) {
+      withRocksDbState(s) {
       runWithTempCkpt("graft-sjoin-ckpt") { ckpt =>
         joined.writeStream.format("memory").queryName("graft_stream_join")
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      }
       }
     }
     s.table("graft_stream_join")
@@ -1375,12 +1390,14 @@ object QueriesCdc {
       .select(col("band"), col("band_key").as("bandKey"), col("doc_id").as("docId"))
       .as[graft.stream.StreamingLsh.BandRow]
     withStatePartitions(s, 8) {
+      withRocksDbState(s) {
       runWithTempCkpt("graft-sneardup-ckpt") { ckpt =>
         graft.stream.StreamingLsh.firstInBucket(s, bands)
           .writeStream.format("memory").queryName("graft_stream_neardup")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      }
       }
     }
     s.table("graft_stream_neardup")
