@@ -335,7 +335,21 @@ object QueriesCdc {
     * encode pass itself — sizing maxEventsPerTrigger must not cost a
     * second full job over the same derivation).
     */
-  private def buildBinaryLog(s: SparkSession, dir: String, path: String): Long = {
+  /** @param segments >1 writes `path` as a DIRECTORY of that many
+    *   `seg-NNNNN.binlog` files, each a complete binlog (own FD event)
+    *   covering a contiguous event_id range, encoded in PARALLEL — the
+    *   per-event CRC32 encode was the catalog's one unsplittable-looking
+    *   fixture cost (34 s single-stream at sf1), but the log format
+    *   itself rotates files in production (binlog.000001, .000002, ...),
+    *   so segment-per-range replayed in name order IS the contract.
+    *   Segment boundaries sit on event_id range splits, so the
+    *   concatenated (uuid, gno) index — and therefore the GTID offset
+    *   plan and every replayed row — is bit-identical to the
+    *   single-file encode. 1 keeps the single ordered file (the socket
+    *   fixtures serve one image over the wire).
+    */
+  private def buildBinaryLog(s: SparkSession, dir: String, path: String,
+      segments: Int = 1): Long = {
     import graft.changelog.BinlogWire
     val base = events(s, dir)
       .filter(col("event_type").isin("signup", "click", "error"))
@@ -354,9 +368,18 @@ object QueriesCdc {
           .otherwise("delete").as("op"),
         unix_millis(col("ts")).as("ts_ms"))
     val nAcc = s.sparkContext.longAccumulator("graft_binlog_binary_rows")
-    // single ordered partition: a binlog IS one ordered stream per cluster
-    base.repartition(1).sortWithinPartitions(col("event_id"))
+    // segments==1: single ordered partition (a binlog is one ordered
+    // stream per cluster); segments>1: range-split on event_id so each
+    // partition encodes one contiguous segment file in parallel
+    val arranged =
+      if (segments == 1) base.repartition(1).sortWithinPartitions(col("event_id"))
+      else base.repartitionByRange(segments, col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+    arranged
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val segPath =
+          if (segments == 1) path
+          else f"$path/seg-${org.apache.spark.TaskContext.getPartitionId()}%05d.binlog"
         val table = BinlogWire.TableDef("graft", "events", Seq(
           BinlogWire.Col("event_id", BinlogWire.T.LONGLONG),
           BinlogWire.Col("user_id", BinlogWire.T.LONGLONG),
@@ -383,7 +406,7 @@ object QueriesCdc {
           BinlogWire.Txn(r.getAs[String]("uuid"), r.getAs[Long]("gno"),
             r.getAs[Long]("ts_ms"), table, Seq(row))
         }
-        graft.sources.BinlogFixture.writeBinary(path, entries)
+        graft.sources.BinlogFixture.writeBinary(segPath, entries)
       }
     nAcc.value.longValue()
   }
@@ -406,8 +429,11 @@ object QueriesCdc {
     // pid-unique like every other fixture path: concurrent Verify/Bench
     // JVMs must never overwrite a log the other is mid-replay on.
     // NOT memoized: the wire-format encode IS the operator under test.
+    // Encoded as 8 rotated segment files in parallel (see buildBinaryLog)
+    // — sf1 measured the single-stream encode at 34 s; the rotated
+    // encode is the same bytes per segment, same replay order, same hash.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
-    val nEvents = buildBinaryLog(s, dir, path)
+    val nEvents = buildBinaryLog(s, dir, path, segments = 8)
     runWithTempCkpt("graft-binlog-binary-ckpt") { ckpt =>
       s.readStream.format("graft-binlog")
         .option("path", path)

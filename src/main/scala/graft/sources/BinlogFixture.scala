@@ -107,6 +107,12 @@ object BinlogFixture {
     } finally in.close()
   }
 
+  /** Segment files of a directory log, in replay (= name) order. */
+  private def segFiles(fs: FileSystem, p: HPath): Seq[HPath] =
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.matches("seg-\\d+\\.binlog"))
+      .sortBy(_.getName).toSeq
+
   def readCached(path: String, conf: Configuration = new Configuration()): Vector[Event] = {
     // replication-socket sources are not file-backed: no FileStatus to
     // key a cache on, and a dump is already one bounded network read
@@ -114,7 +120,19 @@ object BinlogFixture {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val key = CacheKey(st.getLen, st.getModificationTime, probeChecksum(fs, p, st.getLen))
+    // a segmented (directory) log folds every segment's (len, mtime,
+    // probe) into one key — any rewritten segment misses the cache
+    val key =
+      if (st.isDirectory) {
+        var lenSum = 0L; var mtimeMax = 0L; var h = 0xcbf29ce484222325L
+        segFiles(fs, p).foreach { f =>
+          val fst = fs.getFileStatus(f)
+          lenSum += fst.getLen
+          mtimeMax = math.max(mtimeMax, fst.getModificationTime)
+          h ^= probeChecksum(fs, f, fst.getLen); h *= 0x100000001b3L
+        }
+        CacheKey(lenSum, mtimeMax, h)
+      } else CacheKey(st.getLen, st.getModificationTime, probeChecksum(fs, p, st.getLen))
     val hit = cache.get(path)
     if (hit != null && hit._1 == key) hit._2
     else {
@@ -135,6 +153,14 @@ object BinlogFixture {
     if (path.startsWith("mysql://")) return readSocket(path, graft.changelog.GtidSet.empty)
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
+    // a DIRECTORY is a segmented log: each seg-NNNNN.binlog is a complete
+    // binlog (magic + its own FORMAT_DESCRIPTION — the format the parser
+    // accepts from any FD event), replayed in segment-name order, which
+    // the writer pins to GTID/event order. This is exactly how a real
+    // MySQL server rotates binlog.000001, .000002, ... — and it lets the
+    // fixture ENCODE fan out N-way instead of riding one thread.
+    if (fs.getFileStatus(p).isDirectory)
+      return segFiles(fs, p).iterator.flatMap(f => read(f.toString, conf)).toVector
     val head = new Array[Byte](4)
     val sniff = fs.open(p)
     val isBinary =

@@ -53,6 +53,42 @@ class BinlogBinaryFixtureSpec extends AnyFunSuite {
     assert(BinlogFixture.readIndex(bin).map(_._2) === Vector(1L, 2L, 2L, 3L))
   }
 
+  test("segmented (rotated) log replays identically to the single-file encode") {
+    val root = java.nio.file.Files.createTempDirectory("graft-binfix-seg").toString
+    def img(id: Long, name: String): IndexedSeq[Any] =
+      IndexedSeq(java.lang.Long.valueOf(id), name)
+    val txns = (1L to 9L).map { g =>
+      Txn(uuidA, g, 1700000000000L + g * 1000, table,
+        Seq(Row("insert", None, Some(img(g, s"n$g")))))
+    }
+    // single ordered file
+    val one = s"$root/one.binlog"
+    BinlogFixture.writeBinary(one, txns.iterator)
+    // 3 rotated segments, each a complete log with its own FD event;
+    // plus one EMPTY segment (a range partition can be empty)
+    val segDir = s"$root/segs"
+    BinlogFixture.writeBinary(s"$segDir/seg-00000.binlog", txns.take(3).iterator)
+    BinlogFixture.writeBinary(s"$segDir/seg-00001.binlog", txns.slice(3, 6).iterator)
+    BinlogFixture.writeBinary(s"$segDir/seg-00002.binlog", Iterator.empty)
+    BinlogFixture.writeBinary(s"$segDir/seg-00003.binlog", txns.drop(6).iterator)
+    val a = BinlogFixture.read(one)
+    val b = BinlogFixture.read(segDir)
+    // identical logical stream modulo seq (log positions are per-file)
+    def key(e: BinlogFixture.Event) = (e.uuid, e.gno, e.op, e.db, e.tbl, e.ts, e.before, e.payload)
+    assert(a.map(key) === b.map(key))
+    // offset planning sees the identical (uuid, gno) index
+    assert(BinlogFixture.readIndex(one) === BinlogFixture.readIndex(segDir))
+    // the directory read is cached and invalidated like a file read:
+    // rewriting one segment must miss the stale entry
+    assert(BinlogFixture.readCached(segDir).size === 9)
+    BinlogFixture.writeBinary(s"$segDir/seg-00002.binlog",
+      Iterator(Txn(uuidA, 100L, 1700000099000L, table,
+        Seq(Row("insert", None, Some(img(100, "late")))))))
+    val re = BinlogFixture.readCached(segDir)
+    assert(re.size === 10)
+    assert(re.map(_.gno).slice(6, 7) === Vector(100L))
+  }
+
   test("JSON fixture path still round-trips (format sniffing does not break it)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-binfix-json").toString
     val p = s"$dir/log.jsonl"

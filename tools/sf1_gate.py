@@ -48,6 +48,32 @@ HEAVY = [
     # q_containment stays out: its shingle-set kernel is q_substring_dedup's,
     # already gated here; the containment arithmetic is per-pair division.
     "q_version_diff", "q_quantile_bins",
+    # r13: the full streaming-state family — state stores (RocksDB since
+    # r13 for the multi-store join/neardup), watermark eviction, and the
+    # WAP commit fence have scale-dependent behavior (state partition
+    # populations, store sizes, version counts) that sf0.01 cannot
+    # stress. Reference behavior proven: streamer/buffer.go:199-204
+    # (offsets only after commit) and pipe/file.go:545-572 (file-sink
+    # commit protocol).
+    "q_stream_window", "q_stream_dedup", "q_stream_join", "q_stream_session",
+    "q_stream_retract", "q_stream_neardup", "q_stream_enrich", "q_stream_wap",
+    # r13: the lake family — bucket counts, file populations per
+    # partition, and version fences all grow with SF
+    "q_wap_publish", "q_compaction", "q_cow_upsert", "q_snapshot_diff",
+    "q_zorder", "q_bloom_prune",
+    # r13: CDC semantics whose collision/ordering density rises with SF
+    # (multi-op keys in the handoff merge, seqno assignment over a 10x
+    # changelog, full encode/decode roundtrips over 10x rows)
+    "q_handoff_merge", "q_seqno_assign", "q_cf_roundtrip", "q_avro_roundtrip",
+    # r13: the relational core at 6M lineitem / 1M events — skew salting,
+    # bucket-join co-location, range/as-of window growth, funnel and
+    # session chains over 10x-deep per-user histories
+    "q1_agg", "q3_join_topk", "q_skew_join", "q_bucket_join", "q_range_join",
+    "q_asof_join", "q_topk_per_group", "q_sessionize", "q_funnel",
+    "q_moving_agg", "q_approx_stats",
+    # r13: text/corpus ops whose shingle/posting populations grow 10x
+    "q_gopher_rules", "q_repetition", "q_text_fingerprint", "q_bm25",
+    "q_inverted_index", "q_decontaminate", "q_pack_sequences",
 ]
 
 
