@@ -429,11 +429,11 @@ object QueriesCdc {
     // pid-unique like every other fixture path: concurrent Verify/Bench
     // JVMs must never overwrite a log the other is mid-replay on.
     // NOT memoized: the wire-format encode IS the operator under test.
-    // Encoded as 8 rotated segment files in parallel (see buildBinaryLog)
+    // Encoded as 16 rotated segment files in parallel (see buildBinaryLog)
     // — sf1 measured the single-stream encode at 34 s; the rotated
     // encode is the same bytes per segment, same replay order, same hash.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
-    val nEvents = buildBinaryLog(s, dir, path, segments = 8)
+    val nEvents = buildBinaryLog(s, dir, path, segments = 16)
     runWithTempCkpt("graft-binlog-binary-ckpt") { ckpt =>
       s.readStream.format("graft-binlog")
         .option("path", path)

@@ -159,8 +159,14 @@ object BinlogFixture {
     // the writer pins to GTID/event order. This is exactly how a real
     // MySQL server rotates binlog.000001, .000002, ... — and it lets the
     // fixture ENCODE fan out N-way instead of riding one thread.
-    if (fs.getFileStatus(p).isDirectory)
-      return segFiles(fs, p).iterator.flatMap(f => read(f.toString, conf)).toVector
+    if (fs.getFileStatus(p).isDirectory) {
+      // segments are independent complete logs — parse them in parallel
+      // (the whole point of rotating the encode), concatenate in order
+      val futs = segFiles(fs, p).map { f =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() => read(f.toString, conf))
+      }
+      return futs.iterator.flatMap(_.join()).toVector
+    }
     val head = new Array[Byte](4)
     val sniff = fs.open(p)
     val isBinary =
