@@ -482,8 +482,10 @@ object QueriesAnalytics {
     val (ivf, pq) = ivfpqModels.computeIfAbsent(graft.core.DatasetKey.of(dir), _ => {
       val iv = graft.analytics.Ivf.Model.parse( // persist/restore path
         graft.analytics.Ivf.train(e, "vec_id", "embedding", k = 8, iters = 5).serialize)
-      val pqm = graft.analytics.Pq.train(e, col("vec_id"), col("embedding"),
-        k = 32, iters = 8)
+      // SHARED with q_pq_topk: identical corpus + params -> one codebook
+      // fit per process instead of two (the 14-15 s pass-1 cost)
+      val pqm = graft.analytics.Pq.trainCached(e, graft.core.DatasetKey.of(dir),
+        col("vec_id"), col("embedding"), k = 32, iters = 8)
       (iv, pqm)
     })
     val path = QueriesCdc.fixturePath("ivfpq", dir)

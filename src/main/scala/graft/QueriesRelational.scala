@@ -198,21 +198,17 @@ object QueriesRelational {
     * code-scan→re-rank shape; production tunes candidates ≪ corpus and
     * composes with IVF cell pruning ([[graft.analytics.Ivf]]).
     */
-  // train-once, probe-many is the PQ serving contract; training is
-  // bit-deterministic (PqSpec), so memoizing the model per dataset is
-  // observationally transparent — repeated runs measure the serving path
-  // (encode + ADC + re-rank), not repeated refits. The key is the
-  // DatasetKey CONTENT key, not the raw dir: a dataset refreshed under
-  // the same path retrains instead of serving the stale model.
-  private val pqModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.analytics.Pq.Model]()
-  private[graft] def pqModelCacheSize: Int = pqModels.size()
+  // train-once, probe-many is the PQ serving contract; the model memo
+  // lives in Pq.trainCached (SHARED with q_ivfpq_topk, which fits the
+  // identical codebook — see its scaladoc), keyed by the DatasetKey
+  // CONTENT key + params: a dataset refreshed under the same path
+  // retrains instead of serving the stale model.
+  private[graft] def pqModelCacheSize: Int = graft.analytics.Pq.modelCacheSize
 
   def pqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val m = pqModels.computeIfAbsent(graft.core.DatasetKey.of(dir), _ =>
-      graft.analytics.Pq.train(e, col("vec_id"), col("embedding"),
-        k = 32, iters = 8))
+    val m = graft.analytics.Pq.trainCached(e, graft.core.DatasetKey.of(dir),
+      col("vec_id"), col("embedding"), k = 32, iters = 8)
     val codes = graft.analytics.Pq.encode(
       e.filter(col("vec_id") =!= 1), col("vec_id"), col("embedding"), m)
     val query = e.filter(col("vec_id") === 1)

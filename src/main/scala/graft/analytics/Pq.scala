@@ -74,45 +74,94 @@ object Pq {
       transform(sub, s => struct(s.getField("_1").as("cid"), s.getField("_2").as("cent"))))
   }
 
+  /** Shared train-once cache: the pq and ivfpq catalog rows train the
+    * IDENTICAL codebook (same corpus, same params) — before r13 each row
+    * held its own memo, so the 14-15 s codebook fit ran twice per
+    * process. Keyed by (dataset CONTENT key, every train param):
+    * training is bit-deterministic (PqSpec), so sharing is
+    * observationally transparent; a refreshed dataset or different
+    * params miss and retrain.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  def modelCacheSize: Int = modelCache.size()
+  def trainCached(emb: DataFrame, contentKey: String, id: Column, vec: Column,
+                  dims: Int = 64, numSub: Int = 8, k: Int = 16,
+                  iters: Int = 5): Model =
+    modelCache.computeIfAbsent(s"$contentKey#$dims/$numSub/$k/$iters",
+      _ => train(emb, id, vec, dims, numSub, k, iters))
+
   /** Train per-subspace codebooks with Lloyd's iterations over exact
     * integer sums. Initial centroids: the subvectors of the `k` lowest
     * vec_ids (deterministic seeding).
     */
+  /** Training-sample bound: codebooks need ~100k vectors, not the
+    * corpus (the class doc's stated 100 TB contract). When the corpus
+    * exceeds the cap, a deterministic xxhash64-ranked TakeOrdered picks
+    * the sample; below it (every test SF) the sample IS the corpus, so
+    * the trained model is unchanged vs the uncapped history.
+    */
+  val TrainSampleCap: Int = 200000
+
   def train(emb: DataFrame, id: Column, vec: Column,
             dims: Int = 64, numSub: Int = 8, k: Int = 16, iters: Int = 5): Model = {
     require(dims % numSub == 0, s"dims=$dims not divisible by numSub=$numSub")
     val subDim = dims / numSub
-    val sv = subvectors(emb, id, vec, dims, numSub).persist()
-    try {
-      val seed = sv.filter(col("vec_id") < k)
-        .collect()
-        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"), r.getAs[Seq[Long]]("qsub")))
-      var books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-        (0 until numSub).map { s =>
-          seed.filter(_._2 == s).sortBy(_._1).take(k).map(_._3.toIndexedSeq).toIndexedSeq
+    // ONE bounded collect of quantized vectors; Lloyd's runs on the
+    // driver. The former per-iteration distributed aggregation cost was
+    // dominated by analysis + codegen of the full codebook literal
+    // (numSub x k x subDim) EVERY iteration — ~14 s for a 2k-vector
+    // corpus — while the data itself is sample-bounded by design. Same
+    // integer math, same seeding, same strict-< tie-break to the lowest
+    // cid, same Math.round(sum/n) centroid update, empty clusters keep
+    // their centroid: the model is bit-identical (PqSpec pins it).
+    val q = emb.select(id.cast("long").as("vec_id"),
+      Similarity.quantize(vec).as("q"))
+    val sample = q.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainSampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    // deterministic seeding: the subvectors of the k lowest vec_ids
+    val seed = sample.filter(_._1 < k)
+    require(seed.length == k, s"need vec_ids 0..${k - 1} to seed $k centroids")
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(numSub, k, subDim)((s, c, d) => seed(c)._2(s * subDim + d))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Long](numSub, k, subDim)
+      val counts = Array.ofDim[Long](numSub, k)
+      sample.foreach { case (_, v) =>
+        var s = 0
+        while (s < numSub) {
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            var d2 = 0L
+            var d = 0
+            while (d < subDim) {
+              val diff = v(s * subDim + d) - books(s)(c)(d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c } // strict <: tie -> lowest cid
+            c += 1
+          }
+          counts(s)(best) += 1
+          var d = 0
+          while (d < subDim) { sums(s)(best)(d) += v(s * subDim + d); d += 1 }
+          s += 1
         }
-      require(books.forall(_.size == k), s"need at least $k vectors to seed $k centroids")
-      var it = 0
-      while (it < iters) {
-        val m = Model(dims, numSub, k, books)
-        // one aggregation pass: (sub, cid, dim) -> exact integer sum + count
-        val assigned = sv.select(col("sub"), col("qsub"),
-          assignExpr(booksColumn(m)).as("cid"))
-        val sums = assigned
-          .select(col("sub"), col("cid"), posexplode(col("qsub")).as(Seq("dim", "v")))
-          .groupBy(col("sub"), col("cid"), col("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = Array.tabulate(numSub, k, subDim)((s, c, d) => books(s)(c)(d))
-        sums.foreach { r =>
-          val (s, c, d) = (r.getAs[Int]("sub"), r.getAs[Int]("cid"), r.getAs[Int]("dim"))
-          next(s)(c)(d) = Math.round(r.getAs[Long]("s").toDouble / r.getAs[Long]("n"))
-        }
-        books = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
-        it += 1
       }
-      Model(dims, numSub, k, books)
-    } finally { sv.unpersist(); () }
+      books = Array.tabulate(numSub, k, subDim) { (s, c, d) =>
+        if (counts(s)(c) > 0) Math.round(sums(s)(c)(d).toDouble / counts(s)(c))
+        else books(s)(c)(d)
+      }
+      it += 1
+    }
+    Model(dims, numSub, k,
+      books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
   }
 
   /** Encode the corpus to PQ codes: (vec_id, codes array<int>, one code
@@ -146,6 +195,26 @@ object Pq {
   }
 
   private val encodeNameCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Append a native-encoder `codes` column to `df` and hand the result
+    * to `body` while the per-call temp-function binding is live (the
+    * binding discipline [[encode]] documents; here the consumer may
+    * trigger fresh analysis — e.g. a write command — so the binding
+    * stays registered for the whole callback).
+    */
+  private def withCodesColumn[T](df: DataFrame, vec: Column, m: Model)(
+      body: DataFrame => T): T = {
+    val spark = df.sparkSession
+    val fname = s"graft_pq_encode_${encodeNameCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.PqEncode(exprs.head, m.books), "built-in")
+    try body(df.withColumn("codes", call_function(fname, Similarity.quantize(vec))))
+    finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+      ()
+    }
+  }
 
   /** The composed-builtins encoder the native path must match — kept as
     * the parity reference for PqSpec.
@@ -214,10 +283,19 @@ object Pq {
                        ivf: Ivf.Model, m: Model, path: String): Unit = {
     val assigned = Ivf.assign(emb.select(id.as("vec_id"), vec.as("embedding")),
       "vec_id", "embedding", ivf)
-    val codes = encode(assigned, col("vec_id"), col("embedding"), m)
-    assigned.join(codes, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // codes appended in the SAME narrow pass — joining encode(assigned)
+    // back onto assigned would recompute the assignment AND shuffle the
+    // corpus once for nothing (cells + codes are both per-row functions
+    // of the vector)
+    withCodesColumn(assigned, col("embedding"), m) { withCodes =>
+      withCodes
+        .select(col("vec_id"), col("embedding"), col("codes"), col("cell"))
+        // cluster by cell before the partitioned write: without it every
+        // input task writes a file into every cell dir (tasks x cells
+        // tiny files — the classic partitioned-write mistake at scale)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
   }
 
   /** Probe the composed index: partition-prune to `nprobe` cells, ADC
