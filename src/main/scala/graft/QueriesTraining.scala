@@ -616,8 +616,82 @@ object QueriesTraining {
         col("neg.cand_id").as("neg_id"), col("neg.dot").as("neg_dot"))
   }
 
+  /** The scale path [[contrastivePairs]]' scaladoc promises, made real
+    * and recall-gated: the candidate set per anchor is the IVF PROBE
+    * LIST (the anchor's `nprobe` nearest coarse cells) instead of the
+    * whole corpus, so the per-anchor work at 100 TB is corpus/cells ×
+    * nprobe instead of corpus. The pair CONTRACT is unchanged — hardest
+    * positive by exact integer dot, md5-drawn negative — and the brute
+    * pass doubles as the ground truth: `hit` marks anchors whose IVF
+    * positive ties the brute positive's dot, `floor_ok` gates mean
+    * recall (mills) against [[ContrastiveIvfOracle.FloorMills]], the
+    * q_ann_recall pattern.
+    *
+    * Determinism: coarse centroids train on the driver (deterministic,
+    * corpus-size-independent sample) and are baked into BOTH engines as
+    * milli-quantized literals; cell assignment and probe ranking use
+    * INTEGER L2 over those literals (ties to the lower cell id), so
+    * DuckDB replays the whole derivation bit-exactly — no float
+    * summation-order hazards.
+    */
+  def contrastiveIvf(s: SparkSession, dir: String): DataFrame = {
+    val eRaw = emb(s, dir)
+    val ivf = graft.analytics.Ivf.train(eRaw, "vec_id", "embedding", k = 8, iters = 5)
+    val qcents: IndexedSeq[IndexedSeq[Long]] = ivf.centroids.toIndexedSeq
+      .map(_.toIndexedSeq.map(x => math.round(x * 1000)))
+    ContrastiveIvfOracle.stash(dir, qcents)
+    val centsLit = typedLit(qcents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+    def d2(qCol: Column, cent: Column): Column =
+      aggregate(zip_with(qCol, cent, (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+    def rankedCells(qCol: Column): Column =
+      array_sort(transform(centsLit, c =>
+        struct(d2(qCol, c.getField("_2")).as("d2"), c.getField("_1").as("cid"))))
+    val e = eRaw.select(col("vec_id"),
+      graft.analytics.Similarity.quantize(col("embedding")).as("q"))
+    val assigned = e.withColumn("cell",
+      element_at(rankedCells(col("q")), 1).getField("cid"))
+    val anchors = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("q").as("qa"),
+        slice(transform(rankedCells(col("q")), x => x.getField("cid")), 1, 4)
+          .as("probes"))
+    // candidates: only vectors in the anchor's 3 probed cells — at scale
+    // this is a cell-partitioned index join (Ivf.materialize), here the
+    // anchors broadcast and each corpus partition filters locally
+    val scored = assigned.select(col("vec_id").as("cand_id"),
+        col("q").as("qc"), col("cell"))
+      .join(broadcast(anchors),
+        array_contains(col("probes"), col("cell")) &&
+          col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        graft.analytics.Similarity.dotQ(col("qa"), col("qc"))(s).as("dot"),
+        conv(substring(md5(concat_ws(":", col("anchor_id"), col("cand_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val pairs = scored.groupBy(col("anchor_id"))
+      .agg(
+        min(struct((-col("dot")).as("ndot"), col("cand_id").as("cand_id"))).as("pos"),
+        min(struct(col("h").as("h"), col("cand_id").as("cand_id"),
+          col("dot").as("dot"))).as("neg"))
+      .select(col("anchor_id"),
+        col("pos.cand_id").as("pos_id"), (-col("pos.ndot")).as("pos_dot"),
+        col("neg.cand_id").as("neg_id"), col("neg.dot").as("neg_dot"))
+    val brute = contrastivePairs(s, dir)
+      .select(col("anchor_id"), col("pos_dot").as("brute_dot"))
+    val hits = pairs.join(brute, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_dot"),
+        col("neg_id"), col("neg_dot"), col("brute_dot"),
+        when(col("pos_dot") === col("brute_dot"), 1L).otherwise(0L).as("hit"))
+    val stats = hits.groupBy()
+      .agg(expr("(sum(hit) * 1000) div count(1)").as("mean_mills"))
+    hits.crossJoin(broadcast(stats))
+      .select(col("anchor_id"), col("pos_id"), col("pos_dot"),
+        col("neg_id"), col("neg_dot"), col("brute_dot"), col("hit"),
+        col("mean_mills"), lit(ContrastiveIvfOracle.FloorMills).as("floor_mills"),
+        (col("mean_mills") >= ContrastiveIvfOracle.FloorMills).as("floor_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contrastive_pairs" -> contrastivePairs _,
+    "q_contrastive_ivf" -> contrastiveIvf _,
     "q_chunk_windows" -> chunkWindows _,
     "q_inverted_index" -> invertedIndex _,
     "q_skipgram_pairs" -> skipgramPairs _,
@@ -891,4 +965,98 @@ object QueriesTraining {
         |  CAST(ROUND(SUM(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * n)
         |             / SUM(n) * 1000) AS BIGINT) AS surprisal_milli
         |FROM j GROUP BY doc_id""".stripMargin)
+}
+
+/** Holder for the trained IVF coarse centroids behind q_contrastive_ivf,
+  * keyed by data dir, so its DuckDB oracle can be emitted with the SAME
+  * milli-quantized centroid literals the Spark side assigned cells with
+  * (the [[graft.analytics.PcaModels]] pattern: Verify runs the query —
+  * which trains and stashes — before dumping `SparkEntry.oracleSql`).
+  * All arithmetic downstream of the literals is BIGINT on both engines.
+  */
+object ContrastiveIvfOracle {
+  /** Recall floor (mills) for the IVF probe path vs the brute positive.
+    * Measured at nprobe 4 of 8 cells: sf0.01 = 1000, sf0.1 = 825,
+    * sf1 = 945 (the floor RISES at 10× — same effect as q_ann_recall's
+    * ladder: a denser corpus puts the hardest positive in a nearer
+    * cell). 750 sits safely under every measured SF while failing a
+    * degraded probe list (nprobe 3 measures 700 at sf0.1).
+    */
+  val FloorMills: Long = 750L
+
+  private val byDir = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[Long]]]()
+
+  def stash(dir: String, qcents: IndexedSeq[IndexedSeq[Long]]): Unit = {
+    byDir.put(dir, qcents); ()
+  }
+
+  private def current(): Option[IndexedSeq[IndexedSeq[Long]]] = {
+    import scala.jdk.CollectionConverters._
+    val all = byDir.asScala
+    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
+      .orElse(all.values.headOption)
+  }
+
+  def oracleEntries: Map[String, String] = current() match {
+    case None => Map.empty
+    case Some(cents) =>
+      val values = cents.zipWithIndex
+        .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+        .mkString(",\n    ")
+      Map("q_contrastive_ivf" ->
+        s"""WITH q AS (
+           |  SELECT vec_id, g.i,
+           |    CAST(ROUND(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS qv
+           |  FROM embeddings, generate_series(1, 64) g(i)),
+           |cents(cid, c) AS (VALUES
+           |    $values),
+           |cl AS (SELECT cid, g.i, c[CAST(g.i AS INT)] AS cv
+           |       FROM cents, generate_series(1, 64) g(i)),
+           |d AS (SELECT q.vec_id, cl.cid,
+           |        CAST(SUM((q.qv - cl.cv) * (q.qv - cl.cv)) AS BIGINT) AS d2
+           |      FROM q JOIN cl ON q.i = cl.i GROUP BY 1, 2),
+           |r AS (SELECT vec_id, cid,
+           |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |      FROM d),
+           |cell AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1),
+           |probes AS (SELECT vec_id AS anchor_id, cid AS cell FROM r
+           |           WHERE vec_id % 50 = 0 AND rn <= 4),
+           |cand AS (SELECT p.anchor_id, c.vec_id AS cand_id
+           |         FROM probes p JOIN cell c USING (cell)
+           |         WHERE c.vec_id <> p.anchor_id),
+           |pd AS (SELECT cd.anchor_id, cd.cand_id,
+           |         CAST(SUM(a.qv * c.qv) AS BIGINT) AS dot
+           |       FROM cand cd
+           |       JOIN q a ON a.vec_id = cd.anchor_id
+           |       JOIN q c ON c.vec_id = cd.cand_id AND c.i = a.i
+           |       GROUP BY 1, 2),
+           |h AS (SELECT anchor_id, cand_id, dot,
+           |        CAST(concat('0x', substr(md5(anchor_id || ':' || cand_id), 1, 15)) AS BIGINT) AS hh
+           |      FROM pd),
+           |pos AS (SELECT anchor_id, cand_id AS pos_id, dot AS pos_dot,
+           |          row_number() OVER (PARTITION BY anchor_id ORDER BY dot DESC, cand_id) AS rn
+           |        FROM h),
+           |neg AS (SELECT anchor_id, cand_id AS neg_id, dot AS neg_dot,
+           |          row_number() OVER (PARTITION BY anchor_id ORDER BY hh, cand_id) AS rn
+           |        FROM h),
+           |bdots AS (SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+           |            CAST(SUM(a.qv * c.qv) AS BIGINT) AS dot
+           |          FROM q a JOIN q c ON a.i = c.i AND c.vec_id <> a.vec_id
+           |          WHERE a.vec_id % 50 = 0 GROUP BY 1, 2),
+           |bd AS (SELECT anchor_id, MAX(dot) AS brute_dot FROM bdots GROUP BY 1),
+           |sel AS (SELECT p.anchor_id, p.pos_id, p.pos_dot, n.neg_id, n.neg_dot,
+           |          b.brute_dot,
+           |          CASE WHEN p.pos_dot = b.brute_dot THEN CAST(1 AS BIGINT)
+           |               ELSE CAST(0 AS BIGINT) END AS hit
+           |        FROM pos p
+           |        JOIN neg n ON n.anchor_id = p.anchor_id AND n.rn = 1
+           |        JOIN bd b ON b.anchor_id = p.anchor_id
+           |        WHERE p.rn = 1)
+           |SELECT sel.*, st.mean_mills,
+           |  CAST($FloorMills AS BIGINT) AS floor_mills,
+           |  st.mean_mills >= $FloorMills AS floor_ok
+           |FROM sel, (SELECT CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS mean_mills
+           |           FROM sel) st""".stripMargin)
+  }
 }

@@ -85,7 +85,10 @@ object SparkEntry {
       QueriesGraph.oracleSql ++ QueriesIncremental.oracleSql ++
       // data-dependent oracle: literals from the model q_pca_project
       // trained when it ran (Verify runs queries before dumping SQL)
-      graft.analytics.PcaModels.oracleEntries ++ Map(
+      graft.analytics.PcaModels.oracleEntries ++
+      // same pattern: q_contrastive_ivf's oracle carries the trained
+      // coarse-centroid literals stashed when the query ran
+      ContrastiveIvfOracle.oracleEntries ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
