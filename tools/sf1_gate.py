@@ -74,6 +74,10 @@ HEAVY = [
     # r13: text/corpus ops whose shingle/posting populations grow 10x
     "q_gopher_rules", "q_repetition", "q_text_fingerprint", "q_bm25",
     "q_inverted_index", "q_decontaminate", "q_pack_sequences",
+    # r13 second session: the segmented (16-file rotated) binlog encode —
+    # the r13 rewrite of the catalog's heaviest fixture; the gate proves
+    # the parallel encode replays hash-identically at 10x volume
+    "q_binlog_binary",
 ]
 
 
