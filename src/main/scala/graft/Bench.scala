@@ -19,6 +19,26 @@ import org.apache.spark.sql.SparkSession
   * most one of each query's samples and the median rejects it.
   */
 object Bench {
+
+  /** Family tags → query sets, derived from the registry modules
+    * themselves so a new query is always tagged automatically. Used by
+    * SPARK_GRAFT_FAMILY to re-bench only the families a change touched
+    * (the full 3-repeat catalog costs ~6-7 min of wall; one family is
+    * seconds). `stream` additionally collects the streaming rows that
+    * live in QueriesCdc.
+    */
+  val Families: Map[String, Set[String]] = Map(
+    "cdc" -> QueriesCdc.queries.keySet,
+    "analytics" -> QueriesAnalytics.queries.keySet,
+    "extra" -> QueriesExtra.queries.keySet,
+    "quality" -> QueriesQuality.queries.keySet,
+    "pipes" -> QueriesPipes.queries.keySet,
+    "training" -> QueriesTraining.queries.keySet,
+    "relational" -> QueriesRelational.queries.keySet,
+    "lake" -> QueriesLayout.queries.keySet,
+    "graph" -> QueriesGraph.queries.keySet,
+    "incremental" -> QueriesIncremental.queries.keySet,
+    "stream" -> SparkEntry.queries.keySet.filter(_.startsWith("q_stream_")))
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,9 +125,24 @@ object Bench {
     try { calibOnce(); calibSamples += calibOnce() } // first run pays codegen; discard it
     catch { case _: Throwable => () }
 
-    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a subset;
+    // SPARK_GRAFT_FAMILY=stream,lake expands family tags (the registry
+    // source modules) to their query sets so a round that touched one
+    // family can re-bench just that family. Both can combine.
+    val familyPick: Set[String] = sys.env.get("SPARK_GRAFT_FAMILY") match {
+      case None => Set.empty
+      case Some(fams) =>
+        val picked = fams.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = picked.diff(Families.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(s"WARNING: unknown SPARK_GRAFT_FAMILY tags: " +
+            s"${unknown.toSeq.sorted.mkString(", ")} (have: ${Families.keys.toSeq.sorted.mkString(", ")})")
+        picked.flatMap(Families.getOrElse(_, Set.empty))
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_ ++ familyPick)
+      .orElse(if (familyPick.nonEmpty) Some(familyPick) else None)
     only.foreach { o =>
       val unknown = o.diff(SparkEntry.queries.keySet)
       if (unknown.nonEmpty)

@@ -78,6 +78,38 @@ HEAVY = [
     # the r13 rewrite of the catalog's heaviest fixture; the gate proves
     # the parallel encode replays hash-identically at 10x volume
     "q_binlog_binary",
+    # r13 third session: push the gate toward the FULL catalog. Left out,
+    # each for a stated reason: the socket/wire family (the loopback
+    # protocol servers are the operator under test and their single-image
+    # fixtures are deliberately unsegmented), multimodal (binary decode
+    # fixtures, DuckDB cannot replay the codecs), contrastive_pairs/_ivf
+    # (brute ground-truth side is anchors x corpus by design — its DuckDB
+    # replay at sf1 is ~3B join terms), and q_ngram_jaccard/q_containment
+    # (the all-pairs shingle oracle; the same kernel is already gated via
+    # q_substring_dedup).
+    # ANN / embedding family — brute oracles are one-query x corpus:
+    "q_embed_topk", "q_embed_lsh", "q_embed_neardup", "q_embed_covariance",
+    "q_pca_project", "q_ivf_probe", "q_pq_topk", "q_ivfpq_topk",
+    "q_knn_ivf", "q_knn_classify",
+    # relational remainder at 6M lineitem / 1M events:
+    "q_cube", "q_rollup", "q_unpivot", "q_pivot_users", "q_setops",
+    "q_rank_stats", "q_range_frame", "q_first_per_day", "q_scd2",
+    "q_multi_join", "q_anti_join", "q_exists_semi", "q_scalar_subq",
+    "q_state_join", "q_topk_agg", "q_window_events",
+    # text/corpus remainder over 50k docs:
+    "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_scrub",
+    "q_term_freq", "q_doc_stats", "q_bigrams", "q_ngram_lm",
+    "q_skipgram_pairs", "q_curation_e2e", "q_token_budget", "q_domain_mix",
+    # audits / lake reads:
+    "q_null_audit", "q_pk_audit", "q_fk_audit", "q_value_histogram",
+    "q_sample_hash", "q_json_extract", "q_partition_prune", "q_schema_merge",
+    # CDC functional semantics at 10x changelog volume:
+    "q_cf_json", "q_row_key", "q_type_norm", "q_event_gate",
+    "q_route_registered", "q_projection_pk", "q_snapshot_scan",
+    "q_snapshot_rowfilter", "q_sql_dml", "q_sql_dml_idempotent",
+    "q_fanout", "q_partition_key", "q_changelog_expand",
+    # incremental remainder:
+    "q_anomaly_events",
 ]
 
 
