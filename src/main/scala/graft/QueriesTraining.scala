@@ -689,7 +689,209 @@ object QueriesTraining {
         (col("mean_mills") >= ContrastiveIvfOracle.FloorMills).as("floor_ok"))
   }
 
+  /** Deterministic epoch shuffle + sharding — the step that turns a
+    * curated corpus into training shards: every document gets a shard
+    * (seeded md5 bucket), an interleave position within its shard
+    * (seeded md5 order), and the cumulative token offset where it will
+    * land in the shard's token stream. Reproducible end-to-end from the
+    * seed string alone — re-running the job (or a different engine)
+    * yields byte-identical shard layouts, which is what makes training
+    * runs resumable and ablations comparable.
+    *
+    * Scale shape: NO global ordering anywhere — the only wide ops are
+    * one hash partition by shard and the per-shard window (position +
+    * running token sum in the same window spec, so Spark plans ONE sort,
+    * not two). Shard count is a knob: at 100 TB you run thousands of
+    * shards, so each window partition stays executor-sized, and the
+    * window is embarrassingly parallel across shards. The global
+    * row_number alternative (one task sorts the corpus) is the
+    * anti-pattern this operator exists to avoid.
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val d = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substring(md5(concat('epoch7:', cast(doc_id as string))), 1, 1)) - 1") % nShards)
+          .cast("int"))
+      .withColumn("ord", md5(concat(lit("epoch7:ord:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    d.withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        (sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          - col("n_tok")).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"), col("tok_offset"))
+  }
+
+  /** Held-out LM perplexity scoring (the CCNet quality-ranking shape):
+    * train an add-one-smoothed word-bigram model on a designated clean
+    * split (here: the even-md5 half of the English corpus — standing in
+    * for "trained on Wikipedia"), then score every held-out document by
+    * average conditional surprisal -ln P(w2|w1), P = (c(w1w2)+1)/(c(w1·)+V),
+    * with an OOV count and the head/middle/tail bucket CCNet thresholds on.
+    * Unlike [[ngramLm]] (corpus self-statistics via window sums), this is
+    * the train-once-apply-elsewhere shape: the model is a MATERIALIZED
+    * aggregate joined against a different corpus — what production
+    * actually does when one reference LM scores every incoming crawl.
+    *
+    * Scale shape: the model is vocabulary-bounded (bigram + prefix count
+    * tables, heavily map-side combined); scoring shuffles only reduced
+    * (doc, gram, n) triples keyed by gram — document text never crosses
+    * the wire. The vocab size V is a one-row broadcast. Bucket thresholds
+    * are FIXED MODEL CONSTANTS (as CCNet publishes its cutoffs), not
+    * corpus quantiles — a global ntile here would serialize the corpus
+    * through one window partition.
+    */
+  def heldoutLm(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("lang") === "en")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        ((expr("instr('0123456789abcdef', substring(md5(concat('lm:', cast(doc_id as string))), 1, 1)) - 1") % 2) === 0)
+          .as("is_train"))
+    val trainGrams = base.filter(col("is_train"))
+      .select(explode(wordNgrams(col("ws"), 2)).as("gram"))
+    val model = trainGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val prefix = model
+      .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vocab = base.filter(col("is_train"))
+      .select(explode(col("ws")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val heldGrams = base.filter(!col("is_train"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    heldGrams
+      .join(model, Seq("gram"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"), col("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(when(col("c2") === 0, col("n")).otherwise(0L)).cast("long").as("n_oov"),
+        round(sum(-log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")) * col("n"))
+          / sum(col("n")) * 1000).cast("long").as("surprisal_milli"))
+      .withColumn("bucket",
+        when(col("surprisal_milli") <= HeldoutLmHeadMilli, "head")
+          .when(col("surprisal_milli") <= HeldoutLmMiddleMilli, "middle")
+          .otherwise("tail"))
+  }
+
+  /** Fixed model constants for [[heldoutLm]]'s quality buckets (the CCNet
+    * convention: thresholds ship WITH the reference model; they are not
+    * per-corpus quantiles). Calibrated once against the sf0.01 and sf0.1
+    * held-out surprisal terciles (3451/3490 and 3402/3419) so every
+    * bucket is populated at both fixture scales, then frozen.
+    */
+  private[graft] val HeldoutLmHeadMilli = 3420L
+  private[graft] val HeldoutLmMiddleMilli = 3500L
+
+  /** Naive-Bayes language classifier — the fasttext-langid stand-in a
+    * curation pipeline trains on labeled documents and applies to the
+    * unlabeled crawl. Even-md5 half trains per-(lang, token) counts,
+    * per-lang token totals, vocab size and add-one priors; the held-out
+    * half is classified by argmax over the five known classes of
+    *   ln((prior_l+1)/(n_train+L)) + Σ_tok n·ln((c_{l,tok}+1)/(tot_l+V)).
+    * Scores are milli-quantized BEFORE the argmax so the winner (and the
+    * deterministic tie-break: higher score, then lexicographically LAST
+    * class) is exactly reproducible cross-engine.
+    *
+    * Scale shape: the model is one token-keyed table with the 5 class
+    * counts as columns of a single grouped pass (map-side combined,
+    * vocabulary-bounded); the scalars (totals, priors, V) are a one-row
+    * broadcast. Scoring shuffles reduced (doc, token, n) triples to the
+    * model join, then one per-doc aggregate; the argmax is a 5-row
+    * window per doc — constant fan-out, no cross-doc state.
+    */
+  def nbClassify(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"),
+        ((expr("instr('0123456789abcdef', substring(md5(concat('nb:', cast(doc_id as string))), 1, 1)) - 1") % 2) === 0)
+          .as("is_train"))
+    val trainTok = base.filter(col("is_train"))
+      .select(col("lang"), explode(col("ws")).as("tok"))
+    def perLang(f: String => Column): (Column, Seq[Column]) =
+      (f(langs.head), langs.tail.map(f))
+    val (c0, cRest) = perLang(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val model = trainTok.groupBy(col("tok")).agg(c0, cRest: _*)
+    val scalars = trainTok.agg(
+      countDistinct(col("tok")).as("v"),
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"tot_$l")): _*)
+    val priors = base.filter(col("is_train")).agg(
+      count(lit(1)).as("n_train"),
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"p_$l")): _*)
+    val heldTok = base.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val (s0, sRest) = perLang(l =>
+      sum(col("n") * log((coalesce(col(s"c_$l"), lit(0L)) + 1).cast("double")
+        / (col(s"tot_$l") + col("v")).cast("double"))).as(s"s_$l"))
+    val scored = heldTok
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(s0, sRest: _*)
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id") +: col("lang") +: langs.map(l =>
+        round((col(s"s_$l") + log((col(s"p_$l") + 1).cast("double")
+          / (col("n_train") + langs.size).cast("double"))) * 1000)
+          .cast("long").as(s"m_$l")): _*)
+    // argmax with the deterministic tie-break, identically expressible in
+    // SQL: unpivot the 5 milli scores, rank per doc by (score, class) desc
+    val unpivoted = scored.select(col("doc_id"), col("lang"),
+      explode(array(langs.map(l =>
+        struct(col(s"m_$l").as("score_milli"), lit(l).as("cand"))): _*)).as("sc"))
+      .select(col("doc_id"), col("lang"),
+        col("sc.score_milli").as("score_milli"), col("sc.cand").as("cand"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("cand").desc)
+    unpivoted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred"),
+        col("score_milli"), (col("lang") === col("cand")).as("correct"))
+  }
+
+  /** Dataset-card rollup: the one-pass corpus report a pipeline publishes
+    * with every dataset release — per source, per language, per
+    * (source, language) cell and the grand total: document count, token
+    * and character volume, exact-duplicate count (docs minus distinct
+    * text hashes) and the Gopher-rule pass count. CUBE computes all four
+    * grouping levels in the same aggregation; NULL group keys are
+    * labeled 'ALL' via GROUPING so the card reads as a flat table.
+    *
+    * Scale shape: one wide pass — the cube expands each reduced row into
+    * its 4 grouping-set replicas map-side, all map-side combined; the
+    * distinct-text count keys on md5(text) (32 bytes/doc on the wire,
+    * never the text). Per-doc signals (tokens, Gopher flags) are narrow
+    * reuses of [[gopherRulesOn]].
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val frame = gopherRulesOn(d)
+      .select(col("doc_id"), col("n_tok"), col("pass"))
+      .join(d.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), md5(col("text")).as("th")), Seq("doc_id"))
+    frame.cube(col("source"), col("lang"))
+      .agg(grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tot_tok"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        (count(lit(1)) - countDistinct(col("th"))).cast("long").as("n_dup"),
+        sum(when(col("pass"), 1L).otherwise(0L)).cast("long").as("n_pass"))
+      .select(
+        when(col("gs") === 1, "ALL").otherwise(col("source")).as("source_g"),
+        when(col("gl") === 1, "ALL").otherwise(col("lang")).as("lang_g"),
+        col("n_docs"), col("tot_tok"), col("sum_chars"), col("n_dup"), col("n_pass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_shuffle" -> epochShuffle _,
+    "q_heldout_lm" -> heldoutLm _,
+    "q_nb_classify" -> nbClassify _,
+    "q_dataset_card" -> datasetCard _,
     "q_contrastive_pairs" -> contrastivePairs _,
     "q_contrastive_ivf" -> contrastiveIvf _,
     "q_chunk_windows" -> chunkWindows _,
@@ -709,6 +911,132 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((instr('0123456789abcdef',
+        |          substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS INT) AS shard,
+        |    md5('epoch7:ord:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
+        |  n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS tok_offset
+        |FROM d""".stripMargin,
+
+    "q_heldout_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    ((instr('0123456789abcdef',
+        |       substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0) AS is_train
+        |  FROM documents WHERE lang = 'en'),
+        |g AS (SELECT doc_id, is_train,
+        |        ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS gram,
+        |        ws[CAST(i AS INT)] AS w1
+        |      FROM (SELECT doc_id, is_train, ws,
+        |              unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+        |m AS (SELECT gram, COUNT(*) AS c2 FROM g WHERE is_train GROUP BY gram),
+        |p AS (SELECT w1, SUM(c2) AS c1 FROM (
+        |        SELECT c2, string_split(gram, ' ')[1] AS w1 FROM m) GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        |        SELECT unnest(ws) AS tok FROM base WHERE is_train)),
+        |hg AS (SELECT doc_id, gram, w1, COUNT(*) AS n
+        |       FROM g WHERE NOT is_train GROUP BY doc_id, gram, w1),
+        |j AS (SELECT hg.doc_id, hg.n, COALESCE(m.c2, 0) AS c2,
+        |        COALESCE(p.c1, 0) AS c1, v.v
+        |      FROM hg LEFT JOIN m USING (gram) LEFT JOIN p USING (w1) CROSS JOIN v),
+        |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(CASE WHEN c2 = 0 THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+        |        CAST(ROUND(SUM(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * n)
+        |             / SUM(n) * 1000) AS BIGINT) AS surprisal_milli
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_oov, surprisal_milli,
+        |  CASE WHEN surprisal_milli <= 3420 THEN 'head'
+        |       WHEN surprisal_milli <= 3500 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM a""".stripMargin,
+
+    "q_nb_classify" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |    ((instr('0123456789abcdef',
+        |       substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0) AS is_train
+        |  FROM documents),
+        |tt AS (SELECT lang, unnest(ws) AS tok FROM base WHERE is_train),
+        |m AS (SELECT tok,
+        |        SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+        |        SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+        |        SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+        |        SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS c_zh
+        |      FROM tt GROUP BY tok),
+        |sc AS (SELECT COUNT(DISTINCT tok) AS v,
+        |        SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS tot_de,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_en,
+        |        SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS tot_es,
+        |        SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS tot_fr,
+        |        SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS tot_zh
+        |      FROM tt),
+        |pr AS (SELECT COUNT(*) AS n_train,
+        |        SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS p_de,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_en,
+        |        SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS p_es,
+        |        SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS p_fr,
+        |        SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS p_zh
+        |      FROM base WHERE is_train),
+        |ht AS (SELECT doc_id, lang, tok, COUNT(*) AS n FROM (
+        |         SELECT doc_id, lang, unnest(ws) AS tok FROM base WHERE NOT is_train)
+        |       GROUP BY doc_id, lang, tok),
+        |s AS (SELECT ht.doc_id, ht.lang,
+        |        SUM(ht.n * ln(CAST(COALESCE(m.c_de, 0) + 1 AS DOUBLE) / CAST(sc.tot_de + sc.v AS DOUBLE))) AS s_de,
+        |        SUM(ht.n * ln(CAST(COALESCE(m.c_en, 0) + 1 AS DOUBLE) / CAST(sc.tot_en + sc.v AS DOUBLE))) AS s_en,
+        |        SUM(ht.n * ln(CAST(COALESCE(m.c_es, 0) + 1 AS DOUBLE) / CAST(sc.tot_es + sc.v AS DOUBLE))) AS s_es,
+        |        SUM(ht.n * ln(CAST(COALESCE(m.c_fr, 0) + 1 AS DOUBLE) / CAST(sc.tot_fr + sc.v AS DOUBLE))) AS s_fr,
+        |        SUM(ht.n * ln(CAST(COALESCE(m.c_zh, 0) + 1 AS DOUBLE) / CAST(sc.tot_zh + sc.v AS DOUBLE))) AS s_zh
+        |      FROM ht LEFT JOIN m USING (tok) CROSS JOIN sc
+        |      GROUP BY ht.doc_id, ht.lang),
+        |mm AS (SELECT doc_id, lang,
+        |        CAST(ROUND((s_de + ln(CAST(pr.p_de + 1 AS DOUBLE) / CAST(pr.n_train + 5 AS DOUBLE))) * 1000) AS BIGINT) AS m_de,
+        |        CAST(ROUND((s_en + ln(CAST(pr.p_en + 1 AS DOUBLE) / CAST(pr.n_train + 5 AS DOUBLE))) * 1000) AS BIGINT) AS m_en,
+        |        CAST(ROUND((s_es + ln(CAST(pr.p_es + 1 AS DOUBLE) / CAST(pr.n_train + 5 AS DOUBLE))) * 1000) AS BIGINT) AS m_es,
+        |        CAST(ROUND((s_fr + ln(CAST(pr.p_fr + 1 AS DOUBLE) / CAST(pr.n_train + 5 AS DOUBLE))) * 1000) AS BIGINT) AS m_fr,
+        |        CAST(ROUND((s_zh + ln(CAST(pr.p_zh + 1 AS DOUBLE) / CAST(pr.n_train + 5 AS DOUBLE))) * 1000) AS BIGINT) AS m_zh
+        |      FROM s CROSS JOIN pr),
+        |u AS (SELECT doc_id, lang, m_de AS score_milli, 'de' AS cand FROM mm
+        |      UNION ALL SELECT doc_id, lang, m_en, 'en' FROM mm
+        |      UNION ALL SELECT doc_id, lang, m_es, 'es' FROM mm
+        |      UNION ALL SELECT doc_id, lang, m_fr, 'fr' FROM mm
+        |      UNION ALL SELECT doc_id, lang, m_zh, 'zh' FROM mm),
+        |r AS (SELECT doc_id, lang, score_milli, cand, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score_milli DESC, cand DESC) AS rk FROM u)
+        |SELECT doc_id, lang, cand AS pred, score_milli, (lang = cand) AS correct
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH ws AS (SELECT doc_id, source, lang, n_chars, md5(text) AS th,
+        |        string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, source, lang, n_chars, th,
+        |        CAST(len(w) AS BIGINT) AS n_tok,
+        |        CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_len,
+        |        CAST(len(list_filter(w, x -> NOT regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_nonalpha,
+        |        CAST(len(list_filter(w, x -> list_contains(
+        |          ['the','a','and','of','to','in','is','that'], x))) AS BIGINT) AS n_stop
+        |      FROM ws),
+        |f AS (SELECT *,
+        |        ((n_tok >= 10 AND n_tok <= 100000)
+        |          AND (sum_word_len >= n_tok * 2 AND sum_word_len <= n_tok * 12)
+        |          AND n_nonalpha * 5 <= n_tok AND n_stop >= 2) AS pass
+        |      FROM t)
+        |SELECT
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source_g,
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_g,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY CUBE (source, lang)""".stripMargin,
+
     "q_contrastive_pairs" ->
       """WITH q AS (
         |  SELECT vec_id, g.i,

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Unit checks for the round-13 corpus-release operators
+  * ([[QueriesTraining.epochShuffle]], [[QueriesTraining.heldoutLm]],
+  * [[QueriesTraining.nbClassify]], [[QueriesTraining.datasetCard]]) on
+  * hand-constructed corpora. The catalog oracle proves engine parity;
+  * these prove the CONTRACTS: shard layout invariants and determinism,
+  * held-out split discipline (no train doc is ever scored), smoothing
+  * formulas, argmax tie-breaking, and rollup additivity.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusops").toString
+    val data = rows.map { case (id, text, lang, source) =>
+      Row(id, text, lang, source, text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The split the operators use: even first-hex-digit of md5(prefix:id). */
+  private def mdHexDigit(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    "0123456789abcdef".indexOf(hex.charAt(0))
+  }
+
+  test("epochShuffle: shard layout invariants and rerun determinism") {
+    val rows = (0L until 64L).map(i =>
+      (i, (0 to (i % 7).toInt).map(k => s"w$k").mkString(" "), "en", "src0"))
+    val dir = docDir(rows)
+    val out = QueriesTraining.epochShuffle(spark, dir).collect()
+    assert(out.length == 64)
+    // every doc exactly once, shard within range
+    assert(out.map(_.getLong(0)).toSet == (0L until 64L).toSet)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    // per shard: positions are 1..n, offsets are the exclusive prefix sum
+    // of n_tok in position order
+    out.groupBy(_.getInt(1)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to g.length).toSeq)
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == acc, s"offset mismatch at pos ${r.getLong(2)}")
+        acc += r.getLong(3)
+      }
+    }
+    // seeded determinism: a second run yields the identical layout
+    val again = QueriesTraining.epochShuffle(spark, dir).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("heldoutLm: only held-out docs scored; smoothing matches hand computation") {
+    // ids chosen BY the split function itself, so the test stays valid
+    // if fixture ids shift: first 6 even-digit ids train, 2 odd ids held
+    val trainIds = (0L until 200L).filter(i => mdHexDigit(s"lm:$i") % 2 == 0).take(6)
+    val heldIds = (0L until 200L).filter(i => mdHexDigit(s"lm:$i") % 2 == 1).take(2)
+    val trainRows = trainIds.map(i => (i, "a b a b c", "en", "src0"))
+    // held doc 0: "a b" seen; held doc 1: "a z" has an OOV bigram
+    val heldRows = Seq(
+      (heldIds(0), "a b", "en", "src0"),
+      (heldIds(1), "a z", "en", "src0"))
+    val dir = docDir(trainRows ++ heldRows)
+    val out = QueriesTraining.heldoutLm(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == heldIds.toSet, "exactly the held-out docs are scored")
+    // model per train doc: grams (a b)x2, (b a)x1, (b c)x1 -> x6 docs
+    // c(a b)=12, c1(a .)=12, c(b a)=6, c(b c)=6, c1(b .)=12, V=3 (a,b,c)
+    val v = 3
+    val s0 = -math.log((12 + 1).toDouble / (12 + v))
+    assert(out(heldIds(0)).getLong(3) == math.round(s0 * 1000), "seen bigram surprisal")
+    assert(out(heldIds(0)).getLong(2) == 0L, "no OOV")
+    val s1 = -math.log(1.0 / (12 + v)) // c2=0, prefix 'a' c1=12
+    assert(out(heldIds(1)).getLong(3) == math.round(s1 * 1000), "OOV-smoothed surprisal")
+    assert(out(heldIds(1)).getLong(2) == 1L, "one OOV bigram")
+  }
+
+  test("nbClassify: separable langs classified; argmax tie-break is lexicographically last") {
+    val even = (0L until 400L).filter(i => mdHexDigit(s"nb:$i") % 2 == 0)
+    val odd = (0L until 400L).filter(i => mdHexDigit(s"nb:$i") % 2 == 1)
+    // train: 4 de docs of 'der', 4 en docs of 'the'; held: one doc per side
+    val rows =
+      even.take(4).map(i => (i, "der der der", "de", "src0")) ++
+        even.slice(4, 8).map(i => (i, "the the the", "en", "src0")) ++
+        Seq((odd(0), "der der", "de", "src0"), // clearly de
+          (odd(1), "the the", "en", "src0"), // clearly en
+          (odd(2), "mix", "es", "src0")) // OOV-only: every class ties
+    val dir = docDir(rows)
+    val out = QueriesTraining.nbClassify(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(odd(0), odd(1), odd(2)))
+    assert(out(odd(0)).getString(2) == "de" && out(odd(0)).getBoolean(4))
+    assert(out(odd(1)).getString(2) == "en" && out(odd(1)).getBoolean(4))
+    // 'mix' is OOV for every class; de/en share the same token totals and
+    // priors, es/fr/zh are all-zero classes — the es/fr/zh trio ties at
+    // the higher smoothed score and 'zh' (lexicographically last) wins
+    assert(out(odd(2)).getString(2) == "zh", "deterministic tie-break")
+  }
+
+  test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
+    val passText = "the cat and the dog walk to the park in the rain today ok"
+    val rows = Seq(
+      (1L, passText, "en", "srcA"),
+      (2L, passText, "en", "srcA"), // exact dup of 1 in the same cell
+      (3L, "zz", "en", "srcB"), // fails gopher (too short)
+      (4L, passText + " x", "de", "srcB"))
+    val dir = docDir(rows)
+    val out = QueriesTraining.datasetCard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 8, "3 populated cells + 2 source + 2 lang rollups + ALL")
+    val cellAA = out(("srcA", "en"))
+    assert(cellAA.getLong(2) == 2 && cellAA.getLong(5) == 1, "dup counted in cell")
+    assert(cellAA.getLong(6) == 2, "both srcA docs pass gopher")
+    val all = out(("ALL", "ALL"))
+    assert(all.getLong(2) == 4 && all.getLong(5) == 1)
+    assert(out(("srcB", "en")).getLong(6) == 0, "short doc fails")
+    // additivity: per-source rollups sum to the ALL row
+    val bySource = out.collect { case ((s, "ALL"), r) if s != "ALL" => r }
+    assert(bySource.map(_.getLong(2)).sum == all.getLong(2))
+    assert(bySource.map(_.getLong(3)).sum == all.getLong(3))
+  }
+}

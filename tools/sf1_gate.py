@@ -110,6 +110,10 @@ HEAVY = [
     "q_fanout", "q_partition_key", "q_changelog_expand",
     # incremental remainder:
     "q_anomaly_events",
+    # r13 fourth session: the corpus-release operators — shard-layout
+    # windows over 10x-deep shards, a 10x bigram/token model applied to a
+    # 10x held-out corpus, and the CUBE card over 10x cell populations
+    "q_epoch_shuffle", "q_heldout_lm", "q_nb_classify", "q_dataset_card",
 ]
 
 
