@@ -372,20 +372,27 @@ object QueriesGraph {
   /** Brute-force kNN oracle, parametrized by the eval-split modulus (the
     * two kNN rows share vote/tie algebra but gate different splits).
     */
+  // quantize each embedding ONCE into a BIGINT list and take pairwise
+  // list_inner_product: the test x train cross join stays |t|*|tr| rows
+  // (the unnest-by-64 + re-group formulation is |t|*|tr|*64 rows that
+  // DuckDB must hash-aggregate — ~5e9 at sf1, it spilled past 80 GB).
+  // Integer dots are <= 64 * 1e6 * 1e6 = 6.4e13 < 2^53, so the DOUBLE
+  // the function returns is exact and the BIGINT cast is lossless.
   private def knnOracleFor(mod: Int): String =
-    s"""WITH t AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % $mod = 0),
-      |tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % $mod <> 0),""".stripMargin +
+    s"""WITH t AS (SELECT vec_id, label,
+      |      list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |    FROM embeddings WHERE vec_id % $mod = 0),
+      |tr AS (SELECT vec_id, label,
+      |      list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |    FROM embeddings WHERE vec_id % $mod <> 0),""".stripMargin +
       knnOracleTail
 
   private val knnOracleTail: String =
     """
-      |g AS (SELECT unnest(generate_series(1, 64)) AS i),
       |dots AS (
       |  SELECT t.vec_id AS tid, t.label AS tlabel, tr.vec_id AS nid, tr.label AS nlabel,
-      |    CAST(SUM(CAST(ROUND(CAST(t.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
-      |           * CAST(ROUND(CAST(tr.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
-      |  FROM t, tr, g
-      |  GROUP BY t.vec_id, t.label, tr.vec_id, tr.label),
+      |    CAST(list_inner_product(t.qe, tr.qe) AS BIGINT) AS dot
+      |  FROM t, tr),
       |top5 AS (SELECT tid, tlabel, nid, nlabel,
       |  row_number() OVER (PARTITION BY tid ORDER BY dot DESC, nid) AS rn FROM dots),
       |votes AS (SELECT tid, tlabel, nlabel, COUNT(*) AS votes
