@@ -343,4 +343,27 @@ class PlanShapeSpec extends SparkSuite {
         s"expected exactly 1 sort (rank side only — edges pre-sorted), got $sorts:\n${p.take(4000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
+
+  test("epoch shuffle: ONE window pass (position + running offset share the sort), one exchange") {
+    val p = plan("q_epoch_shuffle")
+    // row_number and the running token sum must ride the SAME window spec:
+    // a second Window (or a second Sort) would double the per-shard pass
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly 1 Window operator:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("Sort [")) == 1,
+      s"expected exactly 1 sort:\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly 1 exchange (by shard):\n${p.take(3000)}")
+    // NO global ordering: no SinglePartition exchange anywhere
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("nb classify: the argmax is a WindowGroupLimit (partial top-1 before the shuffle)") {
+    val p = plan("q_nb_classify")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown for the rk=1 filter:\n${p.take(3000)}")
+    // model join stays a broadcast at fixture scale; the token-keyed
+    // shuffle join it becomes at 100 TB is Catalyst's size-based call
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
