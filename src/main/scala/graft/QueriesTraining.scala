@@ -887,7 +887,88 @@ object QueriesTraining {
         col("n_docs"), col("tot_tok"), col("sum_chars"), col("n_dup"), col("n_pass"))
   }
 
+  /** Number of BPE merge rounds [[bpeTokenize]] trains. Frozen so the
+    * oracle's literal replay and the spec's hand computations stay
+    * stable; training stops early (deterministically) when no pair
+    * reaches count 2.
+    */
+  private[graft] val BpeMerges = 12
+
+  /** Distributed BPE vocabulary learning + subword token counting — the
+    * tokenizer-training step of a corpus pipeline, done the way
+    * industrial BPE trainers do it: ONE corpus pass extracts the
+    * frequency-weighted word vocabulary, then every merge round runs
+    * against the materialized vocab table (vocabulary-bounded, never the
+    * corpus). Each round counts adjacent symbol pairs weighted by word
+    * frequency (one map-side-combined aggregate), picks the argmax
+    * (ties: count desc, then pair lexicographic — fully deterministic),
+    * and applies the merge to the vocab. Application is greedy
+    * left-to-right with TWO replace sweeps per merge — a deterministic
+    * variant of BPE apply whose semantics are identical in Spark and
+    * DuckDB (`replace` resumes after the replacement in both), which is
+    * what lets the trained merges replay as SQL literals
+    * ([[BpeOracle]], the PcaModels dynamic-oracle pattern). Symbols are
+    * pipe-delimited (`|c|a|t$|`; `$` marks end-of-word, neither occurs
+    * in the corpus alphabet) so merge patterns `|x|y|` can never match
+    * inside a longer symbol.
+    *
+    * The catalog result is the per-document subword economics: word,
+    * char and BPE-token counts plus integer chars-per-token mills —
+    * computed by JOINING per-doc word counts against the tokenized
+    * vocab (token-keyed, the nb_classify shape); the corpus text is
+    * never re-tokenized per document.
+    *
+    * Scale shape: corpus→vocab is the only corpus-scale pass; T merge
+    * rounds cost T vocabulary-bounded aggregates (the round-r job
+    * re-applies r prior replaces over the checkpointed vocab — at a
+    * 10M-word production vocab you would checkpoint every few rounds;
+    * the structure is the same). The driver holds one (pair, count) row
+    * per round, nothing else.
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val base = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "|$1"), lit("$|")))
+      .localCheckpoint()
+    var vocab = base
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.size < BpeMerges) {
+      val arr = filter(split(col("seq"), "\\|"), x => length(x) > 0)
+      val prs = when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => struct(element_at(arr, i).as("x"), element_at(arr, i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+      val top = vocab.select(col("n"), explode(prs).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        vocab = vocab.withColumn("seq",
+          expr(s"replace(replace(seq, '|$x|$y|', '|$x$y|'), '|$x|$y|', '|$x$y|')"))
+      }
+    }
+    BpeOracle.stash(dir, merges.toList)
+    val lookup = vocab.select(col("w"),
+      (length(col("seq")) - length(expr("replace(seq, '|', '')")) - 1)
+        .cast("long").as("n_sub"))
+    tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .join(lookup, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_words"),
+        sum(col("n") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n") * col("n_sub")).cast("long").as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+        expr("n_chars * 1000 div n_bpe").as("chars_per_tok_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_tokenize" -> bpeTokenize _,
     "q_epoch_shuffle" -> epochShuffle _,
     "q_heldout_lm" -> heldoutLm _,
     "q_nb_classify" -> nbClassify _,
@@ -1386,5 +1467,52 @@ object ContrastiveIvfOracle {
            |  st.mean_mills >= $FloorMills AS floor_ok
            |FROM sel, (SELECT CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS mean_mills
            |           FROM sel) st""".stripMargin)
+  }
+}
+
+/** Holder for the BPE merge list trained by [[QueriesTraining.bpeTokenize]],
+  * keyed by data dir — the [[graft.analytics.PcaModels]] dynamic-oracle
+  * pattern: Verify runs the query (which trains and stashes) before
+  * dumping `SparkEntry.oracleSql`, so the DuckDB oracle replays the
+  * IDENTICAL merges as a literal replace chain (two sweeps per merge,
+  * the same deterministic apply contract as the Spark side).
+  */
+object BpeOracle {
+  private val byDir = new java.util.concurrent.ConcurrentHashMap[
+    String, List[(String, String)]]()
+
+  def stash(dir: String, merges: List[(String, String)]): Unit = {
+    byDir.put(dir, merges); ()
+  }
+
+  private def current(): Option[List[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    val all = byDir.asScala
+    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
+      .orElse(all.values.headOption)
+  }
+
+  def oracleEntries: Map[String, String] = current() match {
+    case None => Map.empty
+    case Some(merges) =>
+      val chain = merges.foldLeft(
+        "concat(regexp_replace(w, '(.)', '|\\1', 'g'), '$|')") {
+        case (acc, (x, y)) =>
+          s"replace(replace($acc, '|$x|$y|', '|$x$y|'), '|$x|$y|', '|$x$y|')"
+      }
+      Map("q_bpe_tokenize" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |tc AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w),
+           |vocab AS (SELECT DISTINCT w FROM tok),
+           |vr AS (SELECT w, $chain AS seq FROM vocab),
+           |vs AS (SELECT w, CAST(length(seq) - length(replace(seq, '|', '')) - 1 AS BIGINT) AS n_sub FROM vr),
+           |d AS (SELECT tc.doc_id,
+           |        CAST(SUM(tc.n) AS BIGINT) AS n_words,
+           |        CAST(SUM(tc.n * length(tc.w)) AS BIGINT) AS n_chars,
+           |        CAST(SUM(tc.n * vs.n_sub) AS BIGINT) AS n_bpe
+           |      FROM tc JOIN vs ON vs.w = tc.w GROUP BY tc.doc_id)
+           |SELECT doc_id, n_words, n_chars, n_bpe,
+           |  CAST(n_chars * 1000 // n_bpe AS BIGINT) AS chars_per_tok_milli
+           |FROM d""".stripMargin)
   }
 }

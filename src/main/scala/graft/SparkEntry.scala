@@ -88,7 +88,10 @@ object SparkEntry {
       graft.analytics.PcaModels.oracleEntries ++
       // same pattern: q_contrastive_ivf's oracle carries the trained
       // coarse-centroid literals stashed when the query ran
-      ContrastiveIvfOracle.oracleEntries ++ Map(
+      ContrastiveIvfOracle.oracleEntries ++
+      // and q_bpe_tokenize's oracle replays the trained merge list as a
+      // literal replace chain
+      BpeOracle.oracleEntries ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,

@@ -127,6 +127,35 @@ class CorpusOpsSpec extends SparkSuite {
     assert(tp + fp + fn + tn >= 3L, "universe covers planted + candidates")
   }
 
+  test("bpeTokenize: merges and subword counts match the hand-run algorithm") {
+    // corpus "ana ana banana": weighted pair counts round 1:
+    //   (a,n)=4  [2 in ana x2 docs-worth of weight... see below], (n,a$)=3, (n,a)=1, (b,a)=1
+    // word weights: ana n=2, banana n=1.
+    //   ana  = |a|n|a$|   pairs (a,n),(n,a$) x weight 2
+    //   banana = |b|a|n|a|n|a$| pairs (b,a),(a,n),(n,a),(a,n)... wait:
+    //   symbols b,a,n,a,n,a$ -> pairs (b,a),(a,n),(n,a),(a,n),(n,a$)
+    // totals: (a,n) = 2 + 2 = 4 -> merge 1 = 'an'
+    //   ana = |an|a$| ; banana = |b|an|an|a$|
+    // round 2: (an,a$) = 2 + 1 = 3 -> merge 2 = 'ana$'
+    //   ana = |ana$| (1 symbol); banana = |b|an|ana$| (3 symbols)
+    // round 3: all pair counts are 1 -> deterministic early stop
+    val dir = docDir(Seq(
+      (1L, "ana ana banana", "en", "src0"),
+      (2L, "ana", "en", "src0")))
+    // doc 2 contributes one more 'ana' (weights above include it: ana n=3)
+    // -> (a,n)=3+2=5, (n,a$)=3+1=4 - ordering identical, same merges
+    val out = QueriesTraining.bpeTokenize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3L, "n_words")
+    assert(d1.getLong(2) == 12L, "n_chars: 3+3+6")
+    assert(d1.getLong(3) == 1L + 1L + 3L, "ana=1 token x2, banana=3")
+    val d2 = out(2L)
+    assert(d2.getLong(3) == 1L, "'ana' collapses to one learned token")
+    // chars_per_tok integer mills: doc1 12 chars / 5 tokens
+    assert(d1.getLong(4) == 2400L)
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(

@@ -117,6 +117,9 @@ HEAVY = [
     # r13 fourth session: LSH dedup-quality eval — the recall floor must
     # hold where it matters, on the 10x near-dup graph
     "q_lsh_recall",
+    # r13 fourth session: BPE vocabulary learning — trained merges replay
+    # as a literal replace chain; the 10x corpus re-trains and re-counts
+    "q_bpe_tokenize",
 ]
 
 
