@@ -723,6 +723,52 @@ object QueriesTraining {
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"), col("tok_offset"))
   }
 
+  /** Incremental shard APPEND — [[epochShuffle]]'s production sibling:
+    * when a new crawl lands, its documents are appended to the EXISTING
+    * shard layout (same seeded shard function) without touching any
+    * already-written position — v1 rows keep their exact (pos,
+    * tok_offset) by construction, because the append stage only ever
+    * adds after each shard's tail. That stability is what lets training
+    * jobs resume mid-epoch and shard files stay immutable on object
+    * storage. The oracle recomputes both stages independently, so the
+    * hash PROVES the v1 layout is byte-stable under the append.
+    *
+    * Scale shape: two per-shard window passes (v1, then arrivals) plus
+    * one tiny per-shard tail aggregate joined back — shard-partitioned
+    * like epochShuffle, no global order anywhere; the arrivals pass
+    * touches only the delta.
+    */
+  def shardAppend(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val base = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substring(md5(concat('epoch7:', cast(doc_id as string))), 1, 1)) - 1") % nShards)
+          .cast("int"))
+      .withColumn("ord", md5(concat(lit("epoch7:ord:"), col("doc_id").cast("string"))))
+      .withColumn("is_old",
+        (expr("instr('0123456789abcdef', substring(md5(concat('crawl:', cast(doc_id as string))), 1, 1)) - 1") % 2) === 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val v1 = base.filter(col("is_old"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        (sum(col("n_tok")).over(run) - col("n_tok")).cast("long"))
+    val tails = v1.groupBy(col("shard"))
+      .agg(max(col("pos")).as("base_pos"), sum(col("n_tok")).as("base_tok"))
+    val v2 = base.filter(!col("is_old"))
+      .withColumn("p", row_number().over(w).cast("long"))
+      .withColumn("t", (sum(col("n_tok")).over(run) - col("n_tok")).cast("long"))
+      .join(broadcast(tails), Seq("shard"), "left")
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        (col("p") + coalesce(col("base_pos"), lit(0L))).as("pos"),
+        (col("t") + coalesce(col("base_tok"), lit(0L))).as("tok_offset"),
+        lit("v2").as("origin"))
+    v1.select(col("doc_id"), col("shard"), col("n_tok"), col("pos"),
+        col("tok_offset"), lit("v1").as("origin"))
+      .unionByName(v2)
+  }
+
   /** Held-out LM perplexity scoring (the CCNet quality-ranking shape):
     * train an add-one-smoothed word-bigram model on a designated clean
     * split (here: the even-md5 half of the English corpus — standing in
@@ -969,6 +1015,7 @@ object QueriesTraining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokenize" -> bpeTokenize _,
+    "q_shard_append" -> shardAppend _,
     "q_epoch_shuffle" -> epochShuffle _,
     "q_heldout_lm" -> heldoutLm _,
     "q_nb_classify" -> nbClassify _,
@@ -992,6 +1039,33 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_shard_append" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((instr('0123456789abcdef',
+        |          substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS INT) AS shard,
+        |    md5('epoch7:ord:' || CAST(doc_id AS VARCHAR)) AS ord,
+        |    ((instr('0123456789abcdef',
+        |       substr(md5('crawl:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0) AS is_old
+        |  FROM documents),
+        |v1 AS (SELECT doc_id, shard, n_tok,
+        |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
+        |         CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS tok_offset
+        |       FROM d WHERE is_old),
+        |tails AS (SELECT shard, MAX(pos) AS base_pos, SUM(n_tok) AS base_tok
+        |          FROM v1 GROUP BY shard),
+        |v2 AS (SELECT n.doc_id, n.shard, n.n_tok,
+        |         CAST(row_number() OVER (PARTITION BY n.shard ORDER BY n.ord, n.doc_id)
+        |              + COALESCE(t.base_pos, 0) AS BIGINT) AS pos,
+        |         CAST(SUM(n.n_tok) OVER (PARTITION BY n.shard ORDER BY n.ord, n.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n.n_tok
+        |              + COALESCE(t.base_tok, 0) AS BIGINT) AS tok_offset
+        |       FROM d n LEFT JOIN tails t ON t.shard = n.shard WHERE NOT n.is_old)
+        |SELECT doc_id, shard, n_tok, pos, tok_offset, 'v1' AS origin FROM v1
+        |UNION ALL
+        |SELECT doc_id, shard, n_tok, pos, tok_offset, 'v2' AS origin FROM v2""".stripMargin,
+
     "q_epoch_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

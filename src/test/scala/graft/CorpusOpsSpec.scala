@@ -127,6 +127,40 @@ class CorpusOpsSpec extends SparkSuite {
     assert(tp + fp + fn + tn >= 3L, "universe covers planted + candidates")
   }
 
+  test("shardAppend: v1 positions are byte-stable under the append; arrivals extend each tail") {
+    val rows = (0L until 80L).map(i =>
+      (i, (0 to (i % 5).toInt).map(k => s"w$k").mkString(" "), "en", "src0"))
+    val dir = docDir(rows)
+    val out = QueriesTraining.shardAppend(spark, dir).collect()
+    assert(out.length == 80)
+    val (v1, v2) = out.partition(_.getString(5) == "v1")
+    assert(v1.nonEmpty && v2.nonEmpty, "split produced both crawls")
+    // v1 stability: re-deriving the layout from ONLY the old docs yields
+    // the identical (pos, tok_offset) for every v1 row
+    val oldIds = v1.map(_.getLong(0)).toSet
+    val soloDir = docDir(rows.filter(r => oldIds.contains(r._1)))
+    val solo = QueriesTraining.epochShuffle(spark, soloDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    v1.foreach { r =>
+      assert(solo(r.getLong(0)) == ((r.getLong(3), r.getLong(4))),
+        s"v1 doc ${r.getLong(0)} moved under append")
+    }
+    // arrivals: per shard, positions continue contiguously after the tail
+    out.groupBy(_.getInt(1)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to g.length).toSeq,
+        "positions contiguous across v1+v2")
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == acc); acc += r.getLong(2)
+      }
+      // within a shard every v1 row precedes every v2 row
+      val firstV2 = sorted.indexWhere(_.getString(5) == "v2")
+      if (firstV2 >= 0)
+        assert(sorted.drop(firstV2).forall(_.getString(5) == "v2"))
+    }
+  }
+
   test("bpeTokenize: merges and subword counts match the hand-run algorithm") {
     // corpus "ana ana banana": weighted pair counts round 1:
     //   (a,n)=4  [2 in ana x2 docs-worth of weight... see below], (n,a$)=3, (n,a)=1, (b,a)=1

@@ -120,6 +120,9 @@ HEAVY = [
     # r13 fourth session: BPE vocabulary learning — trained merges replay
     # as a literal replace chain; the 10x corpus re-trains and re-counts
     "q_bpe_tokenize",
+    # r13 fourth session: append-only shard maintenance — v1 stability
+    # under 10x-deep shard tails
+    "q_shard_append",
 ]
 
 
