@@ -940,6 +940,49 @@ object QueriesTraining {
     */
   private[graft] val BpeMerges = 12
 
+  /** Shared BPE trainer for [[bpeTokenize]] and [[tokenizeApply]]: ONE
+    * corpus pass extracts the frequency-weighted word vocabulary, then up
+    * to [[BpeMerges]] merge rounds run against the materialized
+    * (localCheckpointed) vocab table — each round is a vocabulary-bounded
+    * map-side-combined pair count plus a deterministic argmax (count
+    * desc, then pair lexicographic). Returns the (doc_id, w) word stream
+    * and the post-merge vocab (w, n, seq); the trained merge list is
+    * stashed in [[BpeOracle]] so both queries' DuckDB oracles replay the
+    * identical merges as literal replace chains. The driver holds one
+    * (pair, count) row per round, nothing else.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val base = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "|$1"), lit("$|")))
+      .localCheckpoint()
+    var vocab = base
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.size < BpeMerges) {
+      val arr = filter(split(col("seq"), "\\|"), x => length(x) > 0)
+      val prs = when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => struct(element_at(arr, i).as("x"), element_at(arr, i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+      val top = vocab.select(col("n"), explode(prs).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        vocab = vocab.withColumn("seq",
+          expr(s"replace(replace(seq, '|$x|$y|', '|$x$y|'), '|$x|$y|', '|$x$y|')"))
+      }
+    }
+    BpeOracle.stash(dir, merges.toList)
+    (tok, vocab)
+  }
+
   /** Distributed BPE vocabulary learning + subword token counting — the
     * tokenizer-training step of a corpus pipeline, done the way
     * industrial BPE trainers do it: ONE corpus pass extracts the
@@ -972,34 +1015,7 @@ object QueriesTraining {
     * per round, nothing else.
     */
   def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val base = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "|$1"), lit("$|")))
-      .localCheckpoint()
-    var vocab = base
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    var done = false
-    while (!done && merges.size < BpeMerges) {
-      val arr = filter(split(col("seq"), "\\|"), x => length(x) > 0)
-      val prs = when(size(arr) >= 2,
-        transform(sequence(lit(1), size(arr) - 1),
-          i => struct(element_at(arr, i).as("x"), element_at(arr, i + 1).as("y"))))
-        .otherwise(array().cast("array<struct<x:string,y:string>>"))
-      val top = vocab.select(col("n"), explode(prs).as("p"))
-        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("x"), col("y"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
-      else {
-        val (x, y) = (top(0).getString(0), top(0).getString(1))
-        merges += ((x, y))
-        vocab = vocab.withColumn("seq",
-          expr(s"replace(replace(seq, '|$x|$y|', '|$x$y|'), '|$x|$y|', '|$x$y|')"))
-      }
-    }
-    BpeOracle.stash(dir, merges.toList)
+    val (tok, vocab) = bpeTrain(s, dir)
     val lookup = vocab.select(col("w"),
       (length(col("seq")) - length(expr("replace(seq, '|', '')")) - 1)
         .cast("long").as("n_sub"))
@@ -1013,8 +1029,57 @@ object QueriesTraining {
         expr("n_chars * 1000 div n_bpe").as("chars_per_tok_milli"))
   }
 
+  /** Tokenizer APPLY — the encode path a pipeline actually runs at
+    * 100 TB: every document rendered as its BPE token-id stream. Trains
+    * the same deterministic merge list as [[bpeTokenize]] (shared
+    * [[bpeTrain]]), assigns dense integer ids to the post-merge symbol
+    * alphabet (rank by bytewise symbol order), renders each VOCAB WORD
+    * once as its id string, then encodes the corpus with one ordered
+    * word explode + a word-keyed join + one doc-keyed ordered
+    * reassembly. Output: doc_id, n_tok (subword count) and the full
+    * space-joined id stream.
+    *
+    * Scale shape: everything symbol- or word-level is vocabulary-bounded
+    * (the symbol-id window runs over the symbol alphabet — hundreds of
+    * rows at any SF; a production 1M-entry vocab would swap it for a
+    * two-phase rank, same contract). The corpus pays exactly one
+    * explode→join (word-keyed, map-side combinable nowhere — it is a
+    * pure lookup) and one groupBy(doc_id) reassembly sorted by word
+    * position — the partitioning a sharded corpus already has. No
+    * per-document re-tokenization: merges are applied to the vocab,
+    * never the text.
+    */
+  def tokenizeApply(s: SparkSession, dir: String): DataFrame = {
+    val (tok0, vocab) = bpeTrain(s, dir)
+    val syms = filter(split(col("seq"), "\\|"), x => length(x) > 0)
+    // symbol alphabet -> dense ids; bounded by the post-merge alphabet
+    // (base chars + end marker + BpeMerges), so the single-partition
+    // window is O(hundreds) at any SF.
+    val sid = vocab.select(explode(syms).as("s")).distinct()
+      .select(col("s"),
+        row_number().over(Window.orderBy(col("s"))).cast("long").as("id"))
+    val wsym = vocab.select(col("w"), posexplode(syms).as(Seq("p", "s")))
+    val wids = wsym.join(sid, "s")
+      .groupBy(col("w"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("id")))),
+          x => x.getField("id").cast("string")), " ").as("ids_str"),
+        count(lit(1)).cast("long").as("n_sub"))
+    val words = docs(s, dir).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    words.join(wids, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids_str")))),
+          x => x.getField("ids_str")), " ").as("ids"),
+        sum(col("n_sub")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokenize" -> bpeTokenize _,
+    "q_tokenize_apply" -> tokenizeApply _,
     "q_shard_append" -> shardAppend _,
     "q_epoch_shuffle" -> epochShuffle _,
     "q_heldout_lm" -> heldoutLm _,
@@ -1587,6 +1652,27 @@ object BpeOracle {
            |      FROM tc JOIN vs ON vs.w = tc.w GROUP BY tc.doc_id)
            |SELECT doc_id, n_words, n_chars, n_bpe,
            |  CAST(n_chars * 1000 // n_bpe AS BIGINT) AS chars_per_tok_milli
-           |FROM d""".stripMargin)
+           |FROM d""".stripMargin,
+        "q_tokenize_apply" ->
+        s"""WITH tok AS (SELECT doc_id,
+           |        unnest(string_split(text, ' ')) AS w,
+           |        unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |      FROM documents),
+           |vocab AS (SELECT DISTINCT w FROM tok),
+           |vr AS (SELECT w, $chain AS seq FROM vocab),
+           |vsyms AS (SELECT w,
+           |        unnest(list_filter(string_split(seq, '|'), x -> len(x) > 0)) AS s,
+           |        unnest(generate_series(1,
+           |          len(list_filter(string_split(seq, '|'), x -> len(x) > 0)))) AS p
+           |      FROM vr),
+           |sid AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id
+           |        FROM (SELECT DISTINCT s FROM vsyms)),
+           |wids AS (SELECT w, string_agg(CAST(id AS VARCHAR), ' ' ORDER BY p) AS ids_str,
+           |               COUNT(*) AS n_sub
+           |         FROM vsyms JOIN sid USING (s) GROUP BY w)
+           |SELECT tok.doc_id,
+           |  CAST(SUM(wids.n_sub) AS BIGINT) AS n_tok,
+           |  string_agg(wids.ids_str, ' ' ORDER BY tok.pos) AS ids
+           |FROM tok JOIN wids USING (w) GROUP BY tok.doc_id""".stripMargin)
   }
 }

@@ -190,6 +190,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(d1.getLong(4) == 2400L)
   }
 
+  test("tokenizeApply: id streams match the hand-run encode; n_tok agrees with bpeTokenize") {
+    // Same fixture as the bpeTokenize test: merges 'an' then 'ana$', stop.
+    // Final vocab: ana = |ana$|, banana = |b|an|ana$|.
+    // Symbol alphabet sorted bytewise: an < ana$ < b -> ids 1, 2, 3.
+    val dir = docDir(Seq(
+      (1L, "ana ana banana", "en", "src0"),
+      (2L, "ana", "en", "src0")))
+    val out = QueriesTraining.tokenizeApply(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L, "doc1 n_tok: 1 + 1 + 3")
+    assert(out(1L).getString(2) == "2 2 3 1 2", "ordered id stream")
+    assert(out(2L).getLong(1) == 1L)
+    assert(out(2L).getString(2) == "2")
+    // cross-op consistency: the encode's token counts are the same
+    // subword economics bpeTokenize reports (same trained merges).
+    val bpe = QueriesTraining.bpeTokenize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { case (id, r) => assert(r.getLong(1) == bpe(id),
+      s"doc $id: encode n_tok vs bpeTokenize n_bpe") }
+    // the id stream length is n_tok (decodable framing)
+    out.values.foreach { r =>
+      assert(r.getString(2).split(" ").length.toLong == r.getLong(1)) }
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(

@@ -123,6 +123,11 @@ HEAVY = [
     # r13 fourth session: append-only shard maintenance — v1 stability
     # under 10x-deep shard tails
     "q_shard_append",
+    # r13 fifth session: the tokenizer ENCODE path — per-doc id streams
+    # over the 10x corpus; the ordered reassembly and vocab join must
+    # stay exact as per-doc token streams and the alphabet rank table
+    # rebuild at 10x
+    "q_tokenize_apply",
 ]
 
 
