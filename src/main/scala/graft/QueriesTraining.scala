@@ -1077,7 +1077,72 @@ object QueriesTraining {
       .select(col("doc_id"), col("n_tok"), col("ids"))
   }
 
+  /** Hashed-ngram feature buckets for [[dsirSelect]]: 4096 keeps the
+    * bucket table broadcastable at any corpus size (the paper uses 10k
+    * for trillion-token corpora — same order).
+    */
+  private[graft] val DsirBuckets = 4096L
+
+  /** DSIR-style data selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every
+    * document by how much its hashed-ngram profile resembles a TARGET
+    * corpus (here the 'en' slice — in production, the high-quality
+    * domain you want more of) versus the RAW corpus, and keep the top
+    * eighth. Features are unigrams + bigrams hashed into
+    * [[DsirBuckets]] buckets; each bucket gets an add-one-smoothed
+    * log-likelihood ratio ln(p_tgt) − ln(p_raw), and a document's
+    * importance weight is the sum of its bucket counts times those
+    * ratios.
+    *
+    * Determinism: the per-bucket ratio is quantized to integer
+    * MICRO-units immediately (one `ln` per bucket — 4096 doubles
+    * total), so every corpus-sized aggregate downstream is an exact
+    * integer sum, independent of partitioning and summation order; ties
+    * in the final rank break by doc_id.
+    *
+    * Scale shape: one corpus pass explodes grams and reduces them
+    * map-side-combined to (doc, bucket) counts — the only corpus-sized
+    * shuffle, keyed by the doc partitioning the corpus already has.
+    * The bucket distribution table is DsirBuckets rows regardless of
+    * corpus size, reduced once and broadcast back; the top-⅛ cut is
+    * TakeOrderedAndProject (per-partition top-N, no global sort). At
+    * 100 TB nothing driver-side grows: the driver holds one count and
+    * the 4096-row ratio table stays executor-side.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    val grams = docs(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("tgt"),
+        explode(concat(col("ws"), wordNgrams(col("ws"), 2))).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(b)).as("b"))
+    val docBuckets = grams.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val buckets = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val totals = buckets.agg(sum(col("raw_n")).as("rt"),
+      sum(col("tgt_n")).as("tt"))
+    val ratio = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tgt_n") + 1).cast("double") /
+                   (col("tt") + b).cast("double")) -
+               log((col("raw_n") + 1).cast("double") /
+                   (col("rt") + b).cast("double"))) * 1e6)
+          .cast("long").as("ratio"))
+    val nDocs = docs(s, dir).count()
+    docBuckets.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("ratio")).as("w_micro"))
+      .orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(((nDocs + 7) / 8).toInt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> dsirSelect _,
     "q_bpe_tokenize" -> bpeTokenize _,
     "q_tokenize_apply" -> tokenizeApply _,
     "q_shard_append" -> shardAppend _,
@@ -1104,6 +1169,35 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, lang, unnest(ws) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS g FROM t),
+        |gb AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM g0),
+        |bt AS (SELECT b, COUNT(*) AS raw_n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+        |  FROM gb GROUP BY b),
+        |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS rt,
+        |               CAST(SUM(tgt_n) AS BIGINT) AS tt FROM bt),
+        |r AS (SELECT b,
+        |    CAST(ROUND((ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |              - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE)))
+        |         * 1000000) AS BIGINT) AS ratio
+        |  FROM bt, tot),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM gb GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(SUM(n * ratio) AS BIGINT) AS w_micro
+        |  FROM db JOIN r USING (b) GROUP BY doc_id),
+        |rk AS (SELECT doc_id, w_micro,
+        |    row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rk FROM w)
+        |SELECT doc_id, w_micro FROM rk
+        |WHERE 8 * rk <= (SELECT COUNT(*) FROM documents) + 7""".stripMargin,
     "q_shard_append" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

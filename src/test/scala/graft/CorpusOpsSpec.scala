@@ -214,6 +214,44 @@ class CorpusOpsSpec extends SparkSuite {
       assert(r.getString(2).split(" ").length.toLong == r.getLong(1)) }
   }
 
+  test("dsirSelect: weights match an independent recompute; top-eighth cut and ordering hold") {
+    // 16 docs: 8 'en' sharing one vocabulary, 8 'de' sharing a disjoint
+    // one -> target-vocab docs must carry strictly higher importance
+    // weights, and the top-2 (ceil(16/8)) selection is en-only.
+    val rows = (0 until 8).map(i => (i.toLong, "alpha beta gamma", "en", "s")) ++
+      (8 until 16).map(i => (i.toLong, "uno dos tres", "de", "s"))
+    val dir = docDir(rows)
+    val out = QueriesTraining.dsirSelect(spark, dir).collect()
+    assert(out.length == 2, "ceil(16/8) docs selected")
+    // independent recompute of the exact integer weights (same hashed
+    // buckets, same add-one-smoothed micro-quantized log-ratio)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String) =
+      java.lang.Long.parseLong(md5hex(g).take(15), 16) % 4096L
+    def grams(t: String) = {
+      val ws = t.split(" ")
+      ws.toSeq ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val all = rows.flatMap { case (id, t, lang, _) =>
+      grams(t).map(g => (id, lang == "en", bucket(g))) }
+    val byB = all.groupBy(_._3).map { case (b, gs) =>
+      b -> (gs.size.toLong, gs.count(_._2).toLong) }
+    val (rt, tt) = (all.size.toLong, all.count(_._2).toLong)
+    val ratio = byB.map { case (b, (rawN, tgtN)) =>
+      b -> math.round((math.log((tgtN + 1).toDouble / (tt + 4096).toDouble)
+        - math.log((rawN + 1).toDouble / (rt + 4096).toDouble)) * 1e6) }
+    val expected = all.groupBy(_._1).map { case (id, gs) =>
+      id -> gs.groupBy(_._3).map { case (b, n) => n.size * ratio(b) }.sum }
+    val top = expected.toSeq.sortBy { case (id, w) => (-w, id) }.take(2)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == top,
+      "selected (doc_id, w_micro) pairs match the recompute, in rank order")
+    assert(top.forall(_._1 < 8L), "selection is target-vocabulary docs")
+    // every en doc outweighs every de doc in the full weight table
+    val (enW, deW) = (expected.filter(_._1 < 8).values, expected.filter(_._1 >= 8).values)
+    assert(enW.min > deW.max, "target-vocab docs strictly outrank")
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(

@@ -43,6 +43,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Broadcast"), p.take(3000))
   }
 
+  test("DSIR selection broadcasts the bucket-ratio table and cuts top-N without a global sort") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the top-1/8 cut must NOT plan as a global Sort + Limit: the only
+    // Sort allowed is none at all (TakeOrderedAndProject replaces it)
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") ||
+      l.trim.startsWith("Sort ")), p.take(3000))
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval-gram set") {
     // at 100 TB the corpus side must stream; a shuffled join here would
     // move every corpus gram across the wire

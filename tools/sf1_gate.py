@@ -128,6 +128,11 @@ HEAVY = [
     # stay exact as per-doc token streams and the alphabet rank table
     # rebuild at 10x
     "q_tokenize_apply",
+    # r13 fifth session: DSIR importance resampling — bucket populations
+    # and the smoothed log-ratio table shift with corpus size, and the
+    # distributed top-N cut must stay exact as the weight distribution
+    # tightens at 10x
+    "q_dsir_select",
 ]
 
 
