@@ -1119,11 +1119,16 @@ object QueriesTraining {
       .select(col("doc_id"), col("tgt"),
         pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
           lit(b)).as("b"))
+    // ONE pass over the exploded grams: reduce to (doc, bucket) counts
+    // and materialize — the bucket distributions AND the per-doc weights
+    // both derive from this table, so the corpus text is scanned (and
+    // md5'd) exactly once. tgt is constant per doc, so max() carries it.
     val docBuckets = grams.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("n"))
-    val buckets = grams.groupBy(col("b"))
-      .agg(count(lit(1)).as("raw_n"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"))
+      .agg(count(lit(1)).as("n"), max(col("tgt")).as("tgt"))
+      .localCheckpoint()
+    val buckets = docBuckets.groupBy(col("b"))
+      .agg(sum(col("n")).as("raw_n"),
+        sum(when(col("tgt"), col("n")).otherwise(0L)).as("tgt_n"))
     val totals = buckets.agg(sum(col("raw_n")).as("rt"),
       sum(col("tgt_n")).as("tt"))
     val ratio = buckets.crossJoin(broadcast(totals))
