@@ -1111,6 +1111,11 @@ object QueriesTraining {
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val b = DsirBuckets
+    // Gram→bucket stream, hashed ONCE and checkpointed as narrow
+    // (doc_id, tgt, bucket) rows — no shuffle, no wide hash aggregation
+    // (a (doc,bucket)-keyed reduce would build a corpus-cardinality
+    // hash table for ~1.2 rows of reduction). Both consumers below
+    // reduce the checkpoint to something tiny before their shuffles.
     val grams = docs(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         split(col("text"), " ").as("ws"))
@@ -1119,16 +1124,12 @@ object QueriesTraining {
       .select(col("doc_id"), col("tgt"),
         pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
           lit(b)).as("b"))
-    // ONE pass over the exploded grams: reduce to (doc, bucket) counts
-    // and materialize — the bucket distributions AND the per-doc weights
-    // both derive from this table, so the corpus text is scanned (and
-    // md5'd) exactly once. tgt is constant per doc, so max() carries it.
-    val docBuckets = grams.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("n"), max(col("tgt")).as("tgt"))
       .localCheckpoint()
-    val buckets = docBuckets.groupBy(col("b"))
-      .agg(sum(col("n")).as("raw_n"),
-        sum(when(col("tgt"), col("n")).otherwise(0L)).as("tgt_n"))
+    // pass 1: bucket distributions — partial agg caps every partition's
+    // contribution at DsirBuckets rows, so the shuffle is ~nothing.
+    val buckets = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"))
     val totals = buckets.agg(sum(col("raw_n")).as("rt"),
       sum(col("tgt_n")).as("tt"))
     val ratio = buckets.crossJoin(broadcast(totals))
@@ -1138,10 +1139,14 @@ object QueriesTraining {
                log((col("raw_n") + 1).cast("double") /
                    (col("rt") + b).cast("double"))) * 1e6)
           .cast("long").as("ratio"))
+    // pass 2: per-doc weight = Σ ratio[bucket] over gram INSTANCES (≡
+    // Σ n·ratio over buckets). A doc's grams never leave its partition,
+    // so the partial agg emits one row per doc — the weight shuffle is
+    // n_docs rows regardless of corpus size.
     val nDocs = docs(s, dir).count()
-    docBuckets.join(broadcast(ratio), "b")
+    grams.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n") * col("ratio")).as("w_micro"))
+      .agg(sum(col("ratio")).as("w_micro"))
       .orderBy(col("w_micro").desc, col("doc_id"))
       .limit(((nDocs + 7) / 8).toInt)
   }
