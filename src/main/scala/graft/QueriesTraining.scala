@@ -1116,15 +1116,21 @@ object QueriesTraining {
     // (a (doc,bucket)-keyed reduce would build a corpus-cardinality
     // hash table for ~1.2 rows of reduction). Both consumers below
     // reduce the checkpoint to something tiny before their shuffles.
+    // Hashing is the native per-document NgramBuckets expression (one
+    // md5 loop over cached token bytes, no per-gram string/hex churn —
+    // the interpreted HOF form cost 145 s for the sf10 gram stage).
+    // DISK_ONLY, not heap: the gram stream is ~2 bucket rows per token
+    // — bigger than the corpus — so caching it on-heap evicts/GC-
+    // thrashes exactly when the corpus is large (sf10 consumers ran
+    // 27-36 s each under an 8 GB heap vs 1-4 s once the heap was free);
+    // executor-local disk rides the page cache and leaves the heap to
+    // the aggregations. The broadcast (ratio) side executes first, so
+    // one action materializes the cache before the probe side rescans.
+    implicit val sp: SparkSession = s
     val grams = docs(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
-        split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("tgt"),
-        explode(concat(col("ws"), wordNgrams(col("ws"), 2))).as("g"))
-      .select(col("doc_id"), col("tgt"),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(b)).as("b"))
-      .localCheckpoint()
+        explode(graft.functions.NgramBuckets.column(col("text"), 2, b)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // pass 1: bucket distributions — partial agg caps every partition's
     // contribution at DsirBuckets rows, so the shuffle is ~nothing.
     val buckets = grams.groupBy(col("b"))
