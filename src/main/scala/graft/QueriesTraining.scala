@@ -1083,6 +1083,25 @@ object QueriesTraining {
     */
   private[graft] val DsirBuckets = 4096L
 
+  /** Add-one-smoothed log-likelihood ratio per hashed-ngram bucket,
+    * quantized to integer MICRO-units at the (bounded) bucket table so
+    * downstream corpus aggregates are exact integer sums. Shared by the
+    * batch selector ([[dsirSelect]]) and the streaming gate
+    * ([[streamDsir]]); input is (b, raw_n, tgt_n) bucket counts.
+    */
+  private def dsirRatio(buckets: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    val totals = buckets.agg(sum(col("raw_n")).as("rt"),
+      sum(col("tgt_n")).as("tt"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("tgt_n") + 1).cast("double") /
+                   (col("tt") + b).cast("double")) -
+               log((col("raw_n") + 1).cast("double") /
+                   (col("rt") + b).cast("double"))) * 1e6)
+          .cast("long").as("ratio"))
+  }
+
   /** DSIR-style data selection (Data Selection via Importance
     * Resampling, Xie et al. 2023, arXiv:2302.03169): score every
     * document by how much its hashed-ngram profile resembles a TARGET
@@ -1133,18 +1152,9 @@ object QueriesTraining {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // pass 1: bucket distributions — partial agg caps every partition's
     // contribution at DsirBuckets rows, so the shuffle is ~nothing.
-    val buckets = grams.groupBy(col("b"))
+    val ratio = dsirRatio(grams.groupBy(col("b"))
       .agg(count(lit(1)).as("raw_n"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"))
-    val totals = buckets.agg(sum(col("raw_n")).as("rt"),
-      sum(col("tgt_n")).as("tt"))
-    val ratio = buckets.crossJoin(broadcast(totals))
-      .select(col("b"),
-        round((log((col("tgt_n") + 1).cast("double") /
-                   (col("tt") + b).cast("double")) -
-               log((col("raw_n") + 1).cast("double") /
-                   (col("rt") + b).cast("double"))) * 1e6)
-          .cast("long").as("ratio"))
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n")))
     // pass 2: per-doc weight = Σ ratio[bucket] over gram INSTANCES (≡
     // Σ n·ratio over buckets). A doc's grams never leave its partition,
     // so the partial agg emits one row per doc — the weight shuffle is
@@ -1157,8 +1167,75 @@ object QueriesTraining {
       .limit(((nDocs + 7) / 8).toInt)
   }
 
+  // staged stream-source memo: content-keyed so a refreshed dataset
+  // under the same path rebuilds instead of serving the stale fixture
+  private val streamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING DSIR gate — the other half of [[dsirSelect]]'s contract
+    * and the shape a 100 TB ingest actually runs: the importance model
+    * is trained ONCE offline (same hashed-ngram bucket ratios, same
+    * integer micro-quantization, materialized at its bounded 4096-row
+    * size), then every arriving micro-batch is scored against the
+    * broadcast model and gated where the target-vs-raw log-likelihood
+    * favors the target (w ≥ 0) — train-once-apply-on-stream, the
+    * [[heldoutLm]] discipline on the streaming path. Scoring is
+    * stateless (no state store, no watermark): a document's weight
+    * needs only its own grams plus the model, so each batch pays one
+    * native-hash pass, one broadcast join, one batch-local per-doc sum.
+    * The replay is 3 files → 3 micro-batches; the hash gate proves the
+    * per-batch scores equal the batch formula over the whole corpus —
+    * scoring a doc in micro-batch k with a frozen model is exactly
+    * scoring it in one big batch.
+    */
+  def streamDsir(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    implicit val sp: SparkSession = s
+    // offline training pass: one corpus scan -> 4096-row frozen model
+    // (localCheckpoint, so micro-batches replay the table, not the scan)
+    val ratio = dsirRatio(
+      docs(s, dir)
+        .select((col("lang") === "en").as("tgt"),
+          explode(graft.functions.NgramBuckets.column(col("text"), 2, b)).as("b"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("raw_n"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n")))
+      .localCheckpoint()
+    val src = streamFixtures.computeIfAbsent(
+      s"sdsir_${graft.core.DatasetKey.of(dir)}", _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_sdsir_" +
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .repartition(3).write.mode("overwrite").parquet(p)
+        p
+      })
+    val out = graft.core.Tmp.scratchDir("graft-sdsir-out").toString
+    val ckpt = graft.core.Tmp.scratchDir("graft-sdsir-ckpt")
+    try {
+      s.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("doc_id"),
+              explode(graft.functions.NgramBuckets.column(col("text"), 2, b)).as("b"))
+            .join(broadcast(ratio), "b")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("ratio")).as("w_micro"))
+            .select(col("doc_id"), col("w_micro"),
+              (col("w_micro") >= 0).as("kept"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally graft.core.Tmp.deleteRecursively(ckpt)
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_select" -> dsirSelect _,
+    "q_stream_dsir" -> streamDsir _,
     "q_bpe_tokenize" -> bpeTokenize _,
     "q_tokenize_apply" -> tokenizeApply _,
     "q_shard_append" -> shardAppend _,
@@ -1214,6 +1291,32 @@ object QueriesTraining {
         |    row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rk FROM w)
         |SELECT doc_id, w_micro FROM rk
         |WHERE 8 * rk <= (SELECT COUNT(*) FROM documents) + 7""".stripMargin,
+    "q_stream_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, lang, unnest(ws) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS g FROM t),
+        |gb AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM g0),
+        |bt AS (SELECT b, COUNT(*) AS raw_n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+        |  FROM gb GROUP BY b),
+        |tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS rt,
+        |               CAST(SUM(tgt_n) AS BIGINT) AS tt FROM bt),
+        |r AS (SELECT b,
+        |    CAST(ROUND((ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |              - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE)))
+        |         * 1000000) AS BIGINT) AS ratio
+        |  FROM bt, tot),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM gb GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(SUM(n * ratio) AS BIGINT) AS w_micro
+        |  FROM db JOIN r USING (b) GROUP BY doc_id)
+        |SELECT doc_id, w_micro, w_micro >= 0 AS kept FROM w""".stripMargin,
     "q_shard_append" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

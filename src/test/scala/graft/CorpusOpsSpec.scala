@@ -214,17 +214,16 @@ class CorpusOpsSpec extends SparkSuite {
       assert(r.getString(2).split(" ").length.toLong == r.getLong(1)) }
   }
 
-  test("dsirSelect: weights match an independent recompute; top-eighth cut and ordering hold") {
-    // 16 docs: 8 'en' sharing one vocabulary, 8 'de' sharing a disjoint
-    // one -> target-vocab docs must carry strictly higher importance
-    // weights, and the top-2 (ceil(16/8)) selection is en-only.
-    val rows = (0 until 8).map(i => (i.toLong, "alpha beta gamma", "en", "s")) ++
+  // 16 docs: 8 'en' sharing one vocabulary, 8 'de' sharing a disjoint
+  // one -> target-vocab docs must carry strictly higher importance weights.
+  private val dsirRows =
+    (0 until 8).map(i => (i.toLong, "alpha beta gamma", "en", "s")) ++
       (8 until 16).map(i => (i.toLong, "uno dos tres", "de", "s"))
-    val dir = docDir(rows)
-    val out = QueriesTraining.dsirSelect(spark, dir).collect()
-    assert(out.length == 2, "ceil(16/8) docs selected")
-    // independent recompute of the exact integer weights (same hashed
-    // buckets, same add-one-smoothed micro-quantized log-ratio)
+
+  /** Independent recompute of the exact integer DSIR weights (same hashed
+    * buckets, same add-one-smoothed micro-quantized log-ratio).
+    */
+  private def dsirExpected(rows: Seq[(Long, String, String, String)]): Map[Long, Long] = {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def bucket(g: String) =
@@ -241,8 +240,15 @@ class CorpusOpsSpec extends SparkSuite {
     val ratio = byB.map { case (b, (rawN, tgtN)) =>
       b -> math.round((math.log((tgtN + 1).toDouble / (tt + 4096).toDouble)
         - math.log((rawN + 1).toDouble / (rt + 4096).toDouble)) * 1e6) }
-    val expected = all.groupBy(_._1).map { case (id, gs) =>
+    all.groupBy(_._1).map { case (id, gs) =>
       id -> gs.groupBy(_._3).map { case (b, n) => n.size * ratio(b) }.sum }
+  }
+
+  test("dsirSelect: weights match an independent recompute; top-eighth cut and ordering hold") {
+    val dir = docDir(dsirRows)
+    val out = QueriesTraining.dsirSelect(spark, dir).collect()
+    assert(out.length == 2, "ceil(16/8) docs selected")
+    val expected = dsirExpected(dsirRows)
     val top = expected.toSeq.sortBy { case (id, w) => (-w, id) }.take(2)
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == top,
       "selected (doc_id, w_micro) pairs match the recompute, in rank order")
@@ -250,6 +256,20 @@ class CorpusOpsSpec extends SparkSuite {
     // every en doc outweighs every de doc in the full weight table
     val (enW, deW) = (expected.filter(_._1 < 8).values, expected.filter(_._1 >= 8).values)
     assert(enW.min > deW.max, "target-vocab docs strictly outrank")
+  }
+
+  test("streamDsir: per-batch scores equal the batch formula; the gate keeps exactly w>=0") {
+    val dir = docDir(dsirRows)
+    val out = QueriesTraining.streamDsir(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val expected = dsirExpected(dsirRows)
+    assert(out.keySet == expected.keySet, "every doc scored exactly once across micro-batches")
+    expected.foreach { case (id, w) =>
+      assert(out(id)._1 == w, s"doc $id weight: stream vs batch recompute")
+      assert(out(id)._2 == (w >= 0), s"doc $id gate flag")
+    }
+    // the fixture's break-even sits between the vocab groups: en kept, de dropped
+    assert((0L until 8L).forall(out(_)._2) && (8L until 16L).forall(!out(_)._2))
   }
 
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {

@@ -133,6 +133,10 @@ HEAVY = [
     # distributed top-N cut must stay exact as the weight distribution
     # tightens at 10x
     "q_dsir_select",
+    # r13 fifth session: the streaming DSIR gate — frozen-model scoring
+    # across micro-batches must equal the batch formula as per-batch
+    # corpora and the model's bucket populations grow 10x
+    "q_stream_dsir",
 ]
 
 
