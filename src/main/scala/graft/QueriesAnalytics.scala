@@ -141,6 +141,41 @@ object QueriesAnalytics {
     Dedup.dupClusters(verified)
   }
 
+  /** Edit-distance near-dup verification — the second verifier lens a
+    * curation pipeline runs beside set-similarity: LSH candidate pairs
+    * scored by LEVENSHTEIN distance, which catches in-place edits
+    * (typo fixes, entity swaps, template fills) that shingle-set
+    * Jaccard under-weights when documents are long. Output per
+    * candidate pair: raw distance, integer-mills normalized similarity
+    * (1000·(maxlen−dist)/maxlen, exact integer division), and the
+    * is_dup verdict at ≥ 800 mills.
+    *
+    * Scale shape: Levenshtein is O(len_a·len_b) per PAIR — affordable
+    * only because the pair set is the LSH-capped candidate list (same
+    * discipline as [[dedupPipeline]]'s Jaccard verify: candidates ≪
+    * n², hot buckets capped, and the DP runs where the pair lands, no
+    * extra shuffle). Both engines ship the identical builtin, so the
+    * verdict column is hash-gated, not spot-checked.
+    */
+  def editNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8, numHashes = 8, rowsPerBand = 4),
+      "doc_id")
+    val ta = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("max_len"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        when(col("max_len") === 0, 1000L) // two empty docs are identical
+          .otherwise(expr("(1000 * (max_len - edit_dist)) div max_len"))
+          .as("sim_mills"))
+      .withColumn("is_dup", col("sim_mills") >= 800)
+  }
+
   /** Bounded top-k per group via the typed Aggregator (O(n log k), k rows
     * per partition through the map-side combine — the 100 TB top-k shape,
     * vs the window form which sorts every group partition). Top-3 events
@@ -632,6 +667,7 @@ object QueriesAnalytics {
     "q_simhash_pairs" -> simhashPairs _,
     "q_range_join" -> rangeJoin _,
     "q_dedup_pipeline" -> dedupPipeline _,
+    "q_edit_neardup" -> editNeardup _,
     "q_topk_agg" -> topkAgg _,
     "q_skew_join" -> skewJoin _,
     "q_ngram_jaccard" -> ngramJaccard _,

@@ -603,6 +603,31 @@ object SparkEntry {
           |SELECT component, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
           |FROM comp GROUP BY component""".stripMargin),
 
+    "q_edit_neardup" ->
+      (minhashSigCte +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bk a
+          |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+          |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |scored AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+          |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+          |  FROM cand c
+          |  JOIN documents da ON da.doc_id = c.doc_a
+          |  JOIN documents db ON db.doc_id = c.doc_b)
+          |SELECT doc_a, doc_b, edit_dist,
+          |  CASE WHEN max_len = 0 THEN 1000
+          |       ELSE (1000 * (max_len - edit_dist)) // max_len END AS sim_mills,
+          |  (CASE WHEN max_len = 0 THEN 1000
+          |        ELSE (1000 * (max_len - edit_dist)) // max_len END) >= 800 AS is_dup
+          |FROM scored""".stripMargin),
+
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tb AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM tok),

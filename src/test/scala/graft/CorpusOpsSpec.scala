@@ -272,6 +272,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert((0L until 8L).forall(out(_)._2) && (8L until 16L).forall(!out(_)._2))
   }
 
+  test("editNeardup: exact dups score 1000/dup; a one-char edit scores its exact distance") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val edit = "the quick brown fox jumps over the lazy cog near the river bank today" // 1 substitution
+    val dir = docDir(Seq(
+      (1L, base, "en", "s"),
+      (2L, edit, "en", "s"),
+      (3L, "completely unrelated content sharing no shingles with anything here", "en", "s"),
+      (4L, base, "en", "s")))
+    val out = QueriesAnalytics.editNeardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // exact dup pair must surface (identical signatures share every band)
+    assert(out((1L, 4L)) == ((0L, 1000L, true)), "exact dup: distance 0, sim 1000")
+    // doc 3 shares no shingles -> never a candidate
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the one-char edit: if LSH surfaced it (signature-dependent), the
+    // verdict must be the exact hand arithmetic
+    val l = base.length.toLong
+    Seq((1L, 2L), (2L, 4L)).foreach { p =>
+      out.get(p).foreach { case (d, s, dup) =>
+        assert(d == 1L && s == (1000L * (l - 1)) / l && dup, s"pair $p")
+      }
+    }
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(

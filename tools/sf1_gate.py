@@ -137,6 +137,10 @@ HEAVY = [
     # across micro-batches must equal the batch formula as per-batch
     # corpora and the model's bucket populations grow 10x
     "q_stream_dsir",
+    # r13 fifth session: edit-distance near-dup verification — the
+    # candidate set (LSH buckets + hot-bucket cap) and the per-pair
+    # levenshtein verdicts must stay exact as bucket populations grow 10x
+    "q_edit_neardup",
 ]
 
 
