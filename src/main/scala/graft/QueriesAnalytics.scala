@@ -150,12 +150,23 @@ object QueriesAnalytics {
     * (1000·(maxlen−dist)/maxlen, exact integer division), and the
     * is_dup verdict at ≥ 800 mills.
     *
-    * Scale shape: Levenshtein is O(len_a·len_b) per PAIR — affordable
-    * only because the pair set is the LSH-capped candidate list (same
+    * Scale shape: the pair set is the LSH-capped candidate list (same
     * discipline as [[dedupPipeline]]'s Jaccard verify: candidates ≪
     * n², hot buckets capped, and the DP runs where the pair lands, no
-    * extra shuffle). Both engines ship the identical builtin, so the
-    * verdict column is hash-gated, not spot-checked.
+    * extra shuffle) — and since r14 the per-pair cost is THRESHOLDED,
+    * not O(len_a·len_b): `is_dup` needs sim ≥ 800 mills, which is
+    * exactly `dist ≤ max_len div 5`, so distances above that threshold
+    * carry no information beyond "not a dup" and are reported as the
+    * −1 sentinel. Two gates enforce it in the plan: (1) an explicit
+    * integer length gate — `|len_a − len_b|` lower-bounds edit
+    * distance, so a gap above the threshold verdicts the pair without
+    * ever touching the text; (2) the 3-arg `levenshtein(a, b, t)`
+    * builtin for survivors, a BANDED DP (O(t·min_len) with its own
+    * early exits) that returns −1 past the threshold. At 100 TB with
+    * long documents this is candidate-bound, not candidate×len²-bound.
+    * Both engines replay the identical semantics (the oracle clamps
+    * its full DP at the same threshold), so the verdict column stays
+    * hash-gated, not spot-checked.
     */
   def editNeardup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -165,12 +176,19 @@ object QueriesAnalytics {
     val ta = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     pairs.join(ta, "doc_a").join(tb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"),
         greatest(length(col("text_a")), length(col("text_b")))
-          .cast("long").as("max_len"))
+          .cast("long").as("max_len"),
+        abs(length(col("text_a")) - length(col("text_b")))
+          .cast("long").as("len_gap"))
+      .select(col("doc_a"), col("doc_b"), col("max_len"),
+        when(col("len_gap") > expr("max_len div 5"), -1L) // gate 1: no DP
+          .otherwise(expr(
+            "cast(levenshtein(text_a, text_b, cast(max_len div 5 as int)) as long)"))
+          .as("edit_dist"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         when(col("max_len") === 0, 1000L) // two empty docs are identical
+          .when(col("edit_dist") === -1L, -1L) // past threshold: sim < 800
           .otherwise(expr("(1000 * (max_len - edit_dist)) div max_len"))
           .as("sim_mills"))
       .withColumn("is_dup", col("sim_mills") >= 800)

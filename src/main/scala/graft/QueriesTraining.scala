@@ -957,6 +957,17 @@ object QueriesTraining {
     val base = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .withColumn("seq", concat(regexp_replace(col("w"), "(.)", "|$1"), lit("$|")))
       .localCheckpoint()
+    // Enforce (not just document) the delimiter invariant: '|' delimits
+    // symbols, '$' marks end-of-word, and merge symbols are interpolated
+    // into single-quoted SQL literals on both engines — a corpus token
+    // containing any of the three would silently corrupt the seq encoding
+    // or break the oracle's replace chain. The check is vocab-bounded
+    // (base is already materialized) and fails fast with the offender.
+    val badW = base.filter(col("w").rlike("[|$']")).select(col("w")).head(1)
+    require(badW.isEmpty,
+      s"BPE delimiter invariant violated: corpus token ${badW.head.getString(0)} " +
+        "contains one of | $ ' (reserved as symbol delimiter / end-of-word " +
+        "marker / SQL quote)")
     var vocab = base
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var done = false
@@ -991,9 +1002,11 @@ object QueriesTraining {
     * corpus). Each round counts adjacent symbol pairs weighted by word
     * frequency (one map-side-combined aggregate), picks the argmax
     * (ties: count desc, then pair lexicographic — fully deterministic),
-    * and applies the merge to the vocab. Application is greedy
-    * left-to-right with TWO replace sweeps per merge — a deterministic
-    * variant of BPE apply whose semantics are identical in Spark and
+    * and applies the merge to the vocab. Application is TWO left-to-right
+    * replace sweeps per merge — a deterministic variant of BPE apply (on
+    * runs of a repeated symbol it differs from textbook greedy apply,
+    * e.g. `aaaaaa` → `aa,a,aa,a` rather than `aa,aa,aa`) whose semantics
+    * are identical in Spark and
     * DuckDB (`replace` resumes after the replacement in both), which is
     * what lets the trained merges replay as SQL literals
     * ([[BpeOracle]], the PcaModels dynamic-oracle pattern). Symbols are
@@ -1146,10 +1159,10 @@ object QueriesTraining {
     // the aggregations. The broadcast (ratio) side executes first, so
     // one action materializes the cache before the probe side rescans.
     implicit val sp: SparkSession = s
-    val grams = docs(s, dir)
+    val grams = graft.core.CacheRegistry.register(docs(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         explode(graft.functions.NgramBuckets.column(col("text"), 2, b)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // pass 1: bucket distributions — partial agg caps every partition's
     // contribution at DsirBuckets rows, so the shuffle is ~nothing.
     val ratio = dsirRatio(grams.groupBy(col("b"))
@@ -1215,7 +1228,11 @@ object QueriesTraining {
       s.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", "1").parquet(src)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // foreachBatch is at-least-once: a retried micro-batch must not
+          // append duplicate rows. Each batch overwrites its own
+          // batchId-named subdirectory, so a replay is idempotent; the
+          // read-back below lists the leaves recursively.
           batch.select(col("doc_id"),
               explode(graft.functions.NgramBuckets.column(col("text"), 2, b)).as("b"))
             .join(broadcast(ratio), "b")
@@ -1223,14 +1240,14 @@ object QueriesTraining {
             .agg(sum(col("ratio")).as("w_micro"))
             .select(col("doc_id"), col("w_micro"),
               (col("w_micro") >= 0).as("kept"))
-            .write.mode("append").parquet(out)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
           ()
         }
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally graft.core.Tmp.deleteRecursively(ckpt)
-    s.read.parquet(out)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1754,9 +1771,7 @@ object ContrastiveIvfOracle {
 
   private def current(): Option[IndexedSeq[IndexedSeq[Long]]] = {
     import scala.jdk.CollectionConverters._
-    val all = byDir.asScala
-    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
-      .orElse(all.values.headOption)
+    graft.core.VerifyTarget.pick(byDir.asScala)
   }
 
   def oracleEntries: Map[String, String] = current() match {
@@ -1839,9 +1854,7 @@ object BpeOracle {
 
   private def current(): Option[List[(String, String)]] = {
     import scala.jdk.CollectionConverters._
-    val all = byDir.asScala
-    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
-      .orElse(all.values.headOption)
+    graft.core.VerifyTarget.pick(byDir.asScala)
   }
 
   def oracleEntries: Map[String, String] = current() match {

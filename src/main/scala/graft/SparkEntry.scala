@@ -616,17 +616,24 @@ object SparkEntry {
           |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
           |scored AS (
           |  SELECT c.doc_a, c.doc_b,
-          |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+          |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS full_dist,
           |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
           |  FROM cand c
           |  JOIN documents da ON da.doc_id = c.doc_a
-          |  JOIN documents db ON db.doc_id = c.doc_b)
+          |  JOIN documents db ON db.doc_id = c.doc_b),
+          |g AS (
+          |  SELECT doc_a, doc_b, max_len,
+          |    CASE WHEN full_dist <= max_len // 5 THEN full_dist
+          |         ELSE CAST(-1 AS BIGINT) END AS edit_dist
+          |  FROM scored)
           |SELECT doc_a, doc_b, edit_dist,
           |  CASE WHEN max_len = 0 THEN 1000
+          |       WHEN edit_dist = -1 THEN -1
           |       ELSE (1000 * (max_len - edit_dist)) // max_len END AS sim_mills,
           |  (CASE WHEN max_len = 0 THEN 1000
+          |        WHEN edit_dist = -1 THEN -1
           |        ELSE (1000 * (max_len - edit_dist)) // max_len END) >= 800 AS is_dup
-          |FROM scored""".stripMargin),
+          |FROM g""".stripMargin),
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

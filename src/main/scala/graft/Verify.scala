@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // dynamic oracles (PCA / IVF / BPE stashes) must dump THIS dir's
+    // trained literals, not whichever dir a long-lived session saw first
+    graft.core.VerifyTarget.set(sfDir)
     // optional 3rd arg: comma-separated query names (dev loop)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
@@ -27,8 +30,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // unload dead state-store providers between queries (same churn
-      // Bench.onceClean guards against — see its comment)
+      // Bench.onceClean guards against — see its comment), and release
+      // any per-query persisted intermediates (e.g. dsirSelect's
+      // DISK_ONLY gram stream) so repeated runs don't accumulate dead
+      // cached blocks on executor disk
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      graft.core.CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -181,14 +181,13 @@ object PcaModels {
 
   def stash(dir: String, m: Pca.Model): Unit = byDir.put(dir, m)
 
-  /** The model to bake into the oracle: the sf0.01 one when present (the
-    * driver's correctness SF), else any stashed model (dev loops).
+  /** The model to bake into the oracle: the dir under verification
+    * ([[graft.core.VerifyTarget]]), else sf0.01, else any stashed model
+    * (dev loops).
     */
   private def current(): Option[Pca.Model] = {
     import scala.jdk.CollectionConverters._
-    val all = byDir.asScala
-    all.collectFirst { case (d, m) if d.replaceAll("/+$", "").endsWith("sf0.01") => m }
-      .orElse(all.values.headOption)
+    graft.core.VerifyTarget.pick(byDir.asScala)
   }
 
   /** q_pca_project oracle SQL (empty map when no model was trained).

@@ -297,6 +297,23 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("editNeardup: thresholded kernel gates distances past max_len div 5 to -1") {
+    // the plan's banded-DP kernel: levenshtein(a, b, t) returns the exact
+    // distance iff <= t, else -1 — the boundary cases pin the sentinel
+    // contract the sim_mills arithmetic relies on (d <= t <=> sim >= 800)
+    val r = spark.sql(
+      """SELECT levenshtein('abcdefghij', 'zzzzzzzzzz', 2) AS gated,
+        |       levenshtein('abcdefghij', 'abcdefghiz', 2) AS under,
+        |       levenshtein('aaaaaaaaaa', 'aaaaaaaazz', 2) AS at_t,
+        |       levenshtein('aaaaaaaaaa', 'aaaaaaazzz', 2) AS past_t,
+        |       levenshtein('', '', 0) AS empty""".stripMargin).head()
+    assert(r.getInt(0) == -1, "all-different pair past threshold -> -1")
+    assert(r.getInt(1) == 1, "distance 1 under threshold stays exact")
+    assert(r.getInt(2) == 2, "distance exactly t stays exact")
+    assert(r.getInt(3) == -1, "distance t+1 -> -1")
+    assert(r.getInt(4) == 0, "empty pair at threshold 0 is distance 0")
+  }
+
   test("datasetCard: cells, dup counting, and ALL-rollup additivity") {
     val passText = "the cat and the dog walk to the park in the rain today ok"
     val rows = Seq(
