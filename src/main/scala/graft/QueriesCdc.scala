@@ -46,7 +46,7 @@ object QueriesCdc {
     * stores paying per-batch open/commit; a 100 TB deployment sets this
     * to its executor width at FIRST launch of the job, same knob.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
@@ -68,7 +68,7 @@ object QueriesCdc {
     * 100 TB state the trade only widens toward RocksDB: snapshot-file
     * cost scales with state size, changelog commits with the delta.
     */
-  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbState[T](s: SparkSession)(body: => T): T = {
     val set = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1153,8 +1153,31 @@ object QueriesCdc {
     * per user), so the oracle is `row_number() = 1` — the state-store
     * machinery itself is what gets hash-checked.
     */
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The stateful first-seen dedup plan over a staged source path —
+    * extracted so KillRecoverySpec can run the IDENTICAL operator under a
+    * mid-batch crash + checkpoint-resume harness (the spec passes
+    * `maxFilesPerTrigger` to force a multi-batch replay; the catalog row
+    * drains its source in one batch).
+    */
+  private[graft] def streamDedupPlan(s: SparkSession, src: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
+    val rd = s.readStream
+      .schema("event_id bigint, user_id bigint, value_cents bigint")
+    val stream = maxFilesPerTrigger
+      .fold(rd)(n => rd.option("maxFilesPerTrigger", n.toString))
+      .parquet(src)
+      .select(col("user_id").cast("string").as("key"),
+        col("event_id").as("ord"), col("value_cents").cast("string").as("payload"))
+      .as[graft.stream.StatefulDedup.Ordered]
+    // NoTimeout: a bounded replay needs no retention window, and a
+    // processing-time timeout would keep Trigger.AvailableNow alive
+    // waiting for timer state to expire
+    graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
+      .toDF()
+  }
+
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val src = memoFixture(s"sdedup_${graft.core.DatasetKey.of(dir)}") {
       val p = fixturePath("sdedup_src", dir)
       events(s, dir)
@@ -1163,19 +1186,10 @@ object QueriesCdc {
         .write.mode("overwrite").parquet(p)
       p
     }
-    val stream = s.readStream
-      .schema("event_id bigint, user_id bigint, value_cents bigint")
-      .parquet(src)
-      .select(col("user_id").cast("string").as("key"),
-        col("event_id").as("ord"), col("value_cents").cast("string").as("payload"))
-      .as[graft.stream.StatefulDedup.Ordered]
-    // NoTimeout: a bounded replay needs no retention window, and a
-    // processing-time timeout would keep Trigger.AvailableNow alive
-    // waiting for timer state to expire
     withStatePartitions(s, 8) {
       withRocksDbState(s) {
       runWithTempCkpt("graft-sdedup-ckpt") { ckpt =>
-        graft.stream.StatefulDedup.firstSeenOnlyOrdered(s, stream, idleTimeoutMs = 0)
+        streamDedupPlan(s, src)
           .writeStream.format("memory").queryName("graft_stream_dedup")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1203,15 +1217,11 @@ object QueriesCdc {
     * eviction math (a row is dropped once it can no longer match any
     * future input) is the engine's, not ours.
     */
-  def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val src = memoFixture(s"sjoin_${graft.core.DatasetKey.of(dir)}") {
-      val p = fixturePath("sjoin_src", dir)
-      events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .repartitionByRange(2, col("ts"))
-        .write.mode("overwrite").parquet(p)
-      p
-    }
+  /** The stream-stream join plan over a staged source path — extracted so
+    * KillRecoverySpec can run the IDENTICAL plan under a mid-batch crash
+    * + checkpoint-resume harness (r13 verdict task 2).
+    */
+  private[graft] def streamJoinPlan(s: SparkSession, src: String): DataFrame = {
     def side() = s.readStream
       .schema("event_id bigint, ts timestamp, user_id bigint, event_type string")
       .option("maxFilesPerTrigger", "1")
@@ -1223,12 +1233,28 @@ object QueriesCdc {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "12 hours")
-    val joined = views.join(purchases,
+    views.join(purchases,
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("view_ts") &&
           col("p_ts") <= col("view_ts") + expr("interval 12 hours"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_millis(col("p_ts")) - unix_millis(col("view_ts"))).as("lag_ms"))
+  }
+
+  /** Stage the range-split join source for `dir`; shared with the spec. */
+  private[graft] def streamJoinSource(s: SparkSession, dir: String): String =
+    memoFixture(s"sjoin_${graft.core.DatasetKey.of(dir)}") {
+      val p = fixturePath("sjoin_src", dir)
+      events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = streamJoinSource(s, dir)
+    val joined = streamJoinPlan(s, src)
     // 4, not the family's 8: a stream-stream join opens FOUR stores per
     // state partition (left/right x keyToNumValues/keyWithIndexToValue),
     // so 4 partitions already run 16 store open/commit cycles per batch
