@@ -1252,17 +1252,37 @@ object QueriesCdc {
       p
     }
 
+  /** Launch-time state-partition sizing for the stream-stream join — the
+    * decision a production deployment makes ONCE at first job start
+    * (streaming state freezes its partitioning into the store). A join
+    * opens FOUR stores per state partition (left/right x
+    * keyToNumValues/keyWithIndexToValue), so width is a real trade: at
+    * fixture scale 4 beat 8 (16 store open/commit cycles per batch
+    * already; 3.25 -> 2.97 s measured r13), but the r14 sf10 probe
+    * (tools.StreamProf) showed the flip side — 10M-row batches through 4
+    * partitions serialize the probe side: 170 s of batch time at width 4
+    * vs 52 s at width 32, while width-matched scaling is SUB-linear per
+    * decade (9.4 s -> 52 s for 10x). So size from the staged source like
+    * a launcher would from expected throughput: ~1 state partition per
+    * MiB of source, clamped to [4, 32] (local fixture scale .. local[32]
+    * width). Result rows are partitioning-invariant — the sf1 hash gate
+    * proves it.
+    */
+  private def joinStateWidth(src: String): Int = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(size).sum
+      else f.length()
+    val mib = size(new java.io.File(src)) >> 20
+    math.max(4, math.min(32, mib.toInt))
+  }
+
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val src = streamJoinSource(s, dir)
     val joined = streamJoinPlan(s, src)
-    // 4, not the family's 8: a stream-stream join opens FOUR stores per
-    // state partition (left/right x keyToNumValues/keyWithIndexToValue),
-    // so 4 partitions already run 16 store open/commit cycles per batch
-    // — measured 3.25 -> 2.97 s vs 8 partitions at this state volume.
     // RocksDB since r13: join state is the store that outgrows the heap
-    // first at scale; bounded shared memory tames the 16-instance init
+    // first at scale; bounded shared memory tames the per-instance init
     // cost that kept this family on the default provider in r12.
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, joinStateWidth(src)) {
       withRocksDbState(s) {
       runWithTempCkpt("graft-sjoin-ckpt") { ckpt =>
         joined.writeStream.format("memory").queryName("graft_stream_join")
