@@ -141,7 +141,36 @@ HEAVY = [
     # candidate set (LSH buckets + hot-bucket cap) and the per-pair
     # levenshtein verdicts must stay exact as bucket populations grow 10x
     "q_edit_neardup",
+    # r14 (verdict task 5: close or re-justify every exclusion): the
+    # sink/codec roundtrips and the socket/wire family ARE replayable at
+    # sf1 — r13's "single-image fixtures are deliberately unsegmented"
+    # described the fixtures, not a blocker; the whole set runs in ~2 min
+    # of Spark wall. Framing/gzip/decrypt (crypto, pgp, msgpack), the
+    # loopback REST sinks moving 10x bytes through real HTTP (webhdfs,
+    # s3), and the wire servers replaying 10x volume through real sockets
+    # (changelog/kafka socket, DDL probe, group rebalance) all carry
+    # volume-dependent paths (chunking, multipart thresholds, drain
+    # batching, partition assignment) worth gating at 10x.
+    "q_crypto_roundtrip", "q_msgpack_framed", "q_pgp_roundtrip",
+    "q_webhdfs_sink", "q_s3_sink",
+    "q_changelog_socket", "q_kafka_socket", "q_ddl_socket",
+    "q_group_rebalance",
 ]
+
+# Excluded from the sf1 gate, each for a stated reason (re-audited r14):
+#   q_multimodal_bytes/features/resize/audio/video — the operator IS the
+#     binary codec path (ImageIO/WAV/GIF decode); DuckDB cannot replay
+#     the codecs, so there is no oracle at any SF beyond the sf0.01
+#     rows-only check. Scale behavior is per-row narrow decode.
+#   q_ngram_jaccard / q_containment — their ORACLES are the all-pairs
+#     shingle joins (quadratic by design: ~3B join terms at sf1 in
+#     DuckDB); the shared shingle-set kernel is already sf1-gated via
+#     q_substring_dedup, and the per-pair arithmetic is SF-independent.
+#   q_contrastive_pairs / q_contrastive_ivf — the brute-force ground
+#     truth side is anchors x corpus by design (the IVF probe list is
+#     the scale path, and ITS recall floor is gated via q_ann_recall /
+#     q_contrastive_ivf at sf0.01/0.1/1 in CORRECTNESS runs); the DuckDB
+#     replay at sf1 is ~3B join terms.
 
 
 def main():
