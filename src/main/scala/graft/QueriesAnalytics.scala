@@ -654,6 +654,76 @@ object QueriesAnalytics {
         md5(TextOps.scrubPii(aug)).as("scrub_md5")): _*)
   }
 
+  /** URL canonicalization + canonical-URL dedup — the first stage of any
+    * web-crawl curation pipeline: a crawl sees the same page under
+    * mixed-case scheme/host, default ports, `www.` prefixes, tracking
+    * params and fragments, and dedup must key on the CANONICAL form.
+    * URLs are derived deterministically from doc_id/source (the same
+    * augment-then-process pattern as q_text_scrub — known positives, so
+    * the oracle rebuilds them and the md5-gated output proves the exact
+    * canonicalization, not just counts). Every step is a narrow
+    * codegen'd regexp in the RE2-safe subset both engines share:
+    * fragment strip, scheme/host lowercase, `:80` strip, `www.` strip,
+    * `utm_*`/`ref` param removal. The only shuffle is the canonical-key
+    * window for first-seen dedup ranking — at 100 TB that is the
+    * hash-partitioned exchange the dedup itself requires; groups are
+    * crawl-dup-bounded. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/p/"),
+      (col("doc_id") % 5).cast("string"),
+      lit("/item?utm_source=feed&id="), (col("doc_id") % 10).cast("string"),
+      lit("&ref=tw#s"), (col("doc_id") % 3).cast("string"))
+    val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+    docs(s, dir).select(col("doc_id"), raw.as("url"))
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("host",
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col("nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+          ":80$", ""), "^www\\.", ""))
+      .withColumn("pathq",
+        regexp_replace(regexp_replace(
+          regexp_extract(col("nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1),
+          "(utm_[a-z]+|ref)=[^&#]*&?", ""), "[?&]$", ""))
+      .withColumn("canon_url",
+        concat(lower(regexp_extract(col("nofrag"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+          lit("://"), col("host"), col("pathq")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("canon_url"), col("host"),
+        (col("rn") > 1).as("is_dup_url"))
+  }
+
+  /** Duplicate-cluster-aware train/val/test split — the leakage-safe
+    * split a training pipeline must use instead of per-doc hashing:
+    * near-duplicate documents (the LSH dup graph's connected components)
+    * are assigned to the SAME split, so eval never scores a near-copy of
+    * a training document (Lee et al. 2022's contamination finding).
+    * Composition of two existing scale paths: component labels from the
+    * capped LSH candidate graph (driver union-find under
+    * [[graft.core.DriverBudget]], else distributed HashMin), then ONE
+    * md5 draw per COMPONENT (16 hex buckets: 0-12 train / 13-14 val /
+    * 15 test — no modulo bias), inherited by every member through the
+    * left join; singletons are their own component. The oracle replays
+    * the full chain (recursive-CTE components + the same hex draw), so
+    * the invariant "one component, one split" is hash-proven, not
+    * asserted. */
+  def leakSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val comp = Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(
+        Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8, numHashes = 8,
+          rowsPerBand = 4),
+        "doc_id"))
+    d.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")).cast("long"))
+      .withColumn("h", expr(
+        "instr('0123456789abcdef', substring(md5(concat('split1:', cast(component as string))), 1, 1)) - 1"))
+      .select(col("doc_id"), col("component"),
+        when(col("h") <= 12, "train").when(col("h") <= 14, "val")
+          .otherwise("test").as("split"))
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.core.Spread.byKey(docs(s, dir), col("doc_id")) // regex-heavy: spread single-file input
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -703,5 +773,7 @@ object QueriesAnalytics {
     "q_text_tokens" -> textTokens _,
     "q_text_fingerprint" -> textFingerprint _,
     "q_text_scrub" -> textScrub _,
+    "q_url_canonical" -> urlCanonical _,
+    "q_leak_split" -> leakSplit _,
     "q_multimodal_bytes" -> multimodalBytes _)
 }

@@ -88,13 +88,82 @@ object QueriesQuality {
         max(col("k")).as("k_max"),
         countDistinct(col("k")).as("k_distinct"))
 
+  /** Exact two-sample Kolmogorov-Smirnov drift between event cohorts
+    * (even vs odd user_id — the A/B split a pipeline health check runs
+    * between "this week's ingest" and "last week's"): per event_type,
+    * the KS statistic D = max |CDF_a − CDF_b| over the value
+    * distribution, computed EXACTLY in integers. The histogram is
+    * domain-bounded (distinct cents values), the CDFs are integer
+    * cumulative counts, and D is carried as the cross-multiplied
+    * numerator max|cum_a·nb − cum_b·na| (BIGINT — no FP division until
+    * the final integer-div mills report), so both engines agree
+    * bit-for-bit. Scale shape: one map-side-combinable histogram
+    * shuffle + a window over distinct values per type (value-domain
+    * bounded, not row-count bounded) — the same counting-sort stance as
+    * q_percentiles. 3-sigma mean-drift gating is q_anomaly_events; this
+    * is the distribution-SHAPE drift detector beside it.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("in_a"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val hist = e.groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val tot = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
+      .select(col("event_type"), col("na"), col("nb"), col("ks_num"),
+        expr("(1000 * ks_num) div (na * nb)").as("ks_mills"))
+  }
+
+  /** Logistic-regression document-quality filter (see
+    * [[graft.analytics.LogReg]] for the full 100 TB design): mills
+    * features → standardize from exact integer moments →
+    * exact-integer-gradient full-batch GD (deterministic under any
+    * partitioning) → BIGINT margin scoring replayed by the oracle with
+    * the folded weights as literals. Trained the way production quality
+    * filters are (CCNet: reference corpus positive, raw crawl negative):
+    * the negative class is built deterministically by degrading half the
+    * corpus — a salted md5 coin picks the docs, and junk boilerplate of
+    * doc-dependent length is appended (the augment-then-process fixture
+    * pattern of q_text_scrub/q_url_canonical, so the oracle rebuilds the
+    * identical corpus). The filter then learns the clean-vs-junk
+    * boundary from the ratio features alone; LogRegSpec gates accuracy
+    * and loss descent, this row hash-gates the scored margins.
+    */
+  def lrQuality(s: SparkSession, dir: String): DataFrame = {
+    val degraded = expr(
+      "instr('0123456789abcdef', substring(md5(concat('lrq:', cast(doc_id as string))), 1, 1)) <= 8")
+    val junk = expr("repeat(' zz9 xq', cast(doc_id % 5 + 1 as int) * 10)")
+    val aug = Tables.documents(s, dir).select(col("doc_id"),
+      when(degraded, concat(col("text"), junk)).otherwise(col("text")).as("text"),
+      (!degraded).cast("int").as("is_clean"))
+    val feats = graft.core.CacheRegistry.register(
+      graft.analytics.LogReg.features(aug, "doc_id", col("text"), col("is_clean"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = feats.count()
+    val model = graft.analytics.LogReg.train(
+      graft.analytics.LogReg.trainingSample(feats, "doc_id", n, cap = 1000000L))
+    graft.analytics.LogRegModels.stash(dir, model)
+    graft.analytics.LogReg.score(feats, "doc_id", model)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> jsonExtract _,
     "q_fk_audit" -> fkAudit _,
     "q_null_audit" -> nullAudit _,
     "q_pk_audit" -> pkAudit _,
     "q_value_histogram" -> valueHistogram _,
-    "q_first_per_day" -> firstPerDay _)
+    "q_first_per_day" -> firstPerDay _,
+    "q_ks_drift" -> ksDrift _,
+    "q_lr_quality" -> lrQuality _)
 
   val oracleSql: Map[String, String] = Map(
     "q_json_extract" ->
@@ -133,5 +202,26 @@ object QueriesQuality {
         |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
         |          ORDER BY ts, event_id) AS rn
         |      FROM events)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type,
+        |    SUM(ca) OVER (PARTITION BY event_type ORDER BY cents) AS cum_a,
+        |    SUM(cb) OVER (PARTITION BY event_type ORDER BY cents) AS cum_b,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM h)
+        |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
+        |  CAST((1000 * MAX(ABS(cum_a * nb - cum_b * na))) // (na * nb) AS BIGINT) AS ks_mills
+        |FROM c GROUP BY event_type, na, nb""".stripMargin)
+
+  // q_lr_quality's oracle is data-dependent (trained weights as literals):
+  // graft.analytics.LogRegModels.oracleEntries, merged in SparkEntry.
 }

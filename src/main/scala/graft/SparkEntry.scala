@@ -91,7 +91,10 @@ object SparkEntry {
       ContrastiveIvfOracle.oracleEntries ++
       // and q_bpe_tokenize's oracle replays the trained merge list as a
       // literal replace chain
-      BpeOracle.oracleEntries ++ Map(
+      BpeOracle.oracleEntries ++
+      // and q_lr_quality's oracle bakes the trained LR weights in as
+      // BIGINT literals over DuckDB-recomputed mills features
+      graft.analytics.LogRegModels.oracleEntries ++ Map(
     "q_snapshot_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
@@ -920,6 +923,62 @@ object SparkEntry {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://WWW.' || upper(source) || '.Example.COM:80/p/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/item?utm_source=feed&id=' ||
+        |    CAST(doc_id % 10 AS VARCHAR) || '&ref=tw#s' ||
+        |    CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |    ':80$', ''), '^www\.', '') AS host,
+        |  regexp_replace(regexp_replace(
+        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |    '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'), '[?&]$', '') AS pathq
+        |FROM n),
+        |c AS (SELECT doc_id, scheme || '://' || host || pathq AS canon_url, host
+        |FROM parts)
+        |SELECT doc_id, canon_url, host,
+        |  (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) > 1) AS is_dup_url
+        |FROM c""".stripMargin,
+
+    "q_leak_split" ->
+      (minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |bk AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS band_key FROM sig
+          |       UNION ALL SELECT doc_id, 1, md5(m4 || m5 || m6 || m7) FROM sig),
+          |ok AS (SELECT band, band_key FROM bk GROUP BY band, band_key HAVING COUNT(*) <= 1000),
+          |pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bk a
+          |  JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+          |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |          UNION SELECT doc_b, doc_a FROM pairs),
+          |reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          |  WHERE e.dst <> r.src),
+          |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+          |         FROM reach GROUP BY src),
+          |lab AS (SELECT d.doc_id,
+          |          CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+          |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          |h AS (SELECT doc_id, component,
+          |        instr('0123456789abcdef',
+          |          substr(md5('split1:' || CAST(component AS VARCHAR)), 1, 1)) - 1 AS hx
+          |      FROM lab)
+          |SELECT doc_id, component,
+          |  CASE WHEN hx <= 12 THEN 'train' WHEN hx <= 14 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM h""".stripMargin)
   )
 }

@@ -155,6 +155,12 @@ HEAVY = [
     "q_webhdfs_sink", "q_s3_sink",
     "q_changelog_socket", "q_kafka_socket", "q_ddl_socket",
     "q_group_rebalance",
+    # r14 second session: the curation additions — KS drift's histogram
+    # deepens 10x per type, the LR filter re-trains on 10x docs (exact
+    # integer moments + gradient sums must stay deterministic at 10x
+    # volume), URL dedup groups grow 10x, and the leak split's component
+    # graph is the 10x LSH graph
+    "q_ks_drift", "q_lr_quality", "q_url_canonical", "q_leak_split",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
