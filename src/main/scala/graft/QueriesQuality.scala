@@ -103,13 +103,23 @@ object QueriesQuality {
     * q_percentiles. 3-sigma mean-drift gating is q_anomaly_events; this
     * is the distribution-SHAPE drift detector beside it.
     */
-  def ksDrift(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir).filter(col("user_id").isNotNull)
-      .select(col("event_type"), (col("user_id") % 2 === 0).as("in_a"),
-        round(col("value") * 100).cast("long").as("cents"))
-    val hist = e.groupBy(col("event_type"), col("cents"))
+  def ksDrift(s: SparkSession, dir: String): DataFrame =
+    ksFromHistogram(cohortHistogram(
+      events(s, dir).filter(col("user_id").isNotNull)))
+
+  /** (event_type, cents, ca, cb) cohort counting histogram — the
+    * mergeable sufficient statistic both the batch and streaming KS
+    * paths reduce to (per-cell counts ADD across batches, which is what
+    * makes the streaming accumulation exact).
+    */
+  private def cohortHistogram(e: DataFrame): DataFrame =
+    e.select(col("event_type"), (col("user_id") % 2 === 0).as("in_a"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+
+  private def ksFromHistogram(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     val tot = Window.partitionBy(col("event_type"))
     hist
@@ -121,6 +131,52 @@ object QueriesQuality {
       .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
       .select(col("event_type"), col("na"), col("nb"), col("ks_num"),
         expr("(1000 * ks_num) div (na * nb)").as("ks_mills"))
+  }
+
+  // process-lifetime staged stream fixture paths (pid-unique, content-keyed)
+  private val streamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming drift monitor — [[ksDrift]] on the ingest path: each
+    * micro-batch reduces to its cohort-histogram DELTA (per-cell counts,
+    * the mergeable statistic), written idempotently per batchId
+    * (foreachBatch is at-least-once; a replayed batch overwrites its own
+    * subdirectory), and the final KS over the merged histogram equals
+    * the batch formula EXACTLY — which is precisely what the shared
+    * q_ks_drift oracle gates. The 100 TB shape: what crosses each batch
+    * boundary is the domain-bounded histogram delta, never rows, so the
+    * monitor's state is value-domain-sized regardless of stream volume
+    * (the same counting-sort stance as the batch op).
+    */
+  def streamKs(s: SparkSession, dir: String): DataFrame = {
+    val src = streamFixtures.computeIfAbsent(
+      s"sks_${graft.core.DatasetKey.of(dir)}", _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_sks_" +
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+        events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id"), col("value"))
+          .repartition(3).write.mode("overwrite").parquet(p)
+        p
+      })
+    val out = graft.core.Tmp.scratchDir("graft-sks-out").toString
+    val ckpt = graft.core.Tmp.scratchDir("graft-sks-ckpt")
+    try {
+      s.readStream.schema("event_type string, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          cohortHistogram(batch)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally graft.core.Tmp.deleteRecursively(ckpt)
+    ksFromHistogram(
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb")))
   }
 
   /** Logistic-regression document-quality filter (see
@@ -163,6 +219,7 @@ object QueriesQuality {
     "q_value_histogram" -> valueHistogram _,
     "q_first_per_day" -> firstPerDay _,
     "q_ks_drift" -> ksDrift _,
+    "q_stream_ks" -> streamKs _,
     "q_lr_quality" -> lrQuality _)
 
   val oracleSql: Map[String, String] = Map(
@@ -204,7 +261,13 @@ object QueriesQuality {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
 
-    "q_ks_drift" ->
+    // q_stream_ks streams the same events and must land the identical
+    // statistic — the histogram delta merge is exact — so the SAME
+    // oracle gates both the batch and the streaming path.
+    "q_stream_ks" -> ksOracle,
+    "q_ks_drift" -> ksOracle)
+
+  private lazy val ksOracle: String =
       """WITH h AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
         |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
@@ -220,7 +283,7 @@ object QueriesQuality {
         |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |  CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
         |  CAST((1000 * MAX(ABS(cum_a * nb - cum_b * na))) // (na * nb) AS BIGINT) AS ks_mills
-        |FROM c GROUP BY event_type, na, nb""".stripMargin)
+        |FROM c GROUP BY event_type, na, nb""".stripMargin
 
   // q_lr_quality's oracle is data-dependent (trained weights as literals):
   // graft.analytics.LogRegModels.oracleEntries, merged in SparkEntry.

@@ -38,6 +38,14 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("streaming KS equals the batch statistic exactly") {
+    val batch = QueriesQuality.ksDrift(spark, sf0001)
+      .orderBy("event_type").collect().toSeq
+    val stream = QueriesQuality.streamKs(spark, sf0001)
+      .orderBy("event_type").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("url canonicalization postconditions") {
     val rows = QueriesAnalytics.urlCanonical(spark, sf0001).collect()
     assert(rows.nonEmpty)

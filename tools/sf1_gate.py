@@ -161,6 +161,10 @@ HEAVY = [
     # volume), URL dedup groups grow 10x, and the leak split's component
     # graph is the 10x LSH graph
     "q_ks_drift", "q_lr_quality", "q_url_canonical", "q_leak_split",
+    # r14 second session: the streaming drift monitor — per-batch
+    # histogram-delta merge must stay exact over 10x batch volume (same
+    # oracle as the batch KS, which is the claim under test)
+    "q_stream_ks",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
