@@ -100,34 +100,94 @@ object QueriesExtra {
     * exact-anchor-plus-sketch pairing as q_approx_stats.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val d = 4
-    val w = 512
-    def bucket(seed: Int): org.apache.spark.sql.Column =
-      (conv(substring(md5(concat_ws(":", lit(seed.toString), col("term"))), 1, 8), 16, 10)
-        .cast("long") % w).as("bucket")
     val terms = Spread.byKey(docs(s, dir), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    val cells = terms
-      .select(explode(array((0 until d).map(sd =>
-        struct(lit(sd).as("seed"), bucket(sd))): _*)).as("sb"))
+    hittersReport(cmsCells(terms), terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_n")))
+  }
+
+  // CMS kernel shared by the batch and streaming heavy hitters. Both the
+  // d*w cell grid and the exact term-count table are PER-CELL ADDITIVE
+  // (sum of per-batch deltas == one-pass counts) — the property the
+  // streaming accumulation relies on.
+  private val CmsD = 4
+  private val CmsW = 512
+
+  private def cmsBucket(seed: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat_ws(":", lit(seed.toString), col("term"))), 1, 8), 16, 10)
+      .cast("long") % CmsW).as("bucket")
+
+  private def cmsCells(terms: DataFrame): DataFrame =
+    terms
+      .select(explode(array((0 until CmsD).map(sd =>
+        struct(lit(sd).as("seed"), cmsBucket(sd))): _*)).as("sb"))
       .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val probes = terms.groupBy(col("term"))
-      .agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("term"))
-      .limit(20)
+
+  /** Anchored report: exact top-20 probes scored against the sketch. */
+  private def hittersReport(cells: DataFrame, termCounts: DataFrame): DataFrame = {
+    val probes = termCounts.orderBy(col("exact_n").desc, col("term")).limit(20)
     val probeCells = probes
       .select(col("term"), col("exact_n"),
-        explode(array((0 until d).map(sd =>
-          struct(lit(sd).as("seed"), bucket(sd))): _*)).as("sb"))
+        explode(array((0 until CmsD).map(sd =>
+          struct(lit(sd).as("seed"), cmsBucket(sd))): _*)).as("sb"))
       .select(col("term"), col("exact_n"),
         col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
     probeCells.join(cells, Seq("seed", "bucket"))
       .groupBy(col("term"), col("exact_n"))
       .agg(min(col("c")).as("cms_n"))
       .orderBy(col("exact_n").desc, col("term"))
+  }
+
+  // process-lifetime staged stream fixture paths (pid-unique, content-keyed)
+  private val streamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming heavy hitters — [[heavyHitters]] on the ingest path: each
+    * micro-batch reduces to its CMS cell DELTA (d·w = 2048 rows — the
+    * bounded sketch state a 100 TB monitor actually keeps) plus its
+    * vocabulary-bounded term-count delta (the probe ANCHOR — at
+    * production scale this half is the offline eval, the cell grid is
+    * the online state). Both are per-cell additive, written idempotently
+    * per batchId (foreachBatch is at-least-once; a replayed batch
+    * overwrites its own subdirectory), and the merged sketch + merged
+    * counts land the IDENTICAL report as the one-pass batch formula —
+    * which is exactly what sharing q_heavy_hitters' oracle gates.
+    */
+  def streamHitters(s: SparkSession, dir: String): DataFrame = {
+    val src = streamFixtures.computeIfAbsent(
+      s"shh_${graft.core.DatasetKey.of(dir)}", _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_shh_" +
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .repartition(3).write.mode("overwrite").parquet(p)
+        p
+      })
+    val out = graft.core.Tmp.scratchDir("graft-shh-out").toString
+    val ckpt = graft.core.Tmp.scratchDir("graft-shh-ckpt")
+    try {
+      s.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val terms = batch.select(explode(split(col("text"), " ")).as("term"))
+            .filter(col("term") =!= "")
+          cmsCells(terms).write.mode("overwrite").parquet(s"$out/cells/b$batchId")
+          terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+            .write.mode("overwrite").parquet(s"$out/terms/b$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally graft.core.Tmp.deleteRecursively(ckpt)
+    hittersReport(
+      s.read.option("recursiveFileLookup", "true").parquet(s"$out/cells")
+        .groupBy(col("seed"), col("bucket")).agg(sum(col("c")).as("c")),
+      s.read.option("recursiveFileLookup", "true").parquet(s"$out/terms")
+        .groupBy(col("term")).agg(sum(col("exact_n")).as("exact_n")))
   }
 
   /** Pivot: per-user event-type counts as conditional aggregations (the
@@ -240,6 +300,78 @@ object QueriesExtra {
       .agg(count(lit(1)).as("n"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
         sum(col("cents")).as("sum_cents"))
+  }
+
+  /** KMV (bottom-k minimum values) distinct-count sketch — the mergeable
+    * distinct estimator whose arithmetic is oracle-checkable BIT-EXACTLY,
+    * unlike HLL++ (q_approx_stats can only gate HLL within its published
+    * bound; this row gates the full sketch computation). h = 60-bit md5
+    * of the value; per group keep the k = 256 smallest distinct hashes.
+    * The union of per-partition bottom-k IS the bottom-k of the union —
+    * the mergeable property — and Spark plans the per-group cap as
+    * WindowGroupLimit with a PARTIAL stage before the exchange, so each
+    * task ships at most k hashes per group: sketch-sized shuffle at any
+    * corpus size. The distinct-hash pre-pass groupBy (flag, h) map-side
+    * combines to the value DOMAIN (the percentile-histogram stance).
+    * Estimate = exact count when the group holds < k distinct hashes,
+    * else (k−1)·2^60 div h_k (the classic KMV estimator, Bar-Yossef et
+    * al. 2002), computed in DECIMAL(38,0) so the 255·2^60 ≈ 2.9e20
+    * numerator never overflows — integer-exact in both engines. The
+    * exact countDistinct anchors the estimate in the same row, so the
+    * sketch's error is visible in the gated output.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    import org.apache.spark.sql.expressions.Window
+    val base = li(s, dir).select(col("l_returnflag"), col("l_partkey"))
+    val dh = base
+      .select(col("l_returnflag"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("l_returnflag"), col("h")).agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    val sketch = dh
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+    val exact = base.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sketch.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_distinct"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0)) div h_k AS BIGINT)"))
+          .as("kmv_est"))
+  }
+
+  /** Robust outlier gate: median + MAD (median absolute deviation) per
+    * event type, flagging |x − med| > 3·MAD — the monitoring-family
+    * detector that survives the heavy tails a 3-sigma gate
+    * (q_anomaly_events) is blown up by, since median and MAD have
+    * breakdown point 0.5. Both statistics are DISCRETE rank-floor
+    * quantiles read off the shared bounded-domain counting-sort
+    * histogram ([[countingBoundaries]]): integer cents end to end, no
+    * interpolation FP, and per-group state tracks the value domain —
+    * never the row count — in both passes (the second histogram runs
+    * over |x − med|, whose domain is at most twice the first's). The
+    * 5-row median table broadcasts back; the only corpus-sized work is
+    * two scans and two domain-bounded histogram shuffles.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val med = countingBoundaries(base, "event_type", "cents", Seq("med_cents" -> 0.5))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = countingBoundaries(dev.select(col("event_type"), col("adev")),
+      "event_type", "adev", Seq("mad_cents" -> 0.5))
+    val out = col("adev") > lit(3L) * col("mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(out, 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(min(when(out, col("cents"))), lit(0L)).as("outlier_min_cents"),
+        coalesce(max(when(out, col("cents"))), lit(0L)).as("outlier_max_cents"))
   }
 
   /** Discrete-quantile boundaries off the counting-sort histogram: the
@@ -414,6 +546,9 @@ object QueriesExtra {
     "q_embed_clusters" -> embedClusters _,
     "q_term_freq" -> termFreq _,
     "q_heavy_hitters" -> heavyHitters _,
+    "q_stream_hitters" -> streamHitters _,
+    "q_kmv_distinct" -> kmvDistinct _,
+    "q_mad_outliers" -> madOutliers _,
     "q_bigrams" -> bigrams _,
     "q_pivot_users" -> pivotUsers _,
     "q_doc_stats" -> docStats _,
@@ -583,26 +718,66 @@ object QueriesExtra {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
 
-    // bit-exact CMS replay: same md5-derived buckets, same min-over-seeds
-    "q_heavy_hitters" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-        |tt AS (SELECT term FROM t WHERE term <> ''),
-        |sd AS (SELECT unnest(generate_series(0, 3)) AS seed),
-        |cells AS (
-        |  SELECT seed,
-        |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket,
-        |    COUNT(*) AS c
-        |  FROM tt, sd GROUP BY 1, 2),
-        |probes AS (
-        |  SELECT term, COUNT(*) AS exact_n FROM tt
-        |  GROUP BY 1 ORDER BY exact_n DESC, term LIMIT 20),
-        |pb AS (
-        |  SELECT term, exact_n, seed,
-        |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket
-        |  FROM probes, sd)
-        |SELECT pb.term, pb.exact_n, CAST(MIN(cells.c) AS BIGINT) AS cms_n
-        |FROM pb JOIN cells ON cells.seed = pb.seed AND cells.bucket = pb.bucket
-        |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin,
+    // bit-exact CMS replay: same md5-derived buckets, same min-over-seeds.
+    // q_stream_hitters merges per-batch CMS cell + term-count deltas and
+    // must land the identical report — the SAME oracle gates both paths.
+    "q_stream_hitters" -> hittersOracle,
+    "q_heavy_hitters" -> hittersOracle,
+
+    // full KMV sketch arithmetic replayed bit-exactly (60-bit md5 hash
+    // space, bottom-256 per group, integer estimator in HUGEINT)
+    "q_kmv_distinct" ->
+      """WITH b AS (SELECT l_returnflag, l_partkey FROM lineitem),
+        |hh AS (SELECT DISTINCT l_returnflag,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM b),
+        |r AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM hh),
+        |sk AS (SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS h_k
+        |  FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+        |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT sk.l_returnflag, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(CASE WHEN sk.n_kept < 256 THEN sk.n_kept
+        |       ELSE (255::HUGEINT * 1152921504606846976::HUGEINT) // sk.h_k
+        |       END AS BIGINT) AS kmv_est
+        |FROM sk JOIN ex USING (l_returnflag)""".stripMargin,
+
+    // median + MAD replayed via the same rank-floor cum-count histogram
+    // arithmetic as q_quantile_bins, twice (cents, then |cents - med|)
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h1 AS (SELECT event_type, cents, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, cents, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum_end,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h1),
+        |med AS (SELECT event_type,
+        |    MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+        |              AND CAST(FLOOR((n - 1) * 0.5) AS BIGINT) < cum_end
+        |             THEN cents END) AS med_cents
+        |  FROM c1 GROUP BY event_type),
+        |d AS (SELECT b.event_type, b.cents, med.med_cents,
+        |    ABS(b.cents - med.med_cents) AS adev
+        |  FROM b JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, adev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, adev, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS cum_end,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h2),
+        |mad AS (SELECT event_type,
+        |    MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+        |              AND CAST(FLOOR((n - 1) * 0.5) AS BIGINT) < cum_end
+        |             THEN adev END) AS mad_cents
+        |  FROM c2 GROUP BY event_type)
+        |SELECT d.event_type, d.med_cents, mad.mad_cents, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  COALESCE(MIN(CASE WHEN d.adev > 3 * mad.mad_cents THEN d.cents END), 0)
+        |    AS outlier_min_cents,
+        |  COALESCE(MAX(CASE WHEN d.adev > 3 * mad.mad_cents THEN d.cents END), 0)
+        |    AS outlier_max_cents
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_bigrams" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -675,4 +850,24 @@ object QueriesExtra {
         |FROM b JOIN q USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin
   )
+
+  private lazy val hittersOracle: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tt AS (SELECT term FROM t WHERE term <> ''),
+      |sd AS (SELECT unnest(generate_series(0, 3)) AS seed),
+      |cells AS (
+      |  SELECT seed,
+      |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM tt, sd GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT term, COUNT(*) AS exact_n FROM tt
+      |  GROUP BY 1 ORDER BY exact_n DESC, term LIMIT 20),
+      |pb AS (
+      |  SELECT term, exact_n, seed,
+      |    CAST(concat('0x', substr(md5(seed || ':' || term), 1, 8)) AS BIGINT) % 512 AS bucket
+      |  FROM probes, sd)
+      |SELECT pb.term, pb.exact_n, CAST(MIN(cells.c) AS BIGINT) AS cms_n
+      |FROM pb JOIN cells ON cells.seed = pb.seed AND cells.bucket = pb.bucket
+      |GROUP BY 1, 2 ORDER BY exact_n DESC, term""".stripMargin
 }

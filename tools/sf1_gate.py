@@ -165,6 +165,12 @@ HEAVY = [
     # histogram-delta merge must stay exact over 10x batch volume (same
     # oracle as the batch KS, which is the claim under test)
     "q_stream_ks",
+    # r14 second session: KMV bottom-k distinct (the WindowGroupLimit
+    # partial cap and DECIMAL(38,0) estimator arithmetic over a 10x hash
+    # population), streaming CMS hitters (per-batch cell-delta merge at
+    # 10x batch volume, same oracle as the batch sketch), MAD outlier
+    # gate (both counting histograms widen with the 10x value domain)
+    "q_kmv_distinct", "q_stream_hitters", "q_mad_outliers",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
