@@ -179,6 +179,48 @@ object QueriesQuality {
         .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb")))
   }
 
+  /** Join-key skew profiler + salt planner — the diagnostic a 100 TB
+    * join runs BEFORE choosing its physical strategy: per event type,
+    * the per-key mass distribution (p50/p99/max via discrete rank-floor
+    * quantiles over a mass-domain-bounded counting histogram — two
+    * map-side-combinable shuffles, the q_percentiles stance), the
+    * hottest key, and the integer salt factor
+    * ceil(max_mass / max(4·p50, 1)) that would cap each salted shard of
+    * the hot key at ~4× the median key's mass — exactly the number
+    * q_skew_join's salting needs as input, here computed AS AN OPERATOR
+    * so the decision is data-driven rather than hand-tuned. All integer
+    * arithmetic; ties for the hottest key break by key.
+    */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    val mass = events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("mass"))
+    val hist = mass.groupBy(col("event_type"), col("mass"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("mass"))
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(win))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def rank(q: Double) = floor((col("n") - 1) * lit(q))
+    def atRank(q: Double) =
+      max(when(col("cum_end") - col("cnt") <= rank(q) && rank(q) < col("cum_end"),
+        col("mass")))
+    val stats = cum.groupBy(col("event_type"), col("n"))
+      .agg(atRank(0.5).as("p50_mass"), atRank(0.99).as("p99_mass"),
+        max(col("mass")).as("max_mass"),
+        sum(col("cnt") * col("mass")).as("n_rows"))
+    val topW = Window.partitionBy(col("event_type"))
+      .orderBy(col("mass").desc, col("user_id"))
+    val top = mass.withColumn("rn", row_number().over(topW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("top_key"))
+    stats.join(top, "event_type")
+      .select(col("event_type"), col("n").as("n_keys"), col("n_rows"),
+        col("p50_mass"), col("p99_mass"), col("max_mass"), col("top_key"),
+        expr("(max_mass + greatest(p50_mass * 4, 1) - 1) div " +
+          "greatest(p50_mass * 4, 1)").as("top_salt"))
+  }
+
   /** Logistic-regression document-quality filter (see
     * [[graft.analytics.LogReg]] for the full 100 TB design): mills
     * features → standardize from exact integer moments →
@@ -220,6 +262,7 @@ object QueriesQuality {
     "q_first_per_day" -> firstPerDay _,
     "q_ks_drift" -> ksDrift _,
     "q_stream_ks" -> streamKs _,
+    "q_key_skew" -> keySkew _,
     "q_lr_quality" -> lrQuality _)
 
   val oracleSql: Map[String, String] = Map(
@@ -260,6 +303,34 @@ object QueriesQuality {
         |          ORDER BY ts, event_id) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH m AS (SELECT event_type, user_id, COUNT(*) AS mass
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |h AS (SELECT event_type, mass, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+        |c AS (SELECT event_type, mass, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY mass) AS cum_end,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |st AS (SELECT event_type, n,
+        |    MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+        |              AND CAST(FLOOR((n - 1) * 0.5) AS BIGINT) < cum_end
+        |             THEN mass END) AS p50_mass,
+        |    MAX(CASE WHEN cum_end - cnt <= CAST(FLOOR((n - 1) * 0.99) AS BIGINT)
+        |              AND CAST(FLOOR((n - 1) * 0.99) AS BIGINT) < cum_end
+        |             THEN mass END) AS p99_mass,
+        |    MAX(mass) AS max_mass,
+        |    CAST(SUM(cnt * mass) AS BIGINT) AS n_rows
+        |  FROM c GROUP BY 1, 2),
+        |tk AS (SELECT event_type, user_id AS top_key FROM (
+        |    SELECT event_type, user_id,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY mass DESC, user_id) AS rn FROM m)
+        |  WHERE rn = 1)
+        |SELECT st.event_type, CAST(st.n AS BIGINT) AS n_keys, st.n_rows,
+        |  st.p50_mass, st.p99_mass, st.max_mass, tk.top_key,
+        |  CAST((st.max_mass + GREATEST(st.p50_mass * 4, 1) - 1)
+        |       // GREATEST(st.p50_mass * 4, 1) AS BIGINT) AS top_salt
+        |FROM st JOIN tk USING (event_type)""".stripMargin,
 
     // q_stream_ks streams the same events and must land the identical
     // statistic — the histogram delta merge is exact — so the SAME

@@ -1090,6 +1090,95 @@ object QueriesTraining {
       .select(col("doc_id"), col("n_tok"), col("ids"))
   }
 
+  /** WordPiece-style greedy longest-match subword encode — the second
+    * tokenizer family beside BPE ([[bpeTokenize]]/[[tokenizeApply]]).
+    * Where BPE learns merge RULES and replays them, this learns a piece
+    * VOCABULARY (top-256 frequency-weighted word substrings of length
+    * 2..6, plus every single character so a match always exists —
+    * deterministic ties by count desc then piece) and encodes each word
+    * by repeatedly taking the LONGEST vocab piece at the cursor — the
+    * WordPiece/SentencePiece greedy-prefix inference algorithm (Wu et
+    * al. 2016), minus the `##` continuation marker.
+    *
+    * Unlike the BPE rows, the oracle is fully SELF-DERIVED: vocabulary
+    * selection, longest-match tables and the greedy walk (a linear-chain
+    * recursive CTE) are all recomputed independently by DuckDB — no
+    * trained literals are stashed, so the gate covers training AND
+    * inference arithmetic end to end.
+    *
+    * Scale shape: the corpus is touched exactly twice — one scan
+    * extracts the frequency-weighted word vocabulary (materialized via
+    * localCheckpoint, the [[bpeTrain]] discipline), one ordered word
+    * explode joins the broadcast word→pieces table and reassembles per
+    * doc (the partitioning a sharded corpus already has). Everything
+    * else — substring candidates (≤ len·5 rows per vocab WORD), the
+    * longest-match table, the greedy walk — is vocabulary-bounded; the
+    * walk itself is one interpreted `aggregate` HOF over word positions,
+    * acceptable ONLY because it runs on the distinct-word table, never
+    * the corpus (the SCALE.md DSIR rule: interpreted HOFs on bounded
+    * tables only).
+    */
+  def wordpiece(s: SparkSession, dir: String): DataFrame = {
+    val maxPiece = 6
+    val words = docs(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // vocab: top frequency-weighted substrings (every occurrence of a
+    // piece inside a word counts, weighted by word frequency) + all
+    // single characters (the guaranteed fallback match)
+    val sub0 = wc.select(col("w"), col("n"),
+      explode(sequence(lit(1), length(col("w")))).as("p"))
+    val topPieces = sub0
+      .select(col("w"), col("n"), col("p"),
+        explode(sequence(lit(2), lit(maxPiece))).as("l"))
+      .filter(col("p") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("p"), col("l")).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(256)
+      .select(col("piece"))
+    val chars = sub0.select(col("w").substr(col("p"), lit(1)).as("piece")).distinct()
+    val pieces = topPieces.union(chars).distinct()
+    // longest-match table: per (word, position) the longest vocab piece
+    // starting there (>= 1 always, via the single-char fallback)
+    val m = sub0
+      .select(col("w"), col("p"), explode(sequence(lit(1), lit(maxPiece))).as("l"))
+      .filter(col("p") + col("l") - 1 <= length(col("w")))
+      .select(col("w"), col("p"), col("l"),
+        col("w").substr(col("p"), col("l")).as("piece"))
+      .join(broadcast(pieces), "piece")
+      .groupBy(col("w"), col("p")).agg(max(col("l")).as("len"))
+    // greedy walk per word: cursor advances by the match length; the
+    // aggregate HOF scans positions 1..len(w) and fires only where the
+    // cursor sits — O(len) per word, on the vocab table only
+    val larr = m.groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("len")))),
+        x => x.getField("len")).as("larr"))
+    val walkSt = aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("acc")),
+      (st, i) => when(i === st.getField("pos"),
+        struct(
+          (st.getField("pos") + element_at(col("larr"), i)).as("pos"),
+          concat(st.getField("acc"),
+            array(col("w").substr(i, element_at(col("larr"), i)))).as("acc")))
+        .otherwise(st))
+    val wp = larr.select(col("w"), walkSt.getField("acc").as("ps"))
+      .select(col("w"), array_join(col("ps"), " ").as("wp_str"),
+        size(col("ps")).cast("long").as("n_sub"))
+    // encode: one word-keyed broadcast lookup + one doc-keyed ordered
+    // reassembly — the corpus's second and last scan
+    words.join(broadcast(wp), "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("wp_str")))),
+          x => x.getField("wp_str")), " ").as("wp"),
+        sum(col("n_sub")).cast("long").as("n_wp"))
+      .select(col("doc_id"), col("n_wp"), col("wp"))
+  }
+
   /** Hashed-ngram feature buckets for [[dsirSelect]]: 4096 keeps the
     * bucket table broadcastable at any corpus size (the paper uses 10k
     * for trillion-token corpora — same order).
@@ -1255,6 +1344,7 @@ object QueriesTraining {
     "q_stream_dsir" -> streamDsir _,
     "q_bpe_tokenize" -> bpeTokenize _,
     "q_tokenize_apply" -> tokenizeApply _,
+    "q_wordpiece" -> wordpiece _,
     "q_shard_append" -> shardAppend _,
     "q_epoch_shuffle" -> epochShuffle _,
     "q_heldout_lm" -> heldoutLm _,
@@ -1279,6 +1369,48 @@ object QueriesTraining {
     "q_ngram_lm" -> ngramLm _)
 
   val oracleSql: Map[String, String] = Map(
+    // fully self-derived: DuckDB retrains the piece vocabulary and
+    // re-runs the greedy longest-match walk (linear-chain recursive CTE)
+    "q_wordpiece" ->
+      """WITH RECURSIVE dw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM dw),
+        |words AS (SELECT doc_id, pos, ws[CAST(pos AS INT)] AS w
+        |  FROM wpos WHERE ws[CAST(pos AS INT)] <> ''),
+        |wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+        |sub0 AS (SELECT w, n, unnest(generate_series(1, length(w))) AS p FROM wc),
+        |sub1 AS (SELECT w, n, p, unnest(generate_series(2, 6)) AS l FROM sub0),
+        |topp AS (SELECT piece FROM (
+        |  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM sub1 WHERE p + l - 1 <= length(w)
+        |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 256)),
+        |ch AS (SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece FROM sub0),
+        |pieces AS (SELECT DISTINCT piece FROM
+        |  (SELECT piece FROM topp UNION ALL SELECT piece FROM ch)),
+        |c1 AS (SELECT w, p, unnest(generate_series(1, 6)) AS l FROM sub0),
+        |cand AS (SELECT w, p, l, substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece
+        |  FROM c1 WHERE p + l - 1 <= length(w)),
+        |m AS (SELECT cand.w, cand.p, MAX(cand.l) AS len
+        |  FROM cand JOIN pieces USING (piece) GROUP BY cand.w, cand.p),
+        |walk(w, pos, acc, k) AS (
+        |  SELECT w, CAST(1 AS BIGINT), CAST('' AS VARCHAR), CAST(0 AS BIGINT) FROM wc
+        |  UNION ALL
+        |  SELECT walk.w, walk.pos + m.len,
+        |    CASE WHEN walk.acc = ''
+        |         THEN substr(walk.w, CAST(walk.pos AS INT), CAST(m.len AS INT))
+        |         ELSE walk.acc || ' ' ||
+        |              substr(walk.w, CAST(walk.pos AS INT), CAST(m.len AS INT)) END,
+        |    walk.k + 1
+        |  FROM walk JOIN m ON m.w = walk.w AND m.p = walk.pos
+        |  WHERE walk.pos <= length(walk.w)),
+        |wp AS (SELECT w, acc AS wp_str, k AS n_sub FROM walk
+        |  WHERE pos = length(w) + 1)
+        |SELECT words.doc_id, CAST(SUM(wp.n_sub) AS BIGINT) AS n_wp,
+        |  string_agg(wp.wp_str, ' ' ORDER BY words.pos) AS wp
+        |FROM words JOIN wp USING (w)
+        |GROUP BY words.doc_id""".stripMargin,
+
     "q_dsir_select" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -38,6 +38,34 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_key_skew matches a driver-side brute-force profile exactly") {
+    val got = QueriesQuality.keySkew(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    for ((et, rs) <- byType) {
+      val mass = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sorted = mass.values.toSeq.sorted
+      def atRank(q: Double) = sorted(math.floor((sorted.length - 1) * q).toInt)
+      val maxMass = sorted.last
+      val p50 = atRank(0.5)
+      val topKey = mass.toSeq.sortBy { case (k, m) => (-m, k) }.head._1
+      val target = math.max(4 * p50, 1L)
+      val r = got(et)
+      assert(r.getAs[Long]("n_keys") == mass.size.toLong, s"$et n_keys")
+      assert(r.getAs[Long]("n_rows") == rs.length.toLong, s"$et n_rows")
+      assert(r.getAs[Long]("p50_mass") == p50, s"$et p50")
+      assert(r.getAs[Long]("p99_mass") == atRank(0.99), s"$et p99")
+      assert(r.getAs[Long]("max_mass") == maxMass, s"$et max")
+      assert(r.getAs[Long]("top_key") == topKey, s"$et top_key")
+      assert(r.getAs[Long]("top_salt") == (maxMass + target - 1) / target, s"$et salt")
+    }
+  }
+
   test("streaming KS equals the batch statistic exactly") {
     val batch = QueriesQuality.ksDrift(spark, sf0001)
       .orderBy("event_type").collect().toSeq

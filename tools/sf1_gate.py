@@ -171,6 +171,13 @@ HEAVY = [
     # 10x batch volume, same oracle as the batch sketch), MAD outlier
     # gate (both counting histograms widen with the 10x value domain)
     "q_kmv_distinct", "q_stream_hitters", "q_mad_outliers",
+    # r14 second session: the greedy-subword encoder — vocab selection
+    # runs over the 10x-weighted substring counts and the oracle's
+    # recursive walk re-derives everything independently at 10x
+    "q_wordpiece",
+    # r14 second session: the skew profiler's mass histogram and
+    # rank-floor quantiles over the 10x per-key mass distribution
+    "q_key_skew",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
