@@ -568,6 +568,47 @@ object QueriesAnalytics {
       model, queryVec, nprobe = 8, k = 20)
   }
 
+  /** Incremental IVF index maintenance — the production ANN move when a
+    * new crawl lands: centroids stay FROZEN (retraining would re-cell
+    * the whole corpus — a full index rewrite), only the NEW vectors are
+    * assigned, and their cell files APPEND to the existing
+    * cell-partitioned layout. The at-rest index files from the first
+    * build stay byte-immutable (the [[QueriesTraining.shardAppend]]
+    * object-storage contract, here for the ANN index; IvfSpec proves
+    * the original files untouched and append ≡ from-scratch rebuild
+    * under the same frozen model). The catalog row probes the APPENDED
+    * index for three held-out queries across all cells, which makes the
+    * result exactly brute-force top-20 over old ∪ new — a missing or
+    * duplicated appended vector shifts the gated top-k, so the DuckDB
+    * oracle checks the append end-to-end. At 100 TB: the new crawl pays
+    * one narrow assignment pass + an append of its own files; nothing
+    * existing is read or rewritten, and probes partition-prune exactly
+    * as before.
+    */
+  def ivfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qids = Seq(1L, 2L, 3L)
+    val corpus = e.filter(!col("vec_id").isin(qids: _*))
+    val old = corpus.filter(col("vec_id") % 4 =!= 0)
+    val fresh = corpus.filter(col("vec_id") % 4 === 0)
+    // model trains on the ORIGINAL index content only — the new crawl
+    // must not move existing vectors' cells
+    val model = graft.analytics.Ivf.Model.parse(
+      graft.analytics.Ivf.train(old, "vec_id", "embedding", k = 8, iters = 5).serialize)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfapp_" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+    graft.analytics.Ivf.materialize(old, "vec_id", "embedding", model, path)
+    graft.analytics.Ivf.assign(fresh, "vec_id", "embedding", model)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    qids.map { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.analytics.Ivf.probeMaterialized(s, path, "vec_id", "embedding",
+        model, qv, nprobe = 8, k = 20)
+        .select(lit(q).as("qid"), col("vec_id"), col("dot"))
+    }.reduce(_.unionAll(_))
+  }
+
   // both models are deterministic, so train-once probe-many is
   // observationally transparent; the CONTENT key retrains on a dataset
   // refresh under the same path
@@ -767,6 +808,7 @@ object QueriesAnalytics {
     "q_embed_covariance" -> embedCovariance _,
     "q_pca_project" -> pcaProject _,
     "q_ivf_probe" -> ivfProbe _,
+    "q_ivf_append" -> ivfAppend _,
     "q_ivfpq_topk" -> ivfpqTopk _,
     "q_text_langid" -> textLangid _,
     "q_text_quality" -> textQuality _,

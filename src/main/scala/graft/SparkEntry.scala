@@ -788,6 +788,24 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |GROUP BY e.vec_id ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin,
 
+    // all-cells probe over the APPENDED index == brute-force top-20 over
+    // old ∪ new for each held-out query — a vector missing from (or
+    // duplicated in) the append shifts the gated top-k
+    "q_ivf_append" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |           WHERE vec_id IN (1, 2, 3)),
+        |d AS (
+        |  SELECT q.qid, e.vec_id,
+        |    CAST(SUM(CAST(ROUND(CAST(e.embedding[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(ROUND(CAST(q.qv[CAST(g.i AS INT)] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
+        |  FROM embeddings e, q, generate_series(1, 64) g(i)
+        |  WHERE e.vec_id NOT IN (1, 2, 3)
+        |  GROUP BY q.qid, e.vec_id),
+        |r AS (SELECT qid, vec_id, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn
+        |  FROM d)
+        |SELECT qid, vec_id, dot FROM r WHERE rn <= 20""".stripMargin,
+
     // all-cells probe + corpus-sized candidate set makes the IVF×PQ
     // composition exhaustive: the oracle is brute-force top-15 for
     // query vector 2

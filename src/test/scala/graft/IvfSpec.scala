@@ -89,4 +89,34 @@ class IvfSpec extends SparkSuite {
     val recall = exact.count(partial.contains).toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall too low") // nprobe trades recall
   }
+
+  test("incremental append: original files byte-immutable, append == rebuild") {
+    val old = emb.filter(col("vec_id") % 4 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 4 === 0)
+    val frozen = Ivf.train(old, "vec_id", "embedding", k = 8, iters = 5)
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_spec"
+    Ivf.materialize(old, "vec_id", "embedding", frozen, p)
+    def dataFiles: Map[String, (Long, Long)] = {
+      val base = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val v1 = dataFiles
+    Ivf.assign(fresh, "vec_id", "embedding", frozen)
+      .write.mode("append").partitionBy("cell").parquet(p)
+    val v2 = dataFiles
+    // every original index file survives the append byte-identical
+    v1.foreach { case (path, meta) =>
+      assert(v2.get(path).contains(meta), s"original index file changed: $path")
+    }
+    assert(v2.size > v1.size, "append must add new files")
+    // appended layout == assigning the full corpus from scratch under the
+    // same frozen model (cells never move when centroids are frozen)
+    val appended = spark.read.parquet(p).select(col("vec_id"), col("cell"))
+    val rebuild = Ivf.assign(emb, "vec_id", "embedding", frozen)
+      .select(col("vec_id"), col("cell"))
+    assert(appended.exceptAll(rebuild).isEmpty && rebuild.exceptAll(appended).isEmpty)
+  }
 }

@@ -178,6 +178,10 @@ HEAVY = [
     # r14 second session: the skew profiler's mass histogram and
     # rank-floor quantiles over the 10x per-key mass distribution
     "q_key_skew",
+    # r14 second session: incremental IVF append — frozen-centroid
+    # assignment + file append over the 10x index, all-cells probe ==
+    # brute force over old ∪ new
+    "q_ivf_append",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
