@@ -637,6 +637,65 @@ object QueriesLayout {
     (changed, log)
   }
 
+  /** Version retention (VACUUM): expire every version directory under
+    * `base` except the newest `keep`, by deleting their files. The
+    * invariants a production lake's vacuum must hold (LayoutSpec drives
+    * each): retained versions read byte-identically before and after
+    * (expiry touches only expired directories), re-running deletes
+    * nothing (idempotent), and `keep` ≥ 1 is enforced so the current
+    * version can never be reclaimed. Returns (versions deleted,
+    * files deleted, bytes reclaimed) — manifest-sized driver work: the
+    * listing is per-version directory names plus the expired files,
+    * never data reads. At 100 TB this is the storage-cost control knob
+    * next to q_compaction's file-count knob.
+    */
+  private[graft] def vacuumVersions(base: String, keep: Int): (Int, Int, Long) = {
+    require(keep >= 1, "vacuum must retain at least the current version")
+    val dirs = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toInt)
+    val expired = dirs.dropRight(keep)
+    var files = 0
+    var bytes = 0L
+    expired.foreach { d =>
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) { f.listFiles().foreach(walk) }
+        else { files += 1; bytes += f.length() }
+        java.nio.file.Files.delete(f.toPath)
+      }
+      walk(d)
+    }
+    (expired.length, files, bytes)
+  }
+
+  private[graft] def vacuumBase(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vac_${dirKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** Snapshot expiry end-to-end: four growing versions of a rollup
+    * table, vacuum retaining the latest two, then serve the CURRENT
+    * version — whose content the oracle recomputes independently from
+    * the source, so the gate proves expiry never touched live data.
+    * The retained-version pre/post byte-identity, idempotency, and the
+    * keep ≥ 1 guard are LayoutSpec's ([[vacuumVersions]]).
+    */
+  def vacuum(s: SparkSession, dir: String): DataFrame = {
+    val base = vacuumBase(dir)
+    ensureWritten(base, dir) {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def rollup(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      (0 to 3).foreach { k =>
+        rollup(ev.filter(col("event_id") % 4 <= k))
+          .write.mode("overwrite").parquet(s"$base/v$k")
+      }
+      val (nv, nf, nb) = vacuumVersions(base, keep = 2)
+      require(nv == 2 && nf > 0 && nb > 0, s"expected 2 expired versions, got $nv")
+    }
+    s.read.parquet(s"$base/v3")
+      .select(col("event_type"), col("n_events"), col("cents"))
+  }
+
   def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val base = versionDiffBase(dir)
     ensureWritten(base, dir) {
@@ -659,6 +718,7 @@ object QueriesLayout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_version_diff" -> versionDiff _,
+    "q_vacuum" -> vacuum _,
     "q_stream_wap" -> streamWap _,
     "q_wap_publish" -> wapPublish _,
     "q_compaction" -> compaction _,
@@ -729,6 +789,13 @@ object QueriesLayout {
       """SELECT user_id, user_id % 16 AS bucket, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // the current version (v3 = the full-corpus rollup) recomputed from
+    // source — the gate proves vacuum expired ONLY dead versions
+    "q_vacuum" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

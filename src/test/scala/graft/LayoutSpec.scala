@@ -271,4 +271,38 @@ class LayoutSpec extends SparkSuite {
     assert(changed.toSet.subsetOf(Set(0, 1, 2, 3, 4, 5, 9)),
       s"only late-event/insert/erasure buckets may change: $changed")
   }
+
+  test("vacuum: retained versions byte-identical, idempotent, current protected") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_spec"
+    graft.core.Tmp.deleteRecursively(java.nio.file.Paths.get(base))
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    (0 to 3).foreach { k =>
+      ev.filter(col("event_id") % 4 <= k).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .write.mode("overwrite").parquet(s"$base/v$k")
+    }
+    def bytes(v: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$base/v$v")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val (v2Pre, v3Pre) = (bytes(2), bytes(3))
+    val v2Rows = spark.read.parquet(s"$base/v2").collect().sortBy(_.getString(0)).toSeq
+
+    val (nv, nf, nb) = QueriesLayout.vacuumVersions(base, keep = 2)
+    assert(nv == 2 && nf > 0 && nb > 0)
+    assert(!new java.io.File(s"$base/v0").exists() && !new java.io.File(s"$base/v1").exists())
+    // retained versions untouched: same files, same sizes, same content
+    assert(bytes(2) == v2Pre && bytes(3) == v3Pre)
+    assert(spark.read.parquet(s"$base/v2").collect().sortBy(_.getString(0)).toSeq == v2Rows)
+
+    // idempotent: a second vacuum finds nothing to expire
+    assert(QueriesLayout.vacuumVersions(base, keep = 2) == ((0, 0, 0L)))
+    // the current version can never be reclaimed
+    intercept[IllegalArgumentException] { QueriesLayout.vacuumVersions(base, keep = 0) }
+    assert(new java.io.File(s"$base/v3").exists())
+  }
 }

@@ -376,4 +376,26 @@ class PlanShapeSpec extends SparkSuite {
     // shuffle join it becomes at 100 TB is Catalyst's size-based call
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("KMV sketch: bottom-k caps PARTIALLY before the exchange; estimator folds to a constant") {
+    // the mergeable-sketch promise: each task ships at most k hashes per
+    // group (WindowGroupLimit Partial below the flag exchange), and the
+    // (k-1)*2^60 decimal numerator constant-folds at planning time
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected a Partial WindowGroupLimit stage:\n${p.take(3000)}")
+    assert(p.contains("293994983674745978880"),
+      s"estimator numerator must constant-fold:\n${p.take(3000)}")
+    // the 3-row exact anchor broadcasts back
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("wordpiece encode: the word->pieces lookup is a BROADCAST join") {
+    // the corpus-side cost contract: the second (and last) corpus scan
+    // pays one broadcast lookup + a doc-keyed reassembly — no
+    // corpus-sized shuffle join against the vocab
+    val p = plan("q_wordpiece")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -182,6 +182,9 @@ HEAVY = [
     # assignment + file append over the 10x index, all-cells probe ==
     # brute force over old ∪ new
     "q_ivf_append",
+    # r14 second session: snapshot expiry — the current-version read
+    # after vacuuming a 10x versioned table
+    "q_vacuum",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
