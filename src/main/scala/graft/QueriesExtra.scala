@@ -118,7 +118,7 @@ object QueriesExtra {
     (conv(substring(md5(concat_ws(":", lit(seed.toString), col("term"))), 1, 8), 16, 10)
       .cast("long") % CmsW).as("bucket")
 
-  private def cmsCells(terms: DataFrame): DataFrame =
+  private[graft] def cmsCells(terms: DataFrame): DataFrame =
     terms
       .select(explode(array((0 until CmsD).map(sd =>
         struct(lit(sd).as("seed"), cmsBucket(sd))): _*)).as("sb"))
@@ -183,12 +183,19 @@ object QueriesExtra {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally graft.core.Tmp.deleteRecursively(ckpt)
+    hittersMergeDeltas(s, out)
+  }
+
+  /** Merge per-batch CMS cell + term-count deltas (both additive) into
+    * the anchored report — shared by [[streamHitters]] and
+    * KillRecoverySpec's crash-resume leg.
+    */
+  private[graft] def hittersMergeDeltas(s: SparkSession, out: String): DataFrame =
     hittersReport(
       s.read.option("recursiveFileLookup", "true").parquet(s"$out/cells")
         .groupBy(col("seed"), col("bucket")).agg(sum(col("c")).as("c")),
       s.read.option("recursiveFileLookup", "true").parquet(s"$out/terms")
         .groupBy(col("term")).agg(sum(col("exact_n")).as("exact_n")))
-  }
 
   /** Pivot: per-user event-type counts as conditional aggregations (the
     * shuffle-once form of PIVOT).

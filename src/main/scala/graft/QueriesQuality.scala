@@ -112,7 +112,7 @@ object QueriesQuality {
     * paths reduce to (per-cell counts ADD across batches, which is what
     * makes the streaming accumulation exact).
     */
-  private def cohortHistogram(e: DataFrame): DataFrame =
+  private[graft] def cohortHistogram(e: DataFrame): DataFrame =
     e.select(col("event_type"), (col("user_id") % 2 === 0).as("in_a"),
       round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("event_type"), col("cents"))
@@ -173,11 +173,18 @@ object QueriesQuality {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally graft.core.Tmp.deleteRecursively(ckpt)
+    ksMergeDeltas(s, out)
+  }
+
+  /** Merge per-batch cohort-histogram deltas (cell counts ADD) and land
+    * the KS statistic — shared by [[streamKs]] and KillRecoverySpec's
+    * crash-resume leg, so both gate the identical merge arithmetic.
+    */
+  private[graft] def ksMergeDeltas(s: SparkSession, out: String): DataFrame =
     ksFromHistogram(
       s.read.option("recursiveFileLookup", "true").parquet(out)
         .groupBy(col("event_type"), col("cents"))
         .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb")))
-  }
 
   /** Join-key skew profiler + salt planner — the diagnostic a 100 TB
     * join runs BEFORE choosing its physical strategy: per event type,

@@ -224,4 +224,110 @@ class KillRecoverySpec extends SparkSuite {
     assume(sf1Enabled, "GRAFT_KILL_SF1=1 with /tmp/graft_sf1 required")
     wapCase(sf1Dir)
   }
+
+  // --------------------------------------------- delta-merge monitors
+
+  /** The stateless delta-merge family (q_stream_ks, q_stream_hitters):
+    * their exactly-once story is NOT a state store but the
+    * per-batchId-overwrite sink — a crashed batch leaves a PARTIAL
+    * delta directory, and the resume's overwrite of that same directory
+    * must heal it so the merged statistic still equals the batch
+    * formula. The crash here writes HALF the delta rows then dies —
+    * the exact torn-write the overwrite discipline exists for.
+    */
+  private def ksDeltaCase(dir: String): Unit = {
+    val src = freshDir("sks-src")
+    graft.core.Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val out = freshDir("sks-out")
+    val ckpt = freshDir("sks-ckpt")
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def drain(): Unit =
+      spark.readStream.schema("event_type string, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val delta = QueriesQuality.cohortHistogram(b)
+          if (id == 1L && armed.getAndSet(false)) {
+            delta.limit((delta.count() / 2).toInt)
+              .write.mode("overwrite").parquet(s"$out/b$id")
+            throw new RuntimeException("injected crash mid-batch 1")
+          }
+          delta.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(e.getMessage.contains("injected crash") ||
+      Option(e.getCause).exists(_.getMessage.contains("injected crash")))
+    drain()
+    val merged = image(QueriesQuality.ksMergeDeltas(spark, out))
+    val batch = image(QueriesQuality.ksDrift(spark, dir))
+    assert(batch.nonEmpty && merged == batch,
+      "healed delta merge must equal the batch KS formula")
+  }
+
+  test("q_stream_ks: torn delta dir healed by the per-batch overwrite (sf0.1)") {
+    ksDeltaCase(sfDir)
+  }
+
+  test("q_stream_ks: torn-delta crash window at sf1 (10x)") {
+    assume(sf1Enabled, "GRAFT_KILL_SF1=1 with /tmp/graft_sf1 required")
+    ksDeltaCase(sf1Dir)
+  }
+
+  /** Same torn-write crash for the CMS monitor — the crash lands after
+    * the cells delta wrote PARTIALLY and before the terms delta wrote at
+    * all (both halves of the batch's delta must heal together).
+    */
+  private def hittersDeltaCase(dir: String): Unit = {
+    val src = freshDir("shh-src")
+    graft.core.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(src)
+    val out = freshDir("shh-out")
+    val ckpt = freshDir("shh-ckpt")
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def drain(): Unit =
+      spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val terms = b.select(explode(split(col("text"), " ")).as("term"))
+            .filter(col("term") =!= "")
+          val cells = QueriesExtra.cmsCells(terms)
+          if (id == 1L && armed.getAndSet(false)) {
+            cells.limit((cells.count() / 2).toInt)
+              .write.mode("overwrite").parquet(s"$out/cells/b$id")
+            throw new RuntimeException("injected crash mid-batch 1")
+          }
+          cells.write.mode("overwrite").parquet(s"$out/cells/b$id")
+          terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+            .write.mode("overwrite").parquet(s"$out/terms/b$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(e.getMessage.contains("injected crash") ||
+      Option(e.getCause).exists(_.getMessage.contains("injected crash")))
+    drain()
+    val merged = image(QueriesExtra.hittersMergeDeltas(spark, out))
+    val batch = image(QueriesExtra.heavyHitters(spark, dir))
+    assert(batch.nonEmpty && merged == batch,
+      "healed delta merge must equal the batch CMS report")
+  }
+
+  test("q_stream_hitters: torn cells delta healed; terms delta re-delivered (sf0.1)") {
+    hittersDeltaCase(sfDir)
+  }
+
+  test("q_stream_hitters: torn-delta crash window at sf1 (10x)") {
+    assume(sf1Enabled && new java.io.File(sf1Dir, "documents.parquet").exists(),
+      "GRAFT_KILL_SF1=1 with /tmp/graft_sf1 required")
+    hittersDeltaCase(sf1Dir)
+  }
 }
