@@ -1118,9 +1118,21 @@ object QueriesTraining {
     * the corpus (the SCALE.md DSIR rule: interpreted HOFs on bounded
     * tables only).
     */
-  def wordpiece(s: SparkSession, dir: String): DataFrame = {
-    val maxPiece = 6
-    val words = docs(s, dir).select(col("doc_id"),
+  private val MaxPiece = 6
+
+  /** Shared subword machinery for [[wordpiece]] and [[optimalSegment]]:
+    * the ordered (doc_id, pos, w) word stream, the frequency-weighted
+    * distinct-word table (materialized — the one corpus scan), the piece
+    * vocabulary (top-256 weighted substrings of length 2..[[MaxPiece]]
+    * plus every single char), and the full match table — every
+    * (word, position, length) whose substring is a vocab piece.
+    */
+  private def subwordParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = subwordPartsOf(docs(s, dir))
+
+  private[graft] def subwordPartsOf(d: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val words = d.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
     val wc = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -1132,7 +1144,7 @@ object QueriesTraining {
       explode(sequence(lit(1), length(col("w")))).as("p"))
     val topPieces = sub0
       .select(col("w"), col("n"), col("p"),
-        explode(sequence(lit(2), lit(maxPiece))).as("l"))
+        explode(sequence(lit(2), lit(MaxPiece))).as("l"))
       .filter(col("p") + col("l") - 1 <= length(col("w")))
       .select(col("w").substr(col("p"), col("l")).as("piece"), col("n"))
       .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
@@ -1140,15 +1152,21 @@ object QueriesTraining {
       .select(col("piece"))
     val chars = sub0.select(col("w").substr(col("p"), lit(1)).as("piece")).distinct()
     val pieces = topPieces.union(chars).distinct()
-    // longest-match table: per (word, position) the longest vocab piece
-    // starting there (>= 1 always, via the single-char fallback)
-    val m = sub0
-      .select(col("w"), col("p"), explode(sequence(lit(1), lit(maxPiece))).as("l"))
+    val matches = sub0
+      .select(col("w"), col("p"), explode(sequence(lit(1), lit(MaxPiece))).as("l"))
       .filter(col("p") + col("l") - 1 <= length(col("w")))
       .select(col("w"), col("p"), col("l"),
         col("w").substr(col("p"), col("l")).as("piece"))
       .join(broadcast(pieces), "piece")
-      .groupBy(col("w"), col("p")).agg(max(col("l")).as("len"))
+      .select(col("w"), col("p"), col("l"))
+    (words, wc, matches)
+  }
+
+  def wordpiece(s: SparkSession, dir: String): DataFrame = {
+    val (words, _, matches) = subwordParts(s, dir)
+    // longest-match table: per (word, position) the longest vocab piece
+    // starting there (>= 1 always, via the single-char fallback)
+    val m = matches.groupBy(col("w"), col("p")).agg(max(col("l")).as("len"))
     // greedy walk per word: cursor advances by the match length; the
     // aggregate HOF scans positions 1..len(w) and fires only where the
     // cursor sits — O(len) per word, on the vocab table only
@@ -1177,6 +1195,81 @@ object QueriesTraining {
           x => x.getField("wp_str")), " ").as("wp"),
         sum(col("n_sub")).cast("long").as("n_wp"))
       .select(col("doc_id"), col("n_wp"), col("wp"))
+  }
+
+  /** OPTIMAL subword segmentation — the exact dynamic program beside
+    * [[wordpiece]]'s greedy heuristic: per word, the MINIMUM number of
+    * vocab pieces that tile it (greedy longest-match is not optimal —
+    * taking a long piece can strand the remainder in single chars), via
+    * the classic segmentation DP best[k] = 1 + min over vocab pieces
+    * ending at k of best[k − len]. Same vocabulary as the greedy row, so
+    * the per-doc (n_greedy, n_opt, saved) economics quantify exactly
+    * what the cheaper inference algorithm costs — the eval a tokenizer
+    * rollout runs before choosing its serving path.
+    *
+    * Distribution of a DP: the recurrence is sequential per word, so it
+    * runs as ONE `aggregate` HOF over positions on the DISTINCT-WORD
+    * table (vocabulary-bounded, the SCALE.md rule), with each word's
+    * piece matches pre-folded into a dense per-position BITMASK array
+    * (bit l−1 set ⟺ a length-l vocab piece ends at that position) by a
+    * plain grouped `bit_or` — the corpus never sees the DP, it pays the
+    * same two scans as the greedy row. The oracle re-derives everything
+    * and replaces the DP with its dual: a shortest-path reachability
+    * walk (recursive CTE over (word, prefix-covered, cost) states —
+    * UNION-deduped, ≤ len² states per word — then MIN(cost) at the full
+    * prefix), so the two engines prove the same optimum by different
+    * algorithms — a stronger cross-check than replaying one algorithm
+    * twice.
+    */
+  def optimalSegment(s: SparkSession, dir: String): DataFrame =
+    optimalSegmentOf(docs(s, dir))
+
+  private[graft] def optimalSegmentOf(d: DataFrame): DataFrame = {
+    val (words, _, matches) = subwordPartsOf(d)
+    // dense per-position match bitmasks: bms[k] has bit l-1 set iff the
+    // length-l suffix of prefix k is a vocab piece (k = p + l - 1);
+    // every position has at least bit 0 (single chars are in the vocab)
+    val bms = matches
+      .groupBy(col("w"), (col("p") + col("l") - 1).as("end"))
+      .agg(expr("bit_or(shiftleft(1, l - 1))").as("bm"))
+      .groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("end"), col("bm")))),
+        x => x.getField("bm")).as("bms"))
+    val BIG = lit(1000000)
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(lit(0)),
+      (acc, k) => {
+        val bm = element_at(col("bms"), k)
+        val cands = (1 to MaxPiece).map { l =>
+          when(k >= l && bm.bitwiseAND(lit(1 << (l - 1))) =!= 0,
+            element_at(acc, k - l + 1) + 1).otherwise(BIG)
+        }
+        concat(acc, array(least(cands: _*)))
+      })
+    val opt = bms.select(col("w"),
+      element_at(dp, length(col("w")) + 1).cast("long").as("n_opt"))
+    // greedy piece counts for the same vocab: longest match per position,
+    // walked by the same cursor HOF as the greedy row
+    val m = matches.groupBy(col("w"), col("p")).agg(max(col("l")).as("len"))
+    val larr = m.groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("len")))),
+        x => x.getField("len")).as("larr"))
+    val greedySt = aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(lit(1).as("pos"), lit(0).as("k")),
+      (st, i) => when(i === st.getField("pos"),
+        struct((st.getField("pos") + element_at(col("larr"), i)).as("pos"),
+          (st.getField("k") + 1).as("k")))
+        .otherwise(st))
+    val greedy = larr.select(col("w"),
+      greedySt.getField("k").cast("long").as("n_greedy"))
+    words.join(broadcast(greedy.join(opt, "w")), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_greedy")).cast("long").as("n_greedy"),
+        sum(col("n_opt")).cast("long").as("n_opt"))
+      .select(col("doc_id"), col("n_greedy"), col("n_opt"),
+        (col("n_greedy") - col("n_opt")).as("saved"))
   }
 
   /** Hashed-ngram feature buckets for [[dsirSelect]]: 4096 keeps the
@@ -1345,6 +1438,7 @@ object QueriesTraining {
     "q_bpe_tokenize" -> bpeTokenize _,
     "q_tokenize_apply" -> tokenizeApply _,
     "q_wordpiece" -> wordpiece _,
+    "q_optimal_segment" -> optimalSegment _,
     "q_shard_append" -> shardAppend _,
     "q_epoch_shuffle" -> epochShuffle _,
     "q_heldout_lm" -> heldoutLm _,
@@ -1368,31 +1462,41 @@ object QueriesTraining {
     "q_gopher_rules" -> gopherRules _,
     "q_ngram_lm" -> ngramLm _)
 
+  /** Shared DuckDB CTE prefix for the subword oracles: tokenized word
+    * stream, frequency-weighted vocab words, self-derived piece
+    * vocabulary, and the full piece match table `mm(w, p, l)` plus the
+    * longest-match table `m(w, p, len)`. Both subword oracles re-derive
+    * the training from scratch — no stashed literals.
+    */
+  private lazy val subwordCte: String =
+    """WITH RECURSIVE dw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM dw),
+      |words AS (SELECT doc_id, pos, ws[CAST(pos AS INT)] AS w
+      |  FROM wpos WHERE ws[CAST(pos AS INT)] <> ''),
+      |wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+      |sub0 AS (SELECT w, n, unnest(generate_series(1, length(w))) AS p FROM wc),
+      |sub1 AS (SELECT w, n, p, unnest(generate_series(2, 6)) AS l FROM sub0),
+      |topp AS (SELECT piece FROM (
+      |  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+      |    CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM sub1 WHERE p + l - 1 <= length(w)
+      |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 256)),
+      |ch AS (SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece FROM sub0),
+      |pieces AS (SELECT DISTINCT piece FROM
+      |  (SELECT piece FROM topp UNION ALL SELECT piece FROM ch)),
+      |c1 AS (SELECT w, p, unnest(generate_series(1, 6)) AS l FROM sub0),
+      |cand AS (SELECT w, p, l, substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece
+      |  FROM c1 WHERE p + l - 1 <= length(w)),
+      |mm AS (SELECT cand.w, cand.p, cand.l
+      |  FROM cand JOIN pieces USING (piece)),
+      |m AS (SELECT w, p, MAX(l) AS len FROM mm GROUP BY w, p)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // fully self-derived: DuckDB retrains the piece vocabulary and
     // re-runs the greedy longest-match walk (linear-chain recursive CTE)
-    "q_wordpiece" ->
-      """WITH RECURSIVE dw AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |wpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM dw),
-        |words AS (SELECT doc_id, pos, ws[CAST(pos AS INT)] AS w
-        |  FROM wpos WHERE ws[CAST(pos AS INT)] <> ''),
-        |wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
-        |sub0 AS (SELECT w, n, unnest(generate_series(1, length(w))) AS p FROM wc),
-        |sub1 AS (SELECT w, n, p, unnest(generate_series(2, 6)) AS l FROM sub0),
-        |topp AS (SELECT piece FROM (
-        |  SELECT substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
-        |    CAST(SUM(n) AS BIGINT) AS cnt
-        |  FROM sub1 WHERE p + l - 1 <= length(w)
-        |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 256)),
-        |ch AS (SELECT DISTINCT substr(w, CAST(p AS INT), 1) AS piece FROM sub0),
-        |pieces AS (SELECT DISTINCT piece FROM
-        |  (SELECT piece FROM topp UNION ALL SELECT piece FROM ch)),
-        |c1 AS (SELECT w, p, unnest(generate_series(1, 6)) AS l FROM sub0),
-        |cand AS (SELECT w, p, l, substr(w, CAST(p AS INT), CAST(l AS INT)) AS piece
-        |  FROM c1 WHERE p + l - 1 <= length(w)),
-        |m AS (SELECT cand.w, cand.p, MAX(cand.l) AS len
-        |  FROM cand JOIN pieces USING (piece) GROUP BY cand.w, cand.p),
+    "q_wordpiece" -> (subwordCte +
+      """,
         |walk(w, pos, acc, k) AS (
         |  SELECT w, CAST(1 AS BIGINT), CAST('' AS VARCHAR), CAST(0 AS BIGINT) FROM wc
         |  UNION ALL
@@ -1409,7 +1513,34 @@ object QueriesTraining {
         |SELECT words.doc_id, CAST(SUM(wp.n_sub) AS BIGINT) AS n_wp,
         |  string_agg(wp.wp_str, ' ' ORDER BY words.pos) AS wp
         |FROM words JOIN wp USING (w)
-        |GROUP BY words.doc_id""".stripMargin,
+        |GROUP BY words.doc_id""".stripMargin),
+
+    // the optimum via the DP's DUAL: shortest-path reachability over
+    // (word, prefix-covered, cost) states — UNION-deduped, <= len^2
+    // states per word — proving the same minimum by a different
+    // algorithm than Spark's forward DP
+    "q_optimal_segment" -> (subwordCte +
+      """,
+        |gwalk(w, pos, k) AS (
+        |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wc
+        |  UNION ALL
+        |  SELECT gwalk.w, gwalk.pos + m.len, gwalk.k + 1
+        |  FROM gwalk JOIN m ON m.w = gwalk.w AND m.p = gwalk.pos
+        |  WHERE gwalk.pos <= length(gwalk.w)),
+        |greedy AS (SELECT w, k AS n_greedy FROM gwalk WHERE pos = length(w) + 1),
+        |owalk(w, covered, c) AS (
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM wc
+        |  UNION
+        |  SELECT mm.w, mm.p + mm.l - 1, owalk.c + 1
+        |  FROM owalk JOIN mm ON mm.w = owalk.w AND mm.p = owalk.covered + 1),
+        |opt AS (SELECT w, MIN(c) AS n_opt FROM owalk
+        |  WHERE covered = length(w) GROUP BY w)
+        |SELECT words.doc_id,
+        |  CAST(SUM(greedy.n_greedy) AS BIGINT) AS n_greedy,
+        |  CAST(SUM(opt.n_opt) AS BIGINT) AS n_opt,
+        |  CAST(SUM(greedy.n_greedy) - SUM(opt.n_opt) AS BIGINT) AS saved
+        |FROM words JOIN greedy USING (w) JOIN opt USING (w)
+        |GROUP BY words.doc_id""".stripMargin),
 
     "q_dsir_select" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws

@@ -50,6 +50,42 @@ class WordpieceSpec extends SparkSuite {
     assert(got.keySet == docWords.map(_._1).toSet)
   }
 
+  test("optimal segmentation: n_opt <= n_greedy everywhere; DP parity with driver recompute") {
+    val rows = QueriesTraining.optimalSegment(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_opt") <= r.getAs[Long]("n_greedy"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("saved") ==
+        r.getAs[Long]("n_greedy") - r.getAs[Long]("n_opt"))
+    }
+  }
+
+  test("optimal beats greedy on a corpus built to strand the greedy cursor") {
+    // Vocabulary engineering: 253 high-frequency filler pairs occupy the
+    // top of the 256-piece budget; the count-11 tier {ab, bc, bcd, cd}
+    // then fills the last 3 slots LEXICOGRAPHICALLY — ab, bc, bcd make
+    // it, cd does not. On "abcd", greedy takes ab then strands cd into
+    // singles (ab|c|d = 3); the DP finds a|bcd = 2.
+    import spark.implicits._
+    val fillers = (for (a <- 'e' to 'z'; b <- 'e' to 'z') yield s"$a$b").take(253)
+    val fillerText = fillers.flatMap(w => Seq.fill(50)(w)).mkString(" ")
+    val boostText = (Seq.fill(10)("ab") ++ Seq.fill(10)("bcd")).mkString(" ")
+    val corpus = Seq(
+      (1L, fillerText),
+      (2L, boostText),
+      (3L, "abcd")).toDF("doc_id", "text")
+    val got = QueriesTraining.optimalSegmentOf(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("n_greedy") == 3L, "greedy must strand: ab|c|d")
+    assert(d3.getAs[Long]("n_opt") == 2L, "DP must find a|bcd")
+    assert(d3.getAs[Long]("saved") == 1L)
+    // sanity: the boost doc segments identically under both (ab and bcd
+    // are whole vocab pieces)
+    assert(got(2L).getAs[Long]("saved") == 0L)
+    assert(got(2L).getAs[Long]("n_opt") == 20L)
+  }
+
   test("wordpiece invariants: reconstructable, never shorter than word count") {
     val rows = QueriesTraining.wordpiece(spark, sf0001)
       .join(graft.core.Tables.documents(spark, sf0001), "doc_id")

@@ -185,6 +185,10 @@ HEAVY = [
     # r14 second session: snapshot expiry — the current-version read
     # after vacuuming a 10x versioned table
     "q_vacuum",
+    # r14 second session: the segmentation DP vs its shortest-path dual
+    # re-proven over the 10x vocabulary (both engines re-derive the
+    # optimum independently)
+    "q_optimal_segment",
 ]
 
 # Excluded from the sf1 gate, each for a stated reason (re-audited r14):
