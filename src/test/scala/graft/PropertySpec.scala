@@ -146,4 +146,58 @@ class PropertySpec extends AnyFunSuite {
       assert(ok, "below-target stream must always get a positive budget")
     }
   }
+
+  test("KMV mergeability: union of per-partition bottom-k == bottom-k of the union") {
+    // the property that makes q_kmv_distinct's WindowGroupLimit-Partial
+    // plan CORRECT, not just fast: a task-local bottom-k loses nothing
+    val rnd = new Random(7)
+    val k = 16
+    def bottomK(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    for (_ <- 1 to 200) {
+      val all = Vector.fill(rnd.nextInt(300) + 1)(rnd.nextLong(1L << 40))
+      val parts = all.grouped(rnd.nextInt(40) + 1).toSeq
+      val merged = bottomK(parts.flatMap(bottomK))
+      assert(merged == bottomK(all))
+      // and the estimator both engines compute off it
+      val est =
+        if (merged.length < k) merged.length.toLong
+        else (BigInt(k - 1) * BigInt(2).pow(60) / BigInt(merged.last)).toLong
+      assert(est >= 0)
+    }
+  }
+
+  test("vacuumVersions: random layouts keep exactly the newest k, idempotently") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 25) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-vacprop$trial")
+      val versions = (0 until rnd.nextInt(7) + 1).toVector
+      versions.foreach { v =>
+        val d = base.resolve(s"v$v")
+        java.nio.file.Files.createDirectories(d)
+        for (f <- 0 until rnd.nextInt(3) + 1)
+          java.nio.file.Files.writeString(d.resolve(s"part-$f.parquet"), s"$v/$f")
+      }
+      // a non-version directory must never be touched
+      val stray = base.resolve("not-a-version")
+      java.nio.file.Files.createDirectories(stray)
+      java.nio.file.Files.writeString(stray.resolve("keep.txt"), "x")
+      val keep = rnd.nextInt(versions.length + 2) + 1
+      val (nv, nf, _) = QueriesLayout.vacuumVersions(base.toString, keep)
+      assert(nv == math.max(0, versions.length - keep))
+      val survivors = versions.drop(math.max(0, versions.length - keep))
+      versions.foreach { v =>
+        val exists = java.nio.file.Files.exists(base.resolve(s"v$v"))
+        assert(exists == survivors.contains(v), s"v$v keep=$keep")
+      }
+      survivors.foreach { v =>
+        for (f <- java.nio.file.Files.list(base.resolve(s"v$v")).toArray)
+          assert(java.nio.file.Files.readString(
+            f.asInstanceOf[java.nio.file.Path]).startsWith(s"$v/"))
+      }
+      assert(java.nio.file.Files.exists(stray.resolve("keep.txt")))
+      assert(QueriesLayout.vacuumVersions(base.toString, keep) == ((0, 0, 0L)))
+      assert(nf >= nv) // every expired version held at least one file
+      graft.core.Tmp.deleteRecursively(base)
+    }
+  }
 }
