@@ -216,15 +216,25 @@ object QueriesAnalytics {
   /** Salted skew join (ops.SkewJoin): events (90%+ of traffic on a few
     * hot users at scale) joined to a per-user dim through fact-side salt
     * + dim-side explode, so one hot key spreads over `salt` reducers.
-    * Result identical to the plain join — which is exactly what the
-    * oracle checks.
+    * The salt factor is DATA-DRIVEN: the [[QueriesQuality.keySkew]]
+    * profiler's per-type `top_salt` (ceil(max_mass / 4·p50) — each salted
+    * shard of the hottest key carries ~4x a median key's mass), max'd
+    * across event types (a key hot in any type is hot in this global
+    * user_id join) and clamped to [2, 64], rides into the plan as a
+    * broadcast ONE-ROW stats table — no driver collect, no hand-pinned
+    * constant. Result identical to the plain join for ANY salt ≥ 1 —
+    * which is exactly what the oracle checks.
     */
   def skewJoin(s: SparkSession, dir: String): DataFrame = {
     val fact = events(s, dir).select(col("event_id"), col("user_id"),
       round(col("value") * 100).cast("long").as("cents"))
     val dim = events(s, dir).groupBy(col("user_id"))
       .agg(min(col("ts")).cast("date").cast("string").as("first_seen"))
-    graft.ops.SkewJoin.saltedJoin(fact, dim, "user_id", salt = 8)
+    val saltRow = QueriesQuality.keyMassStats(
+        QueriesQuality.keyMass(events(s, dir)))
+      .agg(greatest(least(max(col("top_salt")), lit(64L)), lit(2L))
+        .cast("int").as("_saltf"))
+    graft.ops.SkewJoin.saltedJoin(fact, dim, "user_id", saltRow)
       .select(col("event_id"), col("user_id"), col("cents"), col("first_seen"))
   }
 
@@ -769,8 +779,10 @@ object QueriesAnalytics {
     graft.core.Spread.byKey(docs(s, dir), col("doc_id")) // regex-heavy: spread single-file input
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
-  /** Multimodal plumbing: opaque bytes + typed metadata (decode itself is
-    * stubbed in [[graft.analytics.Multimodal]] — no codec libs in-container).
+  /** Multimodal plumbing: opaque bytes + typed metadata. Real decode
+    * (ImageIO / WAV / GIF frame sampling) lives in
+    * [[graft.analytics.Multimodal]]; this row is the oracle-checkable
+    * bytes-column half — length + digest over the opaque payload.
     */
   def multimodalBytes(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),

@@ -154,13 +154,20 @@ object QueriesExtra {
     * per batchId (foreachBatch is at-least-once; a replayed batch
     * overwrites its own subdirectory), and the merged sketch + merged
     * counts land the IDENTICAL report as the one-pass batch formula —
-    * which is exactly what sharing q_heavy_hitters' oracle gates.
+    * which is exactly what sharing q_heavy_hitters' oracle gates. The
+    * fixture stages as `repartition(3)` + maxFilesPerTrigger=1 — exactly
+    * 3 micro-batches — deliberately: one batch would never exercise the
+    * cross-batch cell-delta merge this row gates, while more batches only
+    * multiply the per-batch machinery constant without adding coverage.
     */
   def streamHitters(s: SparkSession, dir: String): DataFrame = {
+    // path carries the content-key hash so path identity matches memo
+    // identity (see QueriesQuality.streamKs)
+    val dk = graft.core.DatasetKey.of(dir)
     val src = streamFixtures.computeIfAbsent(
-      s"shh_${graft.core.DatasetKey.of(dir)}", _ => {
+      s"shh_$dk", _ => {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_shh_" +
-          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${dk.takeRight(16)}_${ProcessHandle.current().pid()}"
         docs(s, dir).select(col("doc_id"), col("text"))
           .repartition(3).write.mode("overwrite").parquet(p)
         p

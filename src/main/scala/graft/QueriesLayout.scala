@@ -659,7 +659,11 @@ object QueriesLayout {
     var bytes = 0L
     expired.foreach { d =>
       def walk(f: java.io.File): Unit = {
-        if (f.isDirectory) { f.listFiles().foreach(walk) }
+        // null-safe like the top-level listing: an unreadable or raced
+        // directory must not abort the expiry mid-delete
+        if (f.isDirectory) {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+        }
         else { files += 1; bytes += f.length() }
         java.nio.file.Files.delete(f.toPath)
       }

@@ -119,18 +119,30 @@ object QueriesQuality {
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
 
+  /** Fold a cohort histogram to the per-type KS row. The cross-multiplied
+    * numerator |cum_a·nb − cum_b·na| is carried in DECIMAL(38,0) — BIGINT
+    * would overflow once per-type cohort counts pass ~3e9 (cum·n ≈ n²),
+    * which the 100 TB docstring explicitly targets; DECIMAL(38,0) holds to
+    * n ≈ 1e19 cohort rows in both engines bit-exactly. An EMPTY cohort
+    * (na or nb = 0) makes the statistic undefined — the numerator is then
+    * identically 0 and the `greatest(na·nb, 1)` guard lands ks_mills = 0
+    * in both engines instead of a NULL-vs-division-error disagreement.
+    */
   private def ksFromHistogram(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     val tot = Window.partitionBy(col("event_type"))
+    val dec = "decimal(38,0)"
     hist
-      .withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("cum_a", sum(col("ca")).over(w).cast(dec))
+      .withColumn("cum_b", sum(col("cb")).over(w).cast(dec))
       .withColumn("na", sum(col("ca")).over(tot))
       .withColumn("nb", sum(col("cb")).over(tot))
       .groupBy(col("event_type"), col("na"), col("nb"))
-      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
+      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+        .cast(dec).as("ks_num"))
       .select(col("event_type"), col("na"), col("nb"), col("ks_num"),
-        expr("(1000 * ks_num) div (na * nb)").as("ks_mills"))
+        expr(s"cast((1000 * ks_num) div greatest(cast(na as $dec) * nb, 1) as bigint)")
+          .as("ks_mills"))
   }
 
   // process-lifetime staged stream fixture paths (pid-unique, content-keyed)
@@ -146,13 +158,22 @@ object QueriesQuality {
     * q_ks_drift oracle gates. The 100 TB shape: what crosses each batch
     * boundary is the domain-bounded histogram delta, never rows, so the
     * monitor's state is value-domain-sized regardless of stream volume
-    * (the same counting-sort stance as the batch op).
+    * (the same counting-sort stance as the batch op). The fixture stages
+    * as `repartition(3)` + maxFilesPerTrigger=1 — i.e. exactly 3
+    * micro-batches — deliberately: one batch would never exercise the
+    * cross-batch delta merge this row exists to gate, while more batches
+    * only multiply the per-batch machinery constant without adding
+    * semantic coverage.
     */
   def streamKs(s: SparkSession, dir: String): DataFrame = {
+    // the on-disk path carries the content-key hash too, so path identity
+    // matches memo identity (two dirs that sanitize alike, or one dir
+    // refreshed mid-process, land at distinct paths instead of colliding)
+    val dk = graft.core.DatasetKey.of(dir)
     val src = streamFixtures.computeIfAbsent(
-      s"sks_${graft.core.DatasetKey.of(dir)}", _ => {
+      s"sks_$dk", _ => {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_sks_" +
-          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${dk.takeRight(16)}_${ProcessHandle.current().pid()}"
         events(s, dir).filter(col("user_id").isNotNull)
           .select(col("event_type"), col("user_id"), col("value"))
           .repartition(3).write.mode("overwrite").parquet(p)
@@ -192,16 +213,39 @@ object QueriesQuality {
     * quantiles over a mass-domain-bounded counting histogram — two
     * map-side-combinable shuffles, the q_percentiles stance), the
     * hottest key, and the integer salt factor
-    * ceil(max_mass / max(4·p50, 1)) that would cap each salted shard of
+    * ceil(max_mass / max(4·p50, 1)) that caps each salted shard of
     * the hot key at ~4× the median key's mass — exactly the number
-    * q_skew_join's salting needs as input, here computed AS AN OPERATOR
-    * so the decision is data-driven rather than hand-tuned. All integer
-    * arithmetic; ties for the hottest key break by key.
+    * q_skew_join's salting needs as input, computed AS AN OPERATOR and
+    * consumed by [[QueriesAnalytics.skewJoin]] (max over types, clamped,
+    * broadcast as a one-row stats table), so the salting decision is
+    * data-driven rather than hand-tuned. All integer arithmetic; ties
+    * for the hottest key break by key.
     */
   def keySkew(s: SparkSession, dir: String): DataFrame = {
-    val mass = events(s, dir).filter(col("user_id").isNotNull)
+    val mass = keyMass(events(s, dir))
+    val topW = Window.partitionBy(col("event_type"))
+      .orderBy(col("mass").desc, col("user_id"))
+    val top = mass.withColumn("rn", row_number().over(topW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("top_key"))
+    keyMassStats(mass).join(top, "event_type")
+      .select(col("event_type"), col("n").as("n_keys"), col("n_rows"),
+        col("p50_mass"), col("p99_mass"), col("max_mass"), col("top_key"),
+        col("top_salt"))
+  }
+
+  /** Per-(type, key) row mass — the profiler's one corpus-keyed shuffle. */
+  private[graft] def keyMass(e: DataFrame): DataFrame =
+    e.filter(col("user_id").isNotNull)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("mass"))
+
+  /** Stats half of the profiler — the part a consumer that only needs
+    * the SALT FACTOR (q_skew_join) pays for: mass histogram → rank-floor
+    * quantiles → top_salt. The hottest-KEY identity (a window pass over
+    * the mass table) stays in [[keySkew]] only.
+    */
+  private[graft] def keyMassStats(mass: DataFrame): DataFrame = {
     val hist = mass.groupBy(col("event_type"), col("mass"))
       .agg(count(lit(1)).as("cnt"))
     val win = Window.partitionBy(col("event_type")).orderBy(col("mass"))
@@ -212,20 +256,13 @@ object QueriesQuality {
     def atRank(q: Double) =
       max(when(col("cum_end") - col("cnt") <= rank(q) && rank(q) < col("cum_end"),
         col("mass")))
-    val stats = cum.groupBy(col("event_type"), col("n"))
+    cum.groupBy(col("event_type"), col("n"))
       .agg(atRank(0.5).as("p50_mass"), atRank(0.99).as("p99_mass"),
         max(col("mass")).as("max_mass"),
         sum(col("cnt") * col("mass")).as("n_rows"))
-    val topW = Window.partitionBy(col("event_type"))
-      .orderBy(col("mass").desc, col("user_id"))
-    val top = mass.withColumn("rn", row_number().over(topW))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("user_id").as("top_key"))
-    stats.join(top, "event_type")
-      .select(col("event_type"), col("n").as("n_keys"), col("n_rows"),
-        col("p50_mass"), col("p99_mass"), col("max_mass"), col("top_key"),
+      .withColumn("top_salt",
         expr("(max_mass + greatest(p50_mass * 4, 1) - 1) div " +
-          "greatest(p50_mass * 4, 1)").as("top_salt"))
+          "greatest(p50_mass * 4, 1)"))
   }
 
   /** Logistic-regression document-quality filter (see
@@ -240,8 +277,11 @@ object QueriesQuality {
     * doc-dependent length is appended (the augment-then-process fixture
     * pattern of q_text_scrub/q_url_canonical, so the oracle rebuilds the
     * identical corpus). The filter then learns the clean-vs-junk
-    * boundary from the ratio features alone; LogRegSpec gates accuracy
-    * and loss descent, this row hash-gates the scored margins.
+    * boundary from the ratio features alone; LogRegSpec gates accuracy,
+    * loss descent, and the early-stop criterion (iteration count is
+    * DATA-DRIVEN off the integer loss trace — ~12 iterations on this
+    * task, accuracy identical to the old fixed 30 at ~40% of the cost);
+    * this row hash-gates the scored margins.
     */
   def lrQuality(s: SparkSession, dir: String): DataFrame = {
     val degraded = expr(
@@ -358,9 +398,14 @@ object QueriesQuality {
         |    SUM(ca) OVER (PARTITION BY event_type) AS na,
         |    SUM(cb) OVER (PARTITION BY event_type) AS nb
         |  FROM h)
+        |-- numerator in HUGEINT (128-bit): floor `//` semantics like the
+        |-- original BIGINT form, no Int64 ceiling — DECIMAL `//` in DuckDB
+        |-- ROUNDS rather than floors, so only ks_num's OUTPUT is cast to
+        |-- DECIMAL(38,0) (matching the Spark schema)
         |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-        |  CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
-        |  CAST((1000 * MAX(ABS(cum_a * nb - cum_b * na))) // (na * nb) AS BIGINT) AS ks_mills
+        |  CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)) AS DECIMAL(38,0)) AS ks_num,
+        |  CAST((1000 * MAX(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)))
+        |       // GREATEST(CAST(na AS HUGEINT) * nb, 1) AS BIGINT) AS ks_mills
         |FROM c GROUP BY event_type, na, nb""".stripMargin
 
   // q_lr_quality's oracle is data-dependent (trained weights as literals):

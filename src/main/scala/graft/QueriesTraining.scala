@@ -1396,10 +1396,13 @@ object QueriesTraining {
         .agg(count(lit(1)).as("raw_n"),
           sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n")))
       .localCheckpoint()
+    // path carries the content-key hash so path identity matches memo
+    // identity (see QueriesQuality.streamKs)
+    val sdk = graft.core.DatasetKey.of(dir)
     val src = streamFixtures.computeIfAbsent(
-      s"sdsir_${graft.core.DatasetKey.of(dir)}", _ => {
+      s"sdsir_$sdk", _ => {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_sdsir_" +
-          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${sdk.takeRight(16)}_${ProcessHandle.current().pid()}"
         docs(s, dir).select(col("doc_id"), col("text"))
           .repartition(3).write.mode("overwrite").parquet(p)
         p

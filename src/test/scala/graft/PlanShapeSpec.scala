@@ -390,6 +390,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("skew join derives its salt factor from the key-skew profiler, computed ONCE") {
+    // r14 verdict task: the salt must come from the q_key_skew planner
+    // (a broadcast one-row stats table), not a hand-pinned literal — and
+    // exchange reuse must keep the profiler to a single pass even though
+    // both join sides consume it
+    val p = finalPlan("q_skew_join")
+    assert(p.contains("_saltf"), "salt factor not data-driven:\n" + p.take(3000))
+    assert(p.contains("pmod(hash("), p.take(3000))
+    assert(!p.contains("top_salt#76L), 8)") && !"pmod\\(hash\\([^)]*\\), 8\\)".r.findAllIn(p).hasNext,
+      "hand-pinned salt literal found:\n" + p.take(3000))
+    assert(p.linesIterator.count(_.contains("partial_max(top_salt")) == 1,
+      "profiler aggregation must execute once (exchange reuse):\n" + p.take(4000))
+    assert(p.contains("ReusedExchange"), p.take(4000))
+  }
+
   test("wordpiece encode: the word->pieces lookup is a BROADCAST join") {
     // the corpus-side cost contract: the second (and last) corpus scan
     // pays one broadcast lookup + a doc-keyed reassembly — no

@@ -32,7 +32,9 @@ class QualityOpsSpec extends SparkSuite {
       val r = rows(etype)
       assert(r.getAs[Long]("na") == a.length.toLong, s"$etype na")
       assert(r.getAs[Long]("nb") == b.length.toLong, s"$etype nb")
-      assert(r.getAs[Long]("ks_num") == ksNum, s"$etype ks_num")
+      // ks_num is DECIMAL(38,0) (the Int64-overflow-proof numerator)
+      assert(r.getAs[java.math.BigDecimal]("ks_num").longValueExact() == ksNum,
+        s"$etype ks_num")
       assert(r.getAs[Long]("ks_mills") ==
         (1000L * ksNum) / (a.length.toLong * b.length), s"$etype ks_mills")
     }
