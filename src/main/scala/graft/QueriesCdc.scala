@@ -101,8 +101,12 @@ object QueriesCdc {
   private val fixtureMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def memoFixture[T <: AnyRef](key: String)(build: => T): T =
     fixtureMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  // content-hash in the PATH too, so path identity matches the
+  // DatasetKey-keyed memo identity: two dirs that sanitize alike, or one
+  // dir refreshed mid-process, land at distinct paths instead of the
+  // stale memo entry serving the other dataset's fixture
   private[graft] def fixturePath(tag: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${graft.core.DatasetKey.hashOf(dir)}_${ProcessHandle.current().pid()}"
 
   /** S1+F1: snapshot scan with pushed-down row filter + projection. */
   def snapshotScan(s: SparkSession, dir: String): DataFrame =
@@ -348,7 +352,7 @@ object QueriesCdc {
     *   single-file encode. 1 keeps the single ordered file (the socket
     *   fixtures serve one image over the wire).
     */
-  private def buildBinaryLog(s: SparkSession, dir: String, path: String,
+  private[graft] def buildBinaryLog(s: SparkSession, dir: String, path: String,
       segments: Int = 1): Long = {
     import graft.changelog.BinlogWire
     val base = events(s, dir)
@@ -822,6 +826,37 @@ object QueriesCdc {
     *    restart itself part of the correctness gate (reference:
     *    /root/reference/pipe/kafka.go:326-460,482-577).
     */
+  /** Executor-side wire produce shared by [[kafkaSocket]] and the
+    * source-recovery gate (SourceKillRecoverySpec): repartition by the
+    * Kafka partition key (each broker partition owned by one task),
+    * sort within partitions by event order, ship batched wire Produce
+    * requests. Input must carry (ord, key, value) plus the columns `kp`
+    * references.
+    */
+  private[graft] def produceWireEvents(df: DataFrame,
+      kp: org.apache.spark.sql.Column, url: String, topic: String,
+      nParts: Int): Unit = df
+    .repartition(nParts, kp)
+    .sortWithinPartitions(kp, col("ord"))
+    .select(kp.cast("int").as("kpart"), col("key"), col("value"))
+    .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      // consecutive same-partition runs, batched wire Produce calls
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Byte], Array[Byte], Long)]
+      var cur = -1
+      def flush(): Unit = if (buf.nonEmpty) {
+        graft.pipes.KafkaWire.produce(url, topic, cur, buf.toSeq)
+        buf.clear()
+      }
+      it.foreach { r =>
+        val p = r.getInt(0)
+        if (p != cur || buf.size >= 4000) { flush(); cur = p }
+        buf += ((r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L))
+      }
+      flush()
+    }
+
   def kafkaSocket(s: SparkSession, dir: String): DataFrame = {
     val nParts = 8
     val kp = pmod(col("user_id"), lit(nParts))
@@ -845,27 +880,8 @@ object QueriesCdc {
     try {
       val url = broker.url
       val topic = "graft_events"
-      def produceWire(df: DataFrame): Unit = df
-        .repartition(nParts, kp)
-        .sortWithinPartitions(kp, col("ord"))
-        .select(kp.cast("int").as("kpart"), col("key"), col("value"))
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          // consecutive same-partition runs, batched wire Produce calls
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Array[Byte], Array[Byte], Long)]
-          var cur = -1
-          def flush(): Unit = if (buf.nonEmpty) {
-            graft.pipes.KafkaWire.produce(url, topic, cur, buf.toSeq)
-            buf.clear()
-          }
-          it.foreach { r =>
-            val p = r.getInt(0)
-            if (p != cur || buf.size >= 4000) { flush(); cur = p }
-            buf += ((r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-              r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L))
-          }
-          flush()
-        }
+      def produceWire(df: DataFrame): Unit =
+        produceWireEvents(df, kp, url, topic, nParts)
       // parquet sink, not memory: the memory sink refuses checkpoint
       // recovery, and the file sink's _spark_metadata log is the
       // exactly-once mechanism a restarted production consumer actually
