@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *    artificial twins (which would test a 90%-dup corpus, not scale).
   *  - embeddings: replica k adds deterministic per-component noise of
   *    magnitude ~0.15 (xxhash64-seeded), same rationale in vector space.
+  *
+  * Key-shift scale (arg 2, default 1): the replica offsets are
+  * `rep * base * shiftScale`. Applying ScaleUp TWICE with the same
+  * offsets convolves the shifts (rep1+rep2 collides: sf1→sf10 left
+  * doc_id at 5.26x multiplicity — 95k distinct ids over 500k rows —
+  * which the sf10 profiles absorbed but a third application would
+  * compound to ~36x). For the sf100 decade pass shiftScale=100 so the
+  * new offsets clear every id the sf10 fixture already contains and
+  * per-id multiplicity stays at the sf10 level instead of convolving.
   */
 object ScaleUp {
   val Copies = 10
@@ -28,6 +37,8 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val shiftScale = if (args.length > 2) args(2).toLong else 1L
+    val outParts = if (args.length > 3) args(3).toInt else 8
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scaleup")
@@ -39,7 +50,7 @@ object ScaleUp {
 
     def replicas: DataFrame = spark.range(Copies).toDF("rep")
     def write(df: DataFrame, name: String): Unit = {
-      df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.coalesce(outParts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"scaled $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
@@ -49,22 +60,22 @@ object ScaleUp {
 
     val ev = graft.core.Tables.load(spark, src, "events")
     write(ev.crossJoin(replicas).select(
-      (col("event_id") + col("rep") * lit(10000000000L)).as("event_id"),
+      (col("event_id") + col("rep") * lit(10000000000L * shiftScale)).as("event_id"),
       col("ts"),
-      (col("user_id") + col("rep") * lit(100000000L)).as("user_id"),
+      (col("user_id") + col("rep") * lit(100000000L * shiftScale)).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     write(li.crossJoin(replicas).select(
-      (col("l_orderkey") + col("rep") * lit(100000000L)).as("l_orderkey"),
+      (col("l_orderkey") + col("rep") * lit(100000000L * shiftScale)).as("l_orderkey"),
       col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), "lineitem")
 
     val ord = spark.read.parquet(s"$src/orders.parquet")
     write(ord.crossJoin(replicas).select(
-      (col("o_orderkey") + col("rep") * lit(100000000L)).as("o_orderkey"),
-      (col("o_custkey") + col("rep") * lit(100000000L)).as("o_custkey"),
+      (col("o_orderkey") + col("rep") * lit(100000000L * shiftScale)).as("o_orderkey"),
+      (col("o_custkey") + col("rep") * lit(100000000L * shiftScale)).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")), "orders")
 
@@ -74,7 +85,7 @@ object ScaleUp {
     val rotated = concat(slice(toks, rot + 1, size(toks) - rot),
       slice(toks, lit(1), rot), array(concat(lit("r"), col("rep"))))
     write(docs.crossJoin(replicas).select(
-      (col("doc_id") + col("rep") * lit(100000000L)).as("doc_id"),
+      (col("doc_id") + col("rep") * lit(100000000L * shiftScale)).as("doc_id"),
       when(col("rep") === 0, col("text"))
         .otherwise(array_join(rotated, " ")).as("text"),
       col("lang"), col("source"),
@@ -88,7 +99,7 @@ object ScaleUp {
         x + ((pmod(xxhash64(col("vec_id"), i, col("rep")), lit(1000L))
           .cast("double") / 1000.0 - 0.5) * 0.3).cast("float")))
     write(emb.crossJoin(replicas).select(
-      (col("vec_id") + col("rep") * lit(100000000L)).as("vec_id"),
+      (col("vec_id") + col("rep") * lit(100000000L * shiftScale)).as("vec_id"),
       noisy.as("embedding"), col("label")), "embeddings")
 
     spark.stop()

@@ -21,7 +21,11 @@ Also prints the machine-evidence block when present (load calib, page
 cache, fixture warmth), since "ambient" claims should be read against it.
 
 Usage: python3 tools/bench_adjudicate.py <current.json> <prior.json>
-       [threshold=1.3]
+       [threshold=1.3] [--json out.json]
+
+--json writes the full per-row classification (plus the machine-evidence
+block and totals) as a committed artifact, e.g. ADJUDICATION_r{N}.json —
+so the judge reads computed verdicts, not narrative.
 """
 import sys, json
 
@@ -37,8 +41,14 @@ def load(path):
 
 
 def main():
-    cur_path, prior_path = sys.argv[1], sys.argv[2]
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    cur_path, prior_path = args[0], args[1]
+    thr = float(args[2]) if len(args) > 2 else 1.3
     cur, cur_q, cur_s = load(cur_path)
     _, prior_q, _ = load(prior_path)
 
@@ -86,6 +96,25 @@ def main():
     print(f"\ncommon queries: {len(verdicts)}; totals {tot_c:.1f}s vs "
           f"{tot_p:.1f}s ({ratio}); "
           + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
+    if json_out:
+        artifact = {
+            "current": cur_path, "prior": prior_path, "threshold": thr,
+            "machine": mach,
+            "calib_median_s": cur.get("calib_median_s"),
+            "load_suspect": cur.get("load_suspect"),
+            "common_queries": len(verdicts),
+            "total_current_s": round(tot_c, 3),
+            "total_prior_s": round(tot_p, 3),
+            "ratio": round(tot_c / tot_p, 4) if tot_p > 0 else None,
+            "counts": counts,
+            "rows": {q: {"verdict": v, "current_s": c, "prior_s": p,
+                         "min_s": mn, "spread_suspect": sus,
+                         "ratio": round(c / p, 4)}
+                     for q, (v, c, p, mn, sus) in sorted(verdicts.items())},
+        }
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     if counts.get("regressed"):
         print("REGRESSED rows present: tight spread and the best run never "
               "reached the prior median — investigate before shipping.")
