@@ -28,6 +28,19 @@ class SkewJoinSpec extends SparkSuite {
     val top = SkewJoin.keyHistogram(fact, col("k")).head()
     assert(top.getLong(0) == 1L && top.getLong(1) == 90L)
   }
+
+  test("planned salt (one-row stats table) equals the fixed-salt join for any factor") {
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"p$i")).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+    for (f <- Seq(1, 3, 64)) {
+      val saltRow = spark.range(1).select(lit(f).as("_saltf"))
+      val planned = SkewJoin.saltedJoin(fact, dim, "k", saltRow)
+        .select("k", "payload", "name")
+      assert(planned.exceptAll(plain).isEmpty && plain.exceptAll(planned).isEmpty,
+        s"salt factor $f diverged from the plain join")
+    }
+  }
 }
 
 class RangeJoinSpec extends SparkSuite {
