@@ -128,14 +128,18 @@ object QueriesAnalytics {
     * signatures → banded LSH candidates (capped) → exact n-gram Jaccard
     * verify (>= 0.5) → connected components → cluster keepers. Every
     * stage shuffles signatures/ids only; raw text never leaves the
-    * shingle scan.
+    * shingle scan. Since r15 the candidate generation and the verify are
+    * FUSED ([[Dedup.lshVerifiedPairs]] — identical pair set and
+    * statistics, proven by the unchanged oracle): the sf100 probe caught
+    * the join-by-pair verify shuffling each doc's shingle set once PER
+    * PAIR (~600 GB at 78M candidates), where the fused form moves it
+    * once per band.
     */
   def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.lshCandidatePairs(
+    val verified = Dedup.lshVerifiedPairs(
       Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8, numHashes = 8, rowsPerBand = 4),
-      "doc_id")
-    val verified = Dedup.ngramJaccard(pairs, d, "doc_id", col("text"), k = 8)
+      d, "doc_id", col("text"), k = 8)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     Dedup.dupClusters(verified)

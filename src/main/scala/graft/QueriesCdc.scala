@@ -95,6 +95,37 @@ object QueriesCdc {
     finally graft.core.Tmp.deleteRecursively(p)
   }
 
+  /** Drain an append-mode stream through the parquet FILE sink and read
+    * the committed result back — the scalable replacement for the memory
+    * sink on every row whose output is CORPUS-sized. The r15 sf100
+    * (1000×) probe caught the ceiling directly: q_stream_join's memory
+    * sink collects all results onto the driver, and at sf100 the
+    * serialized output blew `spark.driver.maxResultSize` (>1 GiB) while
+    * the join itself was healthy — a sink defect, not a plan defect, and
+    * one every corpus-sized row here shared (q_stream_session emits
+    * ~955k rows already at sf1). The file sink's `_spark_metadata`
+    * commit log keeps read-back exactly-once (the kafkaSocket
+    * precedent), and its cost rides the executors, never the driver.
+    * Domain-bounded COMPLETE-mode aggregates (q_stream_window's time
+    * buckets, q_stream_retract's MV) stay on the memory sink: complete
+    * mode is unsupported by the file sink, and their output is the
+    * aggregate domain, not the stream.
+    */
+  private def drainToParquet(s: SparkSession, df: DataFrame, tag: String,
+      dir: String, ckptPrefix: String): DataFrame = {
+    val outDir = fixturePath(tag, dir)
+    org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(outDir), true)
+    runWithTempCkpt(ckptPrefix) { ckpt =>
+      df.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    s.read.parquet(outDir)
+  }
+
   // Keys embed the source dataset's CONTENT key (DatasetKey: file sizes +
   // mtimes), so a dataset refreshed under the same path rebuilds the
   // fixture instead of serving the stale one.
@@ -304,17 +335,12 @@ object QueriesCdc {
     // advancement across batches without paying per-batch planning
     // overhead 60x at larger SFs (micro-batch count, not size, is what
     // the restart contract needs)
-    runWithTempCkpt("graft-binlog-native-ckpt") { ckpt =>
+    drainToParquet(s,
       s.readStream.format("graft-binlog")
         .option("path", part)
         .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
-        .load()
-        .writeStream.format("memory").queryName("graft_changelog_native")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    s.table("graft_changelog_native")
+        .load(),
+      "chnative_out", dir, "graft-binlog-native-ckpt")
       .select(
         col("seq").as("event_id"),
         col("gtid_uuid"),
@@ -416,9 +442,9 @@ object QueriesCdc {
   }
 
   /** The shared demux projection over a binlog memory-sink table. */
-  private def binlogReplayProjection(s: SparkSession, tableName: String): DataFrame = {
+  private def binlogReplayProjection(drained: DataFrame): DataFrame = {
     val sch = "event_id BIGINT, user_id BIGINT, etype STRING, value_cents BIGINT, value_dec DECIMAL(12,2)"
-    s.table(tableName)
+    drained
       .select(col("gtid_uuid"), col("gno"), col("op"),
         from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("r"),
         from_json(col("before"), org.apache.spark.sql.types.StructType.fromDDL(sch)).as("b"))
@@ -438,17 +464,12 @@ object QueriesCdc {
     // encode is the same bytes per segment, same replay order, same hash.
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_binlog_binary_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}.binlog"
     val nEvents = buildBinaryLog(s, dir, path, segments = 16)
-    runWithTempCkpt("graft-binlog-binary-ckpt") { ckpt =>
+    binlogReplayProjection(drainToParquet(s,
       s.readStream.format("graft-binlog")
         .option("path", path)
         .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
-        .load()
-        .writeStream.format("memory").queryName("graft_binlog_binary")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    binlogReplayProjection(s, "graft_binlog_binary")
+        .load(),
+      "binbin_out", dir, "graft-binlog-binary-ckpt"))
   }
 
   /** S2 over the REAL replication SOCKET: the binary fixture log is
@@ -471,19 +492,15 @@ object QueriesCdc {
     }.longValue()
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val srv = new graft.changelog.MysqlRepl.Server(bytes)
-    try {
-      runWithTempCkpt("graft-binlog-socket-ckpt") { ckpt =>
+    val drained = try {
+      drainToParquet(s,
         s.readStream.format("graft-binlog")
           .option("path", srv.url)
           .option("maxEventsPerTrigger", math.max(1024L, nEvents / 4 + 1))
-          .load()
-          .writeStream.format("memory").queryName("graft_changelog_socket")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+          .load(),
+        "binsock_out", dir, "graft-binlog-socket-ckpt")
     } finally srv.close()
-    binlogReplayProjection(s, "graft_changelog_socket")
+    binlogReplayProjection(drained)
   }
 
   /** DDL THROUGH THE SOCKET end-to-end (O9 composed with S2) — the
@@ -745,17 +762,12 @@ object QueriesCdc {
     val produced = graft.pipes.LoopbackPipe.produce(base, topicDir, nParts, col("ord"),
       partitionCol = Some(pmod(col("user_id"), lit(nParts))))
     // ~4 micro-batches at any SF (see changelogNative)
-    runWithTempCkpt("graft-kafka-rt-ckpt") { ckpt =>
+    drainToParquet(s,
       s.readStream.format("graft-kafka")
         .option("path", topicDir)
         .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
-        .load()
-        .writeStream.format("memory").queryName("graft_kafka_roundtrip")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    s.table("graft_kafka_roundtrip")
+        .load(),
+      "krt_out", dir, "graft-kafka-rt-ckpt")
       .select(col("partition").cast("long").as("partition"), col("offset"),
         col("key").cast("long").as("user_id"),
         get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
@@ -787,18 +799,13 @@ object QueriesCdc {
       partitionCol = Some(pmod(col("user_id"), lit(nParts))))
     // target ~1/8 of the backlog per trigger: the drain needs >= 8
     // rate-limited batches (vs 4 for the plain roundtrip)
-    runWithTempCkpt("graft-kafka-rate-ckpt") { ckpt =>
+    drainToParquet(s,
       s.readStream.format("graft-kafka")
         .option("path", topicDir)
         .option("targetRowsPerTrigger", math.max(512L, produced / 8 + 1))
         .option("rateWindowTriggers", 4)
-        .load()
-        .writeStream.format("memory").queryName("graft_kafka_ratelimited")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    s.table("graft_kafka_ratelimited")
+        .load(),
+      "krate_out", dir, "graft-kafka-rate-ckpt")
       .select(col("partition").cast("long").as("partition"), col("offset"),
         col("key").cast("long").as("user_id"),
         get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
@@ -1042,20 +1049,16 @@ object QueriesCdc {
     val memberLog = java.nio.file.Files.createTempFile("graft-group-members", ".log")
     java.nio.file.Files.write(memberLog,
       "2\n3\n2\n3\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      runWithTempCkpt("graft-kafka-gstream-ckpt") { ckpt =>
+    val drained = try {
+      drainToParquet(s,
         s.readStream.format("graft-kafka")
           .option("path", topicDir)
           .option("maxOffsetsPerTrigger", math.max(4096L, produced / 4 + 1))
           .option("groupMembersLog", memberLog.toString)
-          .load()
-          .writeStream.format("memory").queryName("graft_group_stream")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+          .load(),
+        "kgrp_out", dir, "graft-kafka-gstream-ckpt")
     } finally java.nio.file.Files.deleteIfExists(memberLog)
-    s.table("graft_group_stream")
+    drained
       .select(col("partition").cast("long").as("partition"), col("offset"),
         col("key").cast("long").as("user_id"),
         get_json_object(col("value"), "$.event_id").cast("long").as("event_id"),
@@ -1146,16 +1149,9 @@ object QueriesCdc {
         max(col("event_id")).as("last_event"))
     withStatePartitions(s, 8) {
       withRocksDbState(s) {
-      runWithTempCkpt("graft-ssession-ckpt") { ckpt =>
-        agg.writeStream.format("memory").queryName("graft_stream_session")
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+        drainToParquet(s, agg, "ssession_out", dir, "graft-ssession-ckpt")
       }
     }
-    s.table("graft_stream_session")
       .filter(col("first_event") >= 0) // belt: sentinel sessions are withheld anyway
       .select(col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
@@ -1204,16 +1200,10 @@ object QueriesCdc {
     }
     withStatePartitions(s, 8) {
       withRocksDbState(s) {
-      runWithTempCkpt("graft-sdedup-ckpt") { ckpt =>
-        streamDedupPlan(s, src)
-          .writeStream.format("memory").queryName("graft_stream_dedup")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+        drainToParquet(s, streamDedupPlan(s, src), "sdedup_out", dir,
+          "graft-sdedup-ckpt")
       }
     }
-    s.table("graft_stream_dedup")
       .select(col("key").cast("long").as("user_id"),
         col("ord").as("event_id"),
         col("payload").cast("long").as("value_cents"))
@@ -1300,16 +1290,9 @@ object QueriesCdc {
     // cost that kept this family on the default provider in r12.
     withStatePartitions(s, joinStateWidth(src)) {
       withRocksDbState(s) {
-      runWithTempCkpt("graft-sjoin-ckpt") { ckpt =>
-        joined.writeStream.format("memory").queryName("graft_stream_join")
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+        drainToParquet(s, joined, "sjoin_out", dir, "graft-sjoin-ckpt")
       }
     }
-    s.table("graft_stream_join")
   }
 
   /** Incremental aggregate maintenance with RETRACTIONS: the changelog →
@@ -1400,14 +1383,7 @@ object QueriesCdc {
       .join(broadcast(dim), "user_id")
       .select(col("user_id"), col("event_id"), col("cents"),
         col("first_seen"), col("n_types"))
-    runWithTempCkpt("graft-senrich-ckpt") { ckpt =>
-      stream.writeStream.format("memory").queryName("graft_stream_enrich")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    s.table("graft_stream_enrich")
+    drainToParquet(s, stream, "senrich_out", dir, "graft-senrich-ckpt")
   }
 
   /** State-DB style 3-way join (state/state.go:44-47 analogue) with small
@@ -1479,16 +1455,10 @@ object QueriesCdc {
       .as[graft.stream.StreamingLsh.BandRow]
     withStatePartitions(s, 8) {
       withRocksDbState(s) {
-      runWithTempCkpt("graft-sneardup-ckpt") { ckpt =>
-        graft.stream.StreamingLsh.firstInBucket(s, bands)
-          .writeStream.format("memory").queryName("graft_stream_neardup")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      }
+        drainToParquet(s, graft.stream.StreamingLsh.firstInBucket(s, bands).toDF(),
+          "sneardup_out", dir, "graft-sneardup-ckpt")
       }
     }
-    s.table("graft_stream_neardup")
       .groupBy(col("docId"))
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))
       .select(col("docId").as("doc_id"), col("n_hit_bands"),

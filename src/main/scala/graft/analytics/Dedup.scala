@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Spread
@@ -136,6 +137,54 @@ object Dedup {
   def lshCandidatePairs(bandKeys: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
     Buckets.cappedPairs(bandKeys, idCol, maxBucket, "doc_a", "doc_b")
 
+  /** Candidate generation FUSED with the exact n-gram Jaccard verify —
+    * identical pair set and per-pair statistics to
+    * `ngramJaccard(lshCandidatePairs(bandKeys), docs)` (same cap, same
+    * `inter > 0` parity filter), restructured so the shingle sets never
+    * ride a shuffle at PAIR multiplicity. The r15 sf100 autopsy
+    * (SCALE.md): 5M docs produced 78M capped candidates, and the
+    * join-by-pair form attaches each doc's full shingle array to every
+    * pair it appears in (~16 arrays/doc average, hot dup-cluster members
+    * far more) — the (pair × array) intermediate then SHUFFLES into the
+    * second join, ~600 GB of spill at sf100, ENOSPC. Here the sets join
+    * onto the BAND rows instead (each doc's set moves once per band — a
+    * fixed ×2, never ×pairs), the intersect computes inside the bucket
+    * self-join's stage, and only the (doc_a, doc_b, inter, n_a, n_b)
+    * verdict rows — 40 bytes, not kilobytes — reach the pair-dedup
+    * shuffle. Two more bounds keep the set movement itself small: only
+    * docs in SHAREABLE buckets (2 ≤ members ≤ cap) need sets at all, and
+    * their id set is broadcast back into the shingle scan so
+    * non-colliding docs never leave it.
+    */
+  def lshVerifiedPairs(bandKeys: DataFrame, docs: DataFrame, idCol: String,
+                       text: Column, k: Int, maxBucket: Int = 1000): DataFrame = {
+    val shareable = bandKeys
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
+      .drop("_n")
+    val candIds = shareable.select(col(idCol)).distinct()
+    val sets = shingles(
+        docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
+    val banded = shareable.join(sets, Seq(idCol))
+    def side(outId: String, outSs: String) =
+      banded.select(col("band"), col("band_key"),
+        col(idCol).as(outId), col("ss").as(outSs))
+    side("doc_a", "ss_a").join(side("doc_b", "ss_b"), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("inter"),
+        size(col("ss_a")).cast("long").as("n_a"),
+        size(col("ss_b")).cast("long").as("n_b"))
+      // a pair colliding in BOTH bands yields two IDENTICAL verdict rows
+      .distinct()
+      .filter(col("inter") > 0) // parity with ngramJaccard
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash (`bits`-bit, bits <= 16): per-token md5, bit b weighted +1 if
@@ -179,15 +228,22 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    text: Column, k: Int): DataFrame = {
-    // One shuffle total: collapse each doc's distinct shingles to an array
-    // (collect_set, map-side combined), broadcast-join the small pair list
-    // against it twice, and intersect per pair with `array_intersect` —
-    // a per-row hash op instead of a (doc, shingle)-keyed join per side.
-    // Arrays are bounded by document length; candidate pairs per doc are
-    // bounded by LSH upstream, so rows stay small at 100 TB.
+    // CANDIDATE-BOUNDED since r15: the shingle-set aggregation runs only
+    // over docs that appear in `pairs` (broadcast semi join — the id set
+    // is <= 2x|pairs|), so non-candidate docs never leave their scan.
+    // NOTE the per-pair shape that remains: each doc's set array rides
+    // the joins once per pair it appears in, which is fine for the
+    // LINEAR pair sets this generic entry point serves (consecutive-id
+    // demo pairs, the sampled recall eval) but became ~600 GB of shuffle
+    // at sf100's 78M LSH candidates — the corpus-scale pipeline path is
+    // [[lshVerifiedPairs]], where sets move once per BAND instead.
     // shuffle 8-byte hashes, not shingle strings (64-bit collisions are
     // ~1e-8 at billions of shingles — acceptable for near-dup detection)
-    val docSets = shingles(docs, idCol, text, k)
+    val candIds = pairs.select(col("doc_a").as(idCol))
+      .unionByName(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val docSets = shingles(
+        docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
       .groupBy(col(idCol))
       .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
     val inter = pairs

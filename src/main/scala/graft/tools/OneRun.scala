@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Dev probe: run one catalog query at a dir, print timing or the FULL
+  * failure (Bench swallows exceptions into -1 rows by design; autopsies
+  * need the stack).
+  */
+object OneRun {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("graft-onerun")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    try {
+      graft.SparkEntry.queries(q)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      println(f"OK $q ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } catch {
+      case e: Throwable =>
+        println(s"FAIL $q after ${(System.nanoTime() - t0) / 1e9} s")
+        e.printStackTrace()
+    }
+    spark.stop()
+  }
+}

@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   *    user_id, orderkey, custkey) — group COUNT grows 10x, per-group
   *    cardinality stays constant, which is how a real corpus grows.
   *  - documents: replica k rotates the token array by k and appends a
-  *    replica token — shingle/minhash/simhash structure within a replica
-  *    is preserved, but replicas are NOT near-dups of each other, so the
-  *    near-dup graph keeps its density instead of every doc gaining 9
-  *    artificial twins (which would test a 90%-dup corpus, not scale).
+  *    replica token. CAVEAT (r15 measurement): rotation preserves the
+  *    shingle SET almost exactly (only the seam changes), so for
+  *    set-similarity operators the replicas ARE near-dups of each other
+  *    and every ScaleUp application multiplies dup-CLUSTER sizes ~10x —
+  *    candidate pairs/doc measured 0.055 (sf0.1) -> 4.5 (sf1) -> 15.6
+  *    (sf100), i.e. the dedup rows on scaled fixtures stress a
+  *    worst-case dup density that grows with the decade, not the
+  *    constant density of a real corpus. Sequence-order operators
+  *    (tokenizers, LMs, chunking) do see distinct replicas as intended.
+  *    Treat scaled-fixture dedup numbers as upper-bound stress runs;
+  *    SCALE.md (r15) records the ladder.
   *  - embeddings: replica k adds deterministic per-component noise of
   *    magnitude ~0.15 (xxhash64-seeded), same rationale in vector space.
   *

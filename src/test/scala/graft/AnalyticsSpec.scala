@@ -148,6 +148,26 @@ class DedupSpec extends SparkSuite {
     assert(j((1L, 4L)) == 1.0)
     assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
   }
+
+  test("fused bucket-local verify equals ngramJaccard over lshCandidatePairs (incl. cap)") {
+    // the r15 sf100 restructure must be a pure plan change: identical
+    // pair set and per-pair statistics for any cap, including cap-driven
+    // pair suppression
+    val bandKeys = Dedup.lshBandKeys(docs, "doc_id", col("text"), k = 4,
+      numHashes = 8, rowsPerBand = 4)
+    for (cap <- Seq(1000, 2)) {
+      val expected = Dedup.ngramJaccard(
+          Dedup.lshCandidatePairs(bandKeys, "doc_id", maxBucket = cap),
+          docs, "doc_id", col("text"), k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSet
+      val fused = Dedup.lshVerifiedPairs(bandKeys, docs, "doc_id",
+          col("text"), k = 4, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSet
+      assert(fused == expected, s"cap=$cap")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSuite {
