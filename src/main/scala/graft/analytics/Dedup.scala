@@ -163,11 +163,16 @@ object Dedup {
         Window.partitionBy(col("band"), col("band_key"))))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
       .drop("_n")
+    implicit val spark = docs.sparkSession
     val candIds = shareable.select(col(idCol)).distinct()
+    // sets built SORTED (an O(n log n) once per doc) so the per-pair
+    // intersect below is a primitive two-pointer merge, not an
+    // array_intersect hash-set rebuild per candidate pair — see
+    // [[graft.functions.SortedIntersectCount]] for the sf100 numbers
     val sets = shingles(
         docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
       .groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("ss"))
     val banded = shareable.join(sets, Seq(idCol))
     def side(outId: String, outSs: String) =
       banded.select(col("band"), col("band_key"),
@@ -175,7 +180,7 @@ object Dedup {
     side("doc_a", "ss_a").join(side("doc_b", "ss_b"), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount.column(col("ss_a"), col("ss_b")).as("inter"),
         size(col("ss_a")).cast("long").as("n_a"),
         size(col("ss_b")).cast("long").as("n_b"))
       // a pair colliding in BOTH bands yields two IDENTICAL verdict rows
@@ -239,18 +244,19 @@ object Dedup {
     // [[lshVerifiedPairs]], where sets move once per BAND instead.
     // shuffle 8-byte hashes, not shingle strings (64-bit collisions are
     // ~1e-8 at billions of shingles — acceptable for near-dup detection)
+    implicit val spark = docs.sparkSession
     val candIds = pairs.select(col("doc_a").as(idCol))
       .unionByName(pairs.select(col("doc_b").as(idCol)))
       .distinct()
     val docSets = shingles(
         docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
       .groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("shingle"))).as("ss"))
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("ss"))
     val inter = pairs
       .join(docSets.select(col(idCol).as("doc_a"), col("ss").as("ss_a")), "doc_a")
       .join(docSets.select(col(idCol).as("doc_b"), col("ss").as("ss_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount.column(col("ss_a"), col("ss_b")).as("inter"),
         size(col("ss_a")).cast("long").as("n_a"), size(col("ss_b")).cast("long").as("n_b"))
     inter
       .filter(col("inter") > 0) // parity with join-based formulation
