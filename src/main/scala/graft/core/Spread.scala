@@ -10,8 +10,23 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the output work is large. `repartition(col)` alone is AQE-optimizable
   * and collapses right back to a single partition for kilobyte inputs —
   * the explicit partition count pins it.
+  *
+  * The pinned width is max(cores, session shuffle width), NOT the core
+  * count alone: the r15 sf100 probe caught the 32-pinned form starving
+  * the heap at 1000× — every downstream stage whose distribution the
+  * repartition already satisfies (the shingle-set aggregation) inherits
+  * the pinned width, so 5M docs' set buffers landed on 32 tasks and
+  * OOM'd an 8 GB heap REGARDLESS of spark.sql.shuffle.partitions
+  * (SCALE.md, r15 cliff 3). Taking the session shuffle width as the
+  * floor restores the operator's knob: at 100 TB the width scales with
+  * the configured shuffle width, while small-fixture plans (where both
+  * values are the core count) are unchanged.
   */
 object Spread {
-  def byKey(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val width = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    df.repartition(width, key)
+  }
 }

@@ -8,9 +8,15 @@ object OneRun {
   def main(args: Array[String]): Unit = {
     val q = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // SPARK_GRAFT_SHUFFLE overrides the fixed width for scale probes:
+    // at sf100 the per-task slice of a corpus-sized aggregation must
+    // shrink with the data (partitions-per-heap sizing, SCALE.md
+    // "Memory & spill") — the knob proves that rule without changing
+    // the recorded 32-wide methodology of smaller-SF probes
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").appName("graft-onerun")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
