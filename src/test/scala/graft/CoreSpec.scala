@@ -118,3 +118,25 @@ class DdlSpec extends SparkSuite {
     assert(!isDdl("ALTERNATIVE TABLE t1")) // prefix confusion guard
   }
 }
+
+/** Pins the cliff-3 fix (SCALE.md, r15): the pre-fan-out width must take
+  * the session's configured shuffle width as a floor — a width pinned to
+  * the core count alone disconnects spark.sql.shuffle.partitions from
+  * every fan-out-downstream stage and starves memory at 1000×.
+  */
+class SpreadSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("byKey width follows the session shuffle width when it exceeds cores") {
+    val df = (1 to 100).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      assert(graft.core.Spread.byKey(df, col("id")).rdd.getNumPartitions == 64)
+      // small-fixture configs (width == cores) keep the historical plan
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assert(graft.core.Spread.byKey(df, col("id")).rdd.getNumPartitions ==
+        math.max(spark.sparkContext.defaultParallelism, prev.toInt))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
