@@ -127,6 +127,11 @@ object QueriesQuality {
     * (na or nb = 0) makes the statistic undefined — the numerator is then
     * identically 0 and the `greatest(na·nb, 1)` guard lands ks_mills = 0
     * in both engines instead of a NULL-vs-division-error disagreement.
+    * The GATED output carries ks_num as STRING: the decimal arithmetic
+    * stays internal, but a raw DECIMAL output column proved
+    * canonicalization-fragile across harnesses (r15: bit-identical values,
+    * divergent decimal rendering between parquet readers) — digits-only
+    * STRING is exact at any magnitude and renderer-proof.
     */
   private def ksFromHistogram(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
@@ -140,7 +145,8 @@ object QueriesQuality {
       .groupBy(col("event_type"), col("na"), col("nb"))
       .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
         .cast(dec).as("ks_num"))
-      .select(col("event_type"), col("na"), col("nb"), col("ks_num"),
+      .select(col("event_type"), col("na"), col("nb"),
+        col("ks_num").cast("string").as("ks_num"),
         expr(s"cast((1000 * ks_num) div greatest(cast(na as $dec) * nb, 1) as bigint)")
           .as("ks_mills"))
   }
@@ -400,10 +406,11 @@ object QueriesQuality {
         |  FROM h)
         |-- numerator in HUGEINT (128-bit): floor `//` semantics like the
         |-- original BIGINT form, no Int64 ceiling — DECIMAL `//` in DuckDB
-        |-- ROUNDS rather than floors, so only ks_num's OUTPUT is cast to
-        |-- DECIMAL(38,0) (matching the Spark schema)
+        |-- ROUNDS rather than floors. ks_num's OUTPUT is VARCHAR (digits
+        |-- only, matching the Spark STRING column): a raw DECIMAL output
+        |-- proved canonicalization-fragile across harnesses (r15)
         |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-        |  CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)) AS DECIMAL(38,0)) AS ks_num,
+        |  CAST(MAX(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)) AS VARCHAR) AS ks_num,
         |  CAST((1000 * MAX(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)))
         |       // GREATEST(CAST(na AS HUGEINT) * nb, 1) AS BIGINT) AS ks_mills
         |FROM c GROUP BY event_type, na, nb""".stripMargin

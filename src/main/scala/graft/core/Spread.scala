@@ -21,6 +21,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * floor restores the operator's knob: at 100 TB the width scales with
   * the configured shuffle width, while small-fixture plans (where both
   * values are the core count) are unchanged.
+  *
+  * Trade-off (documented, accepted): the width is read at
+  * DataFrame-CONSTRUCTION time from the session conf, and EVERY Spread
+  * call site in the session inherits it — raising
+  * spark.sql.shuffle.partitions for one large query also widens tiny
+  * fan-outs built while it is set. Scope large shuffle-width settings to
+  * the scale run (as OneRun's SPARK_GRAFT_SHUFFLE knob does) rather than
+  * setting them session-globally; the cost is only extra small tasks,
+  * never correctness.
   */
 object Spread {
   def byKey(df: DataFrame, key: Column): DataFrame = {

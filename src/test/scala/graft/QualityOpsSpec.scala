@@ -32,9 +32,9 @@ class QualityOpsSpec extends SparkSuite {
       val r = rows(etype)
       assert(r.getAs[Long]("na") == a.length.toLong, s"$etype na")
       assert(r.getAs[Long]("nb") == b.length.toLong, s"$etype nb")
-      // ks_num is DECIMAL(38,0) (the Int64-overflow-proof numerator)
-      assert(r.getAs[java.math.BigDecimal]("ks_num").longValueExact() == ksNum,
-        s"$etype ks_num")
+      // ks_num carries DECIMAL(38,0) internally (Int64-overflow-proof)
+      // but the gated output is digits-only STRING (canonicalization-proof)
+      assert(r.getAs[String]("ks_num").toLong == ksNum, s"$etype ks_num")
       assert(r.getAs[Long]("ks_mills") ==
         (1000L * ksNum) / (a.length.toLong * b.length), s"$etype ks_mills")
     }
