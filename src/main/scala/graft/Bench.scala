@@ -121,6 +121,17 @@ object Bench {
         (f.getTotalSpace / (1 << 20), f.getUsableSpace / (1 << 20))
       } catch { case _: Throwable => (-1L, -1L) }
     val (tmpTotalMb, tmpFreeStartMb) = tmpFill()
+    // stamp the producing commit so tools/bench_adjudicate.py can
+    // auto-run the control replay (prior commit, same window) without
+    // a hand-supplied sha
+    val gitHead: Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out)
+        else None
+      } catch { case _: Throwable => None }
 
     // warmup: JVM + codegen + parquet footer/page caches for every input.
     // FIXTURE-WARMTH PROBE: time the same full-fixture scan twice. The
@@ -352,7 +363,7 @@ object Bench {
     val fixtureColdStart = fixtureScan1 > 0 && fixtureScan2 > 0 &&
       fixtureScan1 / fixtureScan2 > 1.5
     val machineJson =
-      s""""machine":{"mem_available_start_kb":$memAvailStart,"mem_available_end_kb":$memAvailEnd,"page_cached_start_kb":$cachedStart,"tmp_total_mb":$tmpTotalMb,"tmp_free_start_mb":$tmpFreeStartMb,"tmp_free_end_mb":$tmpFreeEndMb,"fixture_scan1_s":${j(fixtureScan1)},"fixture_scan2_s":${j(fixtureScan2)},"fixture_cold_start":$fixtureColdStart}"""
+      s""""machine":{"git_head":${gitHead.map("\"" + _ + "\"").getOrElse("null")},"mem_available_start_kb":$memAvailStart,"mem_available_end_kb":$memAvailEnd,"page_cached_start_kb":$cachedStart,"tmp_total_mb":$tmpTotalMb,"tmp_free_start_mb":$tmpFreeStartMb,"tmp_free_end_mb":$tmpFreeEndMb,"fixture_scan1_s":${j(fixtureScan1)},"fixture_scan2_s":${j(fixtureScan2)},"fixture_cold_start":$fixtureColdStart}"""
     val loadJson =
       s""""load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"calib_idle_ref_s":${j(calibRef)},"loadavg_start":[${loadStart.map(j).mkString(",")}],"loadavg_end":[${loadEnd.map(j).mkString(",")}],$machineJson"""
     val total = results.map(_._2).filter(_ >= 0).sum

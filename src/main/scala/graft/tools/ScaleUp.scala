@@ -14,29 +14,40 @@ import org.apache.spark.sql.functions._
   *  - events/lineitem/orders: replicate 10x with key shifts (event_id,
   *    user_id, orderkey, custkey) — group COUNT grows 10x, per-group
   *    cardinality stays constant, which is how a real corpus grows.
-  *  - documents: replica k rotates the token array by k and appends a
-  *    replica token. CAVEAT (r15 measurement): rotation preserves the
-  *    shingle SET almost exactly (only the seam changes), so for
-  *    set-similarity operators the replicas ARE near-dups of each other
-  *    and every ScaleUp application multiplies dup-CLUSTER sizes ~10x —
-  *    candidate pairs/doc measured 0.055 (sf0.1) -> 4.5 (sf1) -> 15.6
-  *    (sf100), i.e. the dedup rows on scaled fixtures stress a
-  *    worst-case dup density that grows with the decade, not the
-  *    constant density of a real corpus. Sequence-order operators
-  *    (tokenizers, LMs, chunking) do see distinct replicas as intended.
-  *    Treat scaled-fixture dedup numbers as upper-bound stress runs;
-  *    SCALE.md (r15) records the ladder.
+  *  - documents: replica k>0 applies SALTED TOKEN SUBSTITUTION — each
+  *    token is replaced, with probability ~0.4 keyed on
+  *    xxhash64(token, salt), by a short hash-derived token. The decision
+  *    and the replacement depend on token CONTENT and the replica salt
+  *    only (never doc_id or position), so two near-dup originals map to
+  *    near-dup replicas with ~the same Jaccard (shared token runs
+  *    substitute identically) — dup DENSITY stays constant across
+  *    decades — while replica-vs-original and replica-vs-replica
+  *    character-8-shingle Jaccard lands well under the 0.5 verify
+  *    threshold ((1-p)^2 shingle survival for windows spanning ~2
+  *    tokens; measured, see FIXTURES.md). This replaces the r12-r15
+  *    ROTATION rule, whose replicas preserved the shingle SET and
+  *    multiplied dup-cluster sizes ~10x per decade (pairs/doc 0.055 →
+  *    4.5 → 15.6; r15 verdict task 3). A per-generation tag token is
+  *    appended so short docs that draw zero substitutions still differ
+  *    textually from their original.
   *  - embeddings: replica k adds deterministic per-component noise of
   *    magnitude ~0.15 (xxhash64-seeded), same rationale in vector space.
   *
-  * Key-shift scale (arg 2, default 1): the replica offsets are
-  * `rep * base * shiftScale`. Applying ScaleUp TWICE with the same
-  * offsets convolves the shifts (rep1+rep2 collides: sf1→sf10 left
-  * doc_id at 5.26x multiplicity — 95k distinct ids over 500k rows —
-  * which the sf10 profiles absorbed but a third application would
-  * compound to ~36x). For the sf100 decade pass shiftScale=100 so the
-  * new offsets clear every id the sf10 fixture already contains and
-  * per-id multiplicity stays at the sf10 level instead of convolving.
+  * Key-shift scale (arg 2): the replica offsets are
+  * `rep * base * shiftScale`. Chained applications must use shiftScale
+  * 1, 10, 100 (sf0.1→sf1→sf10→sf100) so the final id is the unique
+  * base-10 digit decomposition orig + r1·b + r2·10b + r3·100b — no id
+  * ever collides across replicas or decades (the r12-r15 chain used
+  * 1, 1, 100 and left sf10 doc_id at 5.26x multiplicity, which merged
+  * unrelated texts under one id in doc-keyed operators).
+  *
+  * Salt base (arg 4): replica salts are `saltBase + rep`. Each decade
+  * hop must pass a DISTINCT base (0, 10, 20) — reusing a salt across
+  * applications would make generation-2's rep-k replica of an original
+  * doc reproduce generation-1's rep-k replica EXACTLY (same content-
+  * keyed map), planting ~9 exact-dup collisions per original doc per
+  * decade. rep 0 is always the identity, so earlier-generation docs
+  * carry through unchanged.
   */
 object ScaleUp {
   val Copies = 10
@@ -46,6 +57,7 @@ object ScaleUp {
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val shiftScale = if (args.length > 2) args(2).toLong else 1L
     val outParts = if (args.length > 3) args(3).toInt else 8
+    val saltBase = if (args.length > 4) args(4).toLong else 0L
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scaleup")
@@ -88,16 +100,28 @@ object ScaleUp {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val toks = split(col("text"), " ")
-    val rot = pmod(col("rep"), size(toks))
-    val rotated = concat(slice(toks, rot + 1, size(toks) - rot),
-      slice(toks, lit(1), rot), array(concat(lit("r"), col("rep"))))
+    val salt = lit(saltBase) + col("rep")
+    // content-keyed substitution: same (token, salt) → same verdict and
+    // same replacement everywhere in the replica, so shared token runs
+    // between near-dup docs stay shared (density-preserving), while
+    // ~40% of each doc's tokens change vs its original (J << 0.5)
+    // replacement chars all come from the hash — a CONSTANT marker
+    // prefix would make every substituted token share its first char,
+    // and 8-char shingles that span a token boundary would then lose
+    // their next-token context signal (measured: background cross-doc
+    // shingle Jaccard rises with p instead of falling)
+    val subbed = transform(toks, t =>
+      when(pmod(xxhash64(t, salt), lit(100)) < lit(40),
+        lower(substring(hex(xxhash64(t, salt, lit("sub"))), 1, 6)))
+        .otherwise(t))
+    val salted = array_join(
+      concat(subbed, array(concat(lit("g"), salt))), " ")
     write(docs.crossJoin(replicas).select(
       (col("doc_id") + col("rep") * lit(100000000L * shiftScale)).as("doc_id"),
-      when(col("rep") === 0, col("text"))
-        .otherwise(array_join(rotated, " ")).as("text"),
+      when(col("rep") === 0, col("text")).otherwise(salted).as("text"),
       col("lang"), col("source"),
       when(col("rep") === 0, col("n_chars"))
-        .otherwise(length(array_join(rotated, " ")).cast("long")).as("n_chars")),
+        .otherwise(length(salted).cast("long")).as("n_chars")),
       "documents")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")

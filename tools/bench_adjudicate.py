@@ -21,13 +21,29 @@ Also prints the machine-evidence block when present (load calib, page
 cache, fixture warmth), since "ambient" claims should be read against it.
 
 Usage: python3 tools/bench_adjudicate.py <current.json> <prior.json>
-       [threshold=1.3] [--json out.json]
+       [threshold=1.3] [--json out.json] [--control auto|off|force]
+       [--control-commit SHA] [--control-ratio 1.15]
 
 --json writes the full per-row classification (plus the machine-evidence
 block and totals) as a committed artifact, e.g. ADJUDICATION_r{N}.json —
 so the judge reads computed verdicts, not narrative.
+
+Control replay (r15 verdict task 5, auto-run by default with --json):
+whenever the common-subset ratio exceeds --control-ratio (1.15), the
+machine-state explanation must be PROVEN, not narrated — the tool checks
+out the PRIOR artifact's producing commit (machine.git_head, stamped by
+Bench since r16; override with --control-commit) into a scratch git
+worktree, replays the same bench in the same environment window, and
+embeds a `control` block: {commit, total_control_s, ratio_vs_control,
+counts_vs_control}. ratio_vs_control ~1.0x while the raw ratio is 1.3x
+is machine-adjudicated ambient inflation; ratio_vs_control staying high
+is a genuine regression. --control off skips it; force runs it even
+under the trigger ratio.
 """
-import sys, json
+import json
+import os
+import subprocess
+import sys
 
 
 def load(path):
@@ -40,31 +56,10 @@ def load(path):
     return d, qs, spread
 
 
-def main():
-    args = list(sys.argv[1:])
-    json_out = None
-    if "--json" in args:
-        i = args.index("--json")
-        json_out = args[i + 1]
-        del args[i:i + 2]
-    cur_path, prior_path = args[0], args[1]
-    thr = float(args[2]) if len(args) > 2 else 1.3
-    cur, cur_q, cur_s = load(cur_path)
-    _, prior_q, _ = load(prior_path)
-
-    mach = cur.get("machine")
-    if mach:
-        warm = "COLD" if mach.get("fixture_cold_start") else "warm"
-        print(f"machine: calib={cur.get('calib_median_s')} "
-              f"(idle ref {cur.get('calib_idle_ref_s')}), "
-              f"load_suspect={cur.get('load_suspect')}, fixtures={warm} "
-              f"(scan1={mach.get('fixture_scan1_s')}s scan2={mach.get('fixture_scan2_s')}s), "
-              f"page_cached_start={mach.get('page_cached_start_kb', 0) // 1024}MB, "
-              f"tmp_free={mach.get('tmp_free_start_mb')}MB")
-
-    common = sorted(set(cur_q) & set(prior_q))
+def classify(cur_q, cur_s, prior_q, thr):
+    """Per-query verdicts {q: (verdict, cur, prior, min, suspect)}."""
     verdicts = {}
-    for q in common:
+    for q in sorted(set(cur_q) & set(prior_q)):
         c, p = cur_q[q], prior_q[q]
         if c is None or p is None or c < 0 or p <= 0:
             continue
@@ -80,6 +75,69 @@ def main():
         else:
             v = "regressed"
         verdicts[q] = (v, c, p, mn, suspect)
+    return verdicts
+
+
+def run_control(commit, sf_dir, repo_root):
+    """Replay the bench at `commit` in a scratch worktree, same window.
+
+    Returns (queries, meta) parsed from the control run's BENCH_FULL.json,
+    or (None, reason) on failure. Never raises: the control is evidence,
+    not a gate, and a broken replay must not lose the adjudication.
+    """
+    wt = f"/tmp/graft_ctrl_{commit[:12]}"
+    try:
+        if not os.path.isdir(wt):
+            subprocess.run(["git", "worktree", "add", "--detach", wt, commit],
+                           cwd=repo_root, check=True, capture_output=True)
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd=wt, env=env, capture_output=True, text=True,
+                           timeout=3600)
+        full = os.path.join(wt, "BENCH_FULL.json")
+        if not os.path.isfile(full):
+            tail = (r.stdout or "")[-500:]
+            return None, f"control bench produced no BENCH_FULL.json: {tail}"
+        d = json.load(open(full))
+        return d.get("queries", {}) or {}, d
+    except Exception as e:
+        return None, f"control replay failed: {e}"
+
+
+def main():
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+
+    def opt(name, default):
+        if name in args:
+            i = args.index(name)
+            v = args[i + 1]
+            del args[i:i + 2]
+            return v
+        return default
+    control_mode = opt("--control", "auto" if json_out else "off")
+    control_commit = opt("--control-commit", None)
+    control_ratio = float(opt("--control-ratio", "1.15"))
+    cur_path, prior_path = args[0], args[1]
+    thr = float(args[2]) if len(args) > 2 else 1.3
+    cur, cur_q, cur_s = load(cur_path)
+    prior, prior_q, _ = load(prior_path)
+
+    mach = cur.get("machine")
+    if mach:
+        warm = "COLD" if mach.get("fixture_cold_start") else "warm"
+        print(f"machine: calib={cur.get('calib_median_s')} "
+              f"(idle ref {cur.get('calib_idle_ref_s')}), "
+              f"load_suspect={cur.get('load_suspect')}, fixtures={warm} "
+              f"(scan1={mach.get('fixture_scan1_s')}s scan2={mach.get('fixture_scan2_s')}s), "
+              f"page_cached_start={mach.get('page_cached_start_kb', 0) // 1024}MB, "
+              f"tmp_free={mach.get('tmp_free_start_mb')}MB")
+
+    verdicts = classify(cur_q, cur_s, prior_q, thr)
 
     order = {"regressed": 0, "ambient": 1, "faster": 2, "steady": 3}
     counts = {}
@@ -96,6 +154,54 @@ def main():
     print(f"\ncommon queries: {len(verdicts)}; totals {tot_c:.1f}s vs "
           f"{tot_p:.1f}s ({ratio}); "
           + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
+
+    # ---- control replay: machine-adjudicate ambient inflation ----
+    control_block = None
+    raw_ratio = tot_c / tot_p if tot_p > 0 else 0.0
+    want_control = control_mode == "force" or (
+        control_mode == "auto" and raw_ratio > control_ratio)
+    if want_control:
+        commit = control_commit or (prior.get("machine") or {}).get("git_head")
+        sf_dir = cur.get("sf")
+        if not commit:
+            control_block = {"skipped": "no control commit (prior artifact "
+                            "has no machine.git_head; pass --control-commit)"}
+        elif not sf_dir or not os.path.isdir(sf_dir):
+            control_block = {"skipped": f"sf dir unavailable: {sf_dir}"}
+        else:
+            print(f"\nratio x{raw_ratio:.2f} > {control_ratio} — replaying "
+                  f"control commit {commit[:12]} at {sf_dir} ...")
+            repo_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            ctrl_q, ctrl_meta = run_control(commit, sf_dir, repo_root)
+            if ctrl_q is None:
+                control_block = {"skipped": ctrl_meta}
+                print(f"control: {ctrl_meta}")
+            else:
+                cv = classify(cur_q, cur_s, ctrl_q, thr)
+                c_tot = sum(c for _, c, _, _, _ in cv.values())
+                c_ctl = sum(p for _, _, p, _, _ in cv.values())
+                c_counts = {}
+                for v, *_ in cv.values():
+                    c_counts[v] = c_counts.get(v, 0) + 1
+                control_block = {
+                    "commit": commit, "sf": sf_dir,
+                    "common_queries": len(cv),
+                    "total_current_common_s": round(c_tot, 3),
+                    "total_control_s": round(c_ctl, 3),
+                    "ratio_vs_control":
+                        round(c_tot / c_ctl, 4) if c_ctl > 0 else None,
+                    "control_calib_median_s":
+                        ctrl_meta.get("calib_median_s"),
+                    "counts_vs_control": c_counts,
+                    "regressed_vs_control": sorted(
+                        q for q, (v, *_) in cv.items() if v == "regressed"),
+                }
+                print(f"control ({commit[:12]}): {c_tot:.1f}s vs "
+                      f"{c_ctl:.1f}s = x{c_tot / c_ctl:.2f} over "
+                      f"{len(cv)} queries; " + ", ".join(
+                          f"{k}={v}" for k, v in sorted(c_counts.items())))
+
     if json_out:
         artifact = {
             "current": cur_path, "prior": prior_path, "threshold": thr,
@@ -111,6 +217,7 @@ def main():
                          "min_s": mn, "spread_suspect": sus,
                          "ratio": round(c / p, 4)}
                      for q, (v, c, p, mn, sus) in sorted(verdicts.items())},
+            "control": control_block,
         }
         with open(json_out, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
