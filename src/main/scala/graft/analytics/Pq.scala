@@ -117,8 +117,17 @@ object Pq {
     // their centroid: the model is bit-identical (PqSpec pins it).
     val q = emb.select(id.cast("long").as("vec_id"),
       Similarity.quantize(vec).as("q"))
-    val sample = q.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(TrainSampleCap)
+    // The k seed vectors (lowest vec_ids) ride the sample UNCONDITIONALLY:
+    // a hash-ranked draw keeps each id with p = cap/n, so past the cap
+    // (first crossed at sf100's 2M vectors — caught by the r16 probe) the
+    // seed filter below would find only ~k·p of them and the require
+    // would trip. Below the cap the union is the identical whole-corpus
+    // sample (seeds ∪ rest = corpus when n ≤ cap), so every gated model
+    // is bit-identical to the pre-fix history.
+    val sample = q.filter(col("vec_id") < k)
+      .union(q.filter(col("vec_id") >= k)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(TrainSampleCap - k))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
