@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic 10x scale-up of the sf0.1 fixtures into a bench-only
@@ -52,6 +52,31 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   val Copies = 10
 
+  /** Salted-substitution text for one replica: each whitespace token is
+    * replaced with probability ~0.4 keyed on xxhash64(token, salt) by 6
+    * hash-derived chars, and a per-generation tag token is appended.
+    *
+    * Content-keyed: the verdict and the replacement depend on (token,
+    * salt) only — never doc_id or position — so shared token runs
+    * between near-dup docs substitute identically (density-preserving),
+    * while ~40% of each doc's tokens change vs its original (replica
+    * shingle Jaccard lands well under the 0.5 verify threshold). The
+    * replacement chars ALL come from the hash: a constant marker prefix
+    * would make every substituted token share its first char, and
+    * 8-char shingles spanning a token boundary would lose their
+    * next-token context signal (measured: background cross-doc shingle
+    * Jaccard RISES with p instead of falling; FIXTURES.md calibration
+    * history). Exposed as a function so ScaleUpSpec can pin the
+    * contract.
+    */
+  def saltedText(text: Column, salt: Column): Column = {
+    val subbed = transform(split(text, " "), t =>
+      when(pmod(xxhash64(t, salt), lit(100)) < lit(40),
+        lower(substring(hex(xxhash64(t, salt, lit("sub"))), 1, 6)))
+        .otherwise(t))
+    array_join(concat(subbed, array(concat(lit("g"), salt))), " ")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -99,23 +124,7 @@ object ScaleUp {
       col("o_orderpriority")), "orders")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val toks = split(col("text"), " ")
-    val salt = lit(saltBase) + col("rep")
-    // content-keyed substitution: same (token, salt) → same verdict and
-    // same replacement everywhere in the replica, so shared token runs
-    // between near-dup docs stay shared (density-preserving), while
-    // ~40% of each doc's tokens change vs its original (J << 0.5)
-    // replacement chars all come from the hash — a CONSTANT marker
-    // prefix would make every substituted token share its first char,
-    // and 8-char shingles that span a token boundary would then lose
-    // their next-token context signal (measured: background cross-doc
-    // shingle Jaccard rises with p instead of falling)
-    val subbed = transform(toks, t =>
-      when(pmod(xxhash64(t, salt), lit(100)) < lit(40),
-        lower(substring(hex(xxhash64(t, salt, lit("sub"))), 1, 6)))
-        .otherwise(t))
-    val salted = array_join(
-      concat(subbed, array(concat(lit("g"), salt))), " ")
+    val salted = saltedText(col("text"), lit(saltBase) + col("rep"))
     write(docs.crossJoin(replicas).select(
       (col("doc_id") + col("rep") * lit(100000000L * shiftScale)).as("doc_id"),
       when(col("rep") === 0, col("text")).otherwise(salted).as("text"),
