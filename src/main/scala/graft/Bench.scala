@@ -124,14 +124,26 @@ object Bench {
     // stamp the producing commit so tools/bench_adjudicate.py can
     // auto-run the control replay (prior commit, same window) without
     // a hand-supplied sha
-    val gitHead: Option[String] =
+    def gitLine(cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        val p = new ProcessBuilder(cmd: _*)
           .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes()).trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out)
-        else None
+        if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
+    // A dirty working tree means HEAD is NOT the code that produced this
+    // artifact — replaying that commit as an adjudication control would be
+    // a silently wrong control. Stamp git_head:null plus git_dirty:true so
+    // tools/bench_adjudicate.py refuses the replay instead of trusting it.
+    val gitDirty = gitLine("git", "status", "--porcelain").exists(_.nonEmpty)
+    val gitHead: Option[String] =
+      gitLine("git", "rev-parse", "HEAD")
+        .filter(_.matches("[0-9a-f]{40}")).filterNot(_ => gitDirty)
+    // Stamp every SPARK_GRAFT_* knob that shaped this run, so the control
+    // replay reconstructs the exact bench configuration instead of
+    // inheriting whatever the adjudicator's shell happens to export.
+    val graftEnv: Map[String, String] =
+      sys.env.filter { case (k, _) => k.startsWith("SPARK_GRAFT_") }
 
     // warmup: JVM + codegen + parquet footer/page caches for every input.
     // FIXTURE-WARMTH PROBE: time the same full-fixture scan twice. The
@@ -289,10 +301,40 @@ object Bench {
     // floors are calibrated at sf0.1 — at smaller factors fixed per-batch
     // overhead dominates rows/s and would false-alarm
     val floorsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val floorVerdicts = throughput.map { case (n, v) =>
-      val ok = !floorsApply || v < 0 || floors.get(n).forall(v >= _) // a failed query already reports -1
+    val floorFirst = throughput.map { case (n, v) =>
+      n -> (!floorsApply || v < 0 || floors.get(n).forall(v >= _)) // a failed query already reports -1
+    }
+    // FLOOR SELF-ADJUDICATION (r16 verdict task 2): floors are calibrated
+    // on an idle machine, so a hot window (external load) trips them while
+    // the plan is unchanged — r16's artifact shipped two floor reds that
+    // only a later cooler run and the control replay excused. Make the
+    // artifact carry its own evidence instead: each floor-red row is
+    // re-measured ONCE at the end of the sweep (these queries cost 2-7 s)
+    // bracketed by a fresh calibration sample, and the verdict admits a
+    // load-scaled floor — floor x (idle_ref / calib_at_retry), clamped at
+    // no lower than x0.4 so a saturated machine can never excuse a real
+    // source regression. Every non-green verdict then carries the retry
+    // numbers in the artifact itself.
+    val floorRetry: Map[String, (Double, Double, Double, Double)] =
+      floorFirst.collect { case (n, false) =>
+        val calibAtRetry = try calibOnce() catch { case _: Throwable => -1.0 }
+        val sec = onceClean(n)
+        val rows = try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val rps = if (sec > 0 && rows >= 0) math.round(rows / sec).toDouble else -1.0
+        val scale = if (calibAtRetry > 0) math.max(0.4, math.min(1.0, calibRef / calibAtRetry)) else 1.0
+        n -> ((sec, rps, calibAtRetry, floors(n) * scale))
+      }.toMap
+    val floorVerdicts = floorFirst.map { case (n, firstOk) =>
+      val ok = firstOk || floorRetry.get(n).exists { case (_, rps, _, adjFloor) =>
+        rps >= floors(n) || rps >= adjFloor
+      }
       if (!ok) System.err.println(
-        s"FLOOR VIOLATION: $n at ${math.round(v)} rows/s, floor ${floors(n).toLong}")
+        s"FLOOR VIOLATION: $n at ${math.round(throughput.toMap.apply(n))} rows/s, floor ${floors(n).toLong} (retry did not recover)")
+      else if (!firstOk) {
+        val (_, rps, calib, adj) = floorRetry(n)
+        System.err.println(
+          f"FLOOR RETRY GREEN: $n first pass ${math.round(throughput.toMap.apply(n))} rows/s < ${floors(n).toLong}, retry ${math.round(rps)} rows/s vs load-adjusted floor ${adj}%.0f (calib $calib%.2f s)")
+      }
       n -> ok
     }
 
@@ -354,6 +396,15 @@ object Bench {
       .map(k => "\"" + k + "\":" + j(resMap(k))).mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
     val fv = floorVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+    // embedded re-measure evidence for every floor row that was red on the
+    // first pass — a floor verdict is either green outright or carries its
+    // own retry numbers (sec, rows/s, bracketing calib, load-adjusted floor)
+    val floorRetryJson = floorRetry.toSeq.sortBy(_._1).map {
+      case (k, (sec, rps, calib, adjFloor)) =>
+        "\"" + k + "\":{\"retry_sec\":" + j(sec) + ",\"retry_rows_per_sec\":" +
+          math.round(rps) + ",\"calib_at_retry_s\":" + j(calib) +
+          ",\"adjusted_floor\":" + math.round(adjFloor) + "}"
+    }.mkString("{", ",", "}")
     val cv = ceilingVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
     // the load instruments belong IN the artifact: a reader of
     // BENCH_r{N}.json must be able to tell a loaded run from engine drift
@@ -362,8 +413,11 @@ object Bench {
     val (_, tmpFreeEndMb) = tmpFill()
     val fixtureColdStart = fixtureScan1 > 0 && fixtureScan2 > 0 &&
       fixtureScan1 / fixtureScan2 > 1.5
+    val envJson = graftEnv.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val machineJson =
-      s""""machine":{"git_head":${gitHead.map("\"" + _ + "\"").getOrElse("null")},"mem_available_start_kb":$memAvailStart,"mem_available_end_kb":$memAvailEnd,"page_cached_start_kb":$cachedStart,"tmp_total_mb":$tmpTotalMb,"tmp_free_start_mb":$tmpFreeStartMb,"tmp_free_end_mb":$tmpFreeEndMb,"fixture_scan1_s":${j(fixtureScan1)},"fixture_scan2_s":${j(fixtureScan2)},"fixture_cold_start":$fixtureColdStart}"""
+      s""""machine":{"git_head":${gitHead.map("\"" + _ + "\"").getOrElse("null")},"git_dirty":$gitDirty,"env":$envJson,"mem_available_start_kb":$memAvailStart,"mem_available_end_kb":$memAvailEnd,"page_cached_start_kb":$cachedStart,"tmp_total_mb":$tmpTotalMb,"tmp_free_start_mb":$tmpFreeStartMb,"tmp_free_end_mb":$tmpFreeEndMb,"fixture_scan1_s":${j(fixtureScan1)},"fixture_scan2_s":${j(fixtureScan2)},"fixture_cold_start":$fixtureColdStart}"""
     val loadJson =
       s""""load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"calib_idle_ref_s":${j(calibRef)},"loadavg_start":[${loadStart.map(j).mkString(",")}],"loadavg_end":[${loadEnd.map(j).mkString(",")}],$machineJson"""
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -374,7 +428,7 @@ object Bench {
         ",\"ratio\":" + j(ratio) + ",\"suspect\":" + sus + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"spread":$spreadJson,"spread_suspects":[${spreadSuspects.map("\"" + _ + "\"").mkString(",")}],"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"spread":$spreadJson,"spread_suspects":[${spreadSuspects.map("\"" + _ + "\"").mkString(",")}],"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_retry":$floorRetryJson,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
@@ -385,7 +439,7 @@ object Bench {
     // few names); per-query min/max/ratio live in the full artifact
     val susHead = spreadSuspects.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"spread_suspect_n":${spreadSuspects.size},"spread_suspects_head":$susHead,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_retry":$floorRetryJson,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"spread_suspect_n":${spreadSuspects.size},"spread_suspects_head":$susHead,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

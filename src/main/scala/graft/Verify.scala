@@ -21,9 +21,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A lint rejection must be a LOUD verify-time failure, not a soft skip:
+    // if outDir is reused (dev loops re-pointing at the same dir), a
+    // previously written parquet for a rejected query would otherwise
+    // survive and still reach the driver gate. So (a) the stale artifact is
+    // deleted BEFORE the query runs — a failed query can never be
+    // represented by an old result — and (b) lint violations are collected
+    // and fail the whole run with a nonzero exit.
+    val lintFailures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       try {
         val df = fn(spark, sfDir)
         // reject unproven gated-output types BEFORE the parquet lands —
@@ -32,8 +46,12 @@ object Verify {
         graft.core.OutputTypeLint.check(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        case e: graft.core.OutputTypeLint.Violation =>
+          lintFailures += name
+          System.err.println(s"[verify] $name LINT REJECTED: ${e.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // unload dead state-store providers between queries (same churn
       // Bench.onceClean guards against — see its comment), and release
@@ -59,5 +77,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (lintFailures.nonEmpty) {
+      System.err.println(
+        s"[verify] OUTPUT TYPE LINT FAILED for ${lintFailures.size} queries: ${lintFailures.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

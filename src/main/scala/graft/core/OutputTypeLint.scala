@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
   * the gated select.
   */
 object OutputTypeLint {
+  /** Typed rejection so Verify can distinguish a lint violation (must fail
+    * the whole run, exit nonzero) from an ordinary query error (logged,
+    * row absent, driver reports per-query). */
+  final class Violation(msg: String) extends IllegalStateException(msg)
+
   private val proven: Set[DataType] =
     Set(LongType, IntegerType, ShortType, ByteType, StringType, DateType,
       BinaryType, BooleanType, DoubleType)
@@ -37,7 +42,7 @@ object OutputTypeLint {
   /** Throw if the schema carries an unproven gated-output type. */
   def check(query: String, schema: StructType): Unit = {
     val v = violations(schema)
-    if (v.nonEmpty) throw new IllegalStateException(
+    if (v.nonEmpty) throw new Violation(
       s"[output-type-lint] $query emits unproven gated-output type(s) " +
         s"${v.mkString("[", ", ", "]")}; allowed: BIGINT, INT, SMALLINT, " +
         "TINYINT, STRING, DATE, BINARY, BOOLEAN, quantized DOUBLE. " +

@@ -29,10 +29,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * instead by SortedIntersectSpec's parity sweep against array_intersect
   * and by the call sites building sets exclusively via
   * sort_array ∘ collect_set). On sorted distinct inputs the count is
-  * bit-identical to `size(array_intersect(a, b))`.
+  * bit-identical to `size(array_intersect(a, b))`; on UNSORTED or
+  * duplicated input the merge silently undercounts — so a debug-only
+  * per-row assertion (strictly-ascending check on both sides, throwing
+  * with the offending position) can be enabled for new call-site
+  * development via `-Dgraft.sortedIntersect.assert=true` or
+  * `GRAFT_SORTED_ASSERT=1`. The flag is captured at expression
+  * construction (plan time) so the hot path carries zero per-row branch
+  * when off; production call sites never enable it.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // plan-time capture: flipping the flag mid-query is not supported, and
+  // the field serializes with the expression so executor-side eval sees
+  // the driver's setting
+  private val assertSorted: Boolean = SortedIntersectCount.assertEnabled
 
   override def prettyName: String = SortedIntersectCount.name
 
@@ -52,6 +64,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
+    if (assertSorted) {
+      SortedIntersectCount.checkSorted(xs, "left")
+      SortedIntersectCount.checkSorted(ys, "right")
+    }
     val n = xs.numElements()
     val m = ys.numElements()
     var i = 0
@@ -69,6 +85,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // debug-only contract check, compiled in ONLY when the flag was set
+      // at plan time — the production generated code is branch-free
+      val guard =
+        if (assertSorted)
+          s"""
+            |graft.functions.SortedIntersectCount$$.MODULE$$.checkSorted($a, "left");
+            |graft.functions.SortedIntersectCount$$.MODULE$$.checkSorted($b, "right");
+          """.stripMargin
+        else ""
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
@@ -76,6 +101,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+        |$guard
         |${ev.value} = 0L;
         |int $i = 0;
         |int $j = 0;
@@ -98,6 +124,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object SortedIntersectCount {
   val name = "graft_sorted_intersect_count"
+
+  /** Debug-only input-contract flag: when true, every evaluation verifies
+    * both arrays are strictly ascending (which implies distinct) and
+    * throws with the offending position instead of silently
+    * undercounting. Read once per expression CONSTRUCTION (plan time). */
+  def assertEnabled: Boolean =
+    sys.props.get("graft.sortedIntersect.assert").contains("true") ||
+      sys.env.get("GRAFT_SORTED_ASSERT").contains("1")
+
+  /** Strictly-ascending check; called from interpreted eval and from the
+    * generated code's debug guard (hence public + ArrayData-typed). */
+  def checkSorted(xs: ArrayData, side: String): Unit = {
+    val n = xs.numElements()
+    var i = 1
+    while (i < n) {
+      if (xs.getLong(i - 1) >= xs.getLong(i))
+        throw new IllegalStateException(
+          s"$name: $side input violates the sorted-distinct contract at " +
+            s"index $i (${xs.getLong(i - 1)} >= ${xs.getLong(i)}); build " +
+            "inputs via sort_array(collect_set(..))")
+      i += 1
+    }
+  }
 
   def column(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
             (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {

@@ -51,6 +51,37 @@ class SortedIntersectSpec extends SparkSuite {
     }
   }
 
+  test("debug assertion catches unsorted/duplicated input that silently undercounts when off") {
+    import spark.implicits._
+    // misuse: unsorted left, duplicated right — the merge undercounts the
+    // true intersection {1,2,3} without any error when the flag is off
+    val df = Seq((Array(3L, 1L, 2L), Array(1L, 1L, 2L, 3L))).toDF("a", "b")
+    val quiet = df.select(SortedIntersectCount.column(col("a"), col("b")).as("c"))
+      .head().getLong(0)
+    assert(quiet < 3, "the silent-undercount hazard this assertion exists for")
+    System.setProperty("graft.sortedIntersect.assert", "true")
+    try {
+      for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+        spark.conf.set("spark.sql.codegen.factoryMode", mode)
+        try {
+          val e = intercept[Exception] {
+            df.select(SortedIntersectCount.column(col("a"), col("b")).as("c")).head()
+          }
+          def chain(t: Throwable): Seq[Throwable] =
+            Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+          assert(chain(e).exists(t =>
+            Option(t.getMessage).exists(_.contains("sorted-distinct contract"))),
+            s"under $mode got: $e")
+        } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      // sorted-distinct input still evaluates cleanly with the flag on
+      val ok = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+        .select(SortedIntersectCount.column(col("a"), col("b")).as("c"))
+        .head().getLong(0)
+      assert(ok == 2L)
+    } finally System.clearProperty("graft.sortedIntersect.assert")
+  }
+
   test("null arrays yield null; nullable-element arrays are rejected at analysis") {
     import spark.implicits._
     val df = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))

@@ -78,26 +78,55 @@ def classify(cur_q, cur_s, prior_q, thr):
     return verdicts
 
 
-def run_control(commit, sf_dir, repo_root):
+def run_control(commit, sf_dir, repo_root, knobs=None):
     """Replay the bench at `commit` in a scratch worktree, same window.
 
     Returns (queries, meta) parsed from the control run's BENCH_FULL.json,
     or (None, reason) on failure. Never raises: the control is evidence,
     not a gate, and a broken replay must not lose the adjudication.
+
+    Two stale-evidence traps guarded here (r16 ADVICE): BENCH_FULL.json is
+    a git-TRACKED file, so `git worktree add` materializes the control
+    commit's COMMITTED artifact at wt/BENCH_FULL.json — and a reused
+    /tmp/graft_ctrl_* worktree can hold a previous replay's output. If the
+    sbt replay then fails (old-commit compile error, OOM, missing sbt),
+    silently parsing that file would present numbers from a different
+    environment window as a fresh same-window control — defeating the
+    control's purpose. So: delete the file before launching, fail on a
+    nonzero sbt exit, and require the artifact's mtime to postdate the
+    launch.
+
+    `knobs` (the current artifact's machine.env stamp) reconstructs the
+    SPARK_GRAFT_* configuration that shaped the current run, so the
+    control is configured identically instead of inheriting whatever this
+    process's shell exports.
     """
     wt = f"/tmp/graft_ctrl_{commit[:12]}"
     try:
         if not os.path.isdir(wt):
             subprocess.run(["git", "worktree", "add", "--detach", wt, commit],
                            cwd=repo_root, check=True, capture_output=True)
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        full = os.path.join(wt, "BENCH_FULL.json")
+        if os.path.exists(full):
+            os.remove(full)  # committed/stale artifact must never pose as a fresh control
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("SPARK_GRAFT_")}
+        for k, v in (knobs or {}).items():
+            if k.startswith("SPARK_GRAFT_"):
+                env[k] = v
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        t_launch = __import__("time").time()
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            cwd=wt, env=env, capture_output=True, text=True,
                            timeout=3600)
-        full = os.path.join(wt, "BENCH_FULL.json")
+        if r.returncode != 0:
+            tail = ((r.stdout or "") + (r.stderr or ""))[-500:]
+            return None, f"control sbt exited {r.returncode}: {tail}"
         if not os.path.isfile(full):
             tail = (r.stdout or "")[-500:]
             return None, f"control bench produced no BENCH_FULL.json: {tail}"
+        if os.path.getmtime(full) < t_launch:
+            return None, "control BENCH_FULL.json predates the replay launch (stale artifact)"
         d = json.load(open(full))
         return d.get("queries", {}) or {}, d
     except Exception as e:
@@ -161,11 +190,16 @@ def main():
     want_control = control_mode == "force" or (
         control_mode == "auto" and raw_ratio > control_ratio)
     if want_control:
-        commit = control_commit or (prior.get("machine") or {}).get("git_head")
+        prior_mach = prior.get("machine") or {}
+        commit = control_commit or prior_mach.get("git_head")
         sf_dir = cur.get("sf")
         if not commit:
-            control_block = {"skipped": "no control commit (prior artifact "
-                            "has no machine.git_head; pass --control-commit)"}
+            reason = ("prior artifact was produced on a DIRTY tree — "
+                      "git_head would not match the measured code"
+                      if prior_mach.get("git_dirty") else
+                      "no control commit (prior artifact has no "
+                      "machine.git_head; pass --control-commit)")
+            control_block = {"skipped": reason}
         elif not sf_dir or not os.path.isdir(sf_dir):
             control_block = {"skipped": f"sf dir unavailable: {sf_dir}"}
         else:
@@ -173,7 +207,8 @@ def main():
                   f"control commit {commit[:12]} at {sf_dir} ...")
             repo_root = os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))
-            ctrl_q, ctrl_meta = run_control(commit, sf_dir, repo_root)
+            knobs = (cur.get("machine") or {}).get("env") or {}
+            ctrl_q, ctrl_meta = run_control(commit, sf_dir, repo_root, knobs)
             if ctrl_q is None:
                 control_block = {"skipped": ctrl_meta}
                 print(f"control: {ctrl_meta}")
@@ -186,6 +221,8 @@ def main():
                     c_counts[v] = c_counts.get(v, 0) + 1
                 control_block = {
                     "commit": commit, "sf": sf_dir,
+                    "env_knobs": {k: v for k, v in sorted(knobs.items())
+                                  if k.startswith("SPARK_GRAFT_")},
                     "common_queries": len(cv),
                     "total_current_common_s": round(c_tot, 3),
                     "total_control_s": round(c_ctl, 3),
