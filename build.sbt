@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JNI-critical sections (snappy-java page decompression) hold the
+  // GCLocker while 32 concurrent tasks allocate MB-scale buffers; the
+  // JDK default of 2 retry attempts turns that contention into spurious
+  // OOMs with most of the heap free (observed: sf100 scans,
+  // "Retried waiting for GCLocker too often allocating 1048576 words").
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -79,30 +79,90 @@ object QueriesGraph {
         else df.localCheckpoint()
       } finally s.conf.set(k, prev)
     }
+    // BULK variant (r17 cliff 6): the edge and adjacency tables are
+    // corpus-proportional (sf100: ~1.17B directed edges ≈ 19 GB
+    // deserialized), and the default localCheckpoint storage
+    // (MEMORY_AND_DISK, deserialized) UNROLLS each partition in unified
+    // memory while the same stage's sortWithinPartitions is consuming
+    // execution memory — at sf100 the two starved each other to
+    // UNABLE_TO_ACQUIRE_MEMORY. Scan-once-per-round bulk state goes to
+    // DISK_ONLY (serialized, incrementally written — no unroll pinning):
+    // 10 sequential re-reads cost far less than the contention, and the
+    // node-count-sized rank state keeps the fast in-memory default.
+    def truncBulk(df: DataFrame): DataFrame = {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(k)
+      s.conf.set(k, "false")
+      try {
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      } finally s.conf.set(k, prev)
+    }
+    // NO .distinct() here (r17 cliff 6, third lesson): a global distinct
+    // plans a map-side partial hash aggregation whose per-task maps +
+    // spill sorters, 32 concurrent, exhausted the heap at sf100's 600M
+    // join outputs — for a ~2% reduction (587M of 600M pairs are already
+    // unique; the fixture's id shifts make near-every pair distinct).
+    // Dedup instead rides the adjacency build's OWN sort: after
+    // repartition(src) + sortWithinPartitions(src, dst), duplicate
+    // directed edges are ADJACENT, so a lag()-filter on the sorted
+    // stream removes them with zero extra exchange, zero hash maps, and
+    // memory bounded by one window frame. Same distinct-edge semantics,
+    // bit-identical ranks.
+    // SHUFFLE_HASH hint (r17 cliff 6, fourth lesson): the adjacency build
+    // runs with AQE disabled (the checkpoint-partitioning trade above),
+    // which also disables AQE's runtime SMJ→shuffled-hash-join
+    // conversion — so the fact-fact join here planned as sort-merge and
+    // paid TWO corpus-sized sorts (600M lineitem + 150M orders rows at
+    // sf100) inside one stage. The orders build side is the smaller
+    // projection and its per-partition slice fits executor memory at the
+    // probe width (150M rows / 256 partitions ≈ 14 MB hash map), so the
+    // static hint restores exactly the join AQE would have chosen:
+    // streaming probe, no sorts.
     val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .hint("SHUFFLE_HASH"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    // edges and nodes feed every round; localCheckpoint materializes them
-    // ONCE with truncated lineage so the 10 unrolled rounds neither
-    // re-run the lineitem×orders lineage nor re-analyze a growing plan.
-    // (A plain .cache() here measured *slower* than no cache at sf0.1:
-    // the pinned 32-partition blocks defeat AQE's coalescing of these
-    // metadata-sized shuffles. See Dedup.connectedComponents for the
-    // same pattern and the reliable-checkpoint variant at cluster scale.)
-    //
-    // HASH-PARTITIONED BY src AND SORTED within partitions before the
-    // checkpoint: LogicalRDD preserves both outputPartitioning and
-    // outputOrdering, so the one-time deg/adjacency builds below run
-    // without re-shuffling, and the per-round join (against the CSR
-    // adjacency derived from these edges) is exchange-free on both
+    // The adjacency (and the node table derived from it) feeds every
+    // round; its checkpoint materializes ONCE with truncated lineage so
+    // the 10 unrolled rounds neither re-run the lineitem×orders lineage
+    // nor re-analyze a growing plan. (A plain .cache() measured *slower*
+    // than no cache at sf0.1: the pinned 32-partition blocks defeat
+    // AQE's coalescing of these metadata-sized shuffles. See
+    // Dedup.connectedComponents for the same pattern.) LogicalRDD
+    // preserves outputPartitioning and outputOrdering, so the per-round
+    // join against the checkpointed adjacency is exchange-free on both
     // sides. PlanShapeSpec pins the round shape: exactly one exchange
     // (the node aggregation), one sort (the rank side).
-    val edges = trunc(pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+    //
+    // one-pass bidirectional fan-out: a union of two projections embeds
+    // the (expensive) join+distinct plan twice and computes it twice on
+    // materialization — the narrow explode doubles rows in the same pass
+    // (same fix as Dedup.connectedComponentsBody; measured at sf100 the
+    // join is the dominant cost, so the union literally doubled it).
+    //
+    // NO separate edge-table checkpoint (r17 cliff 6, second lesson):
+    // materializing 1.17B directed edges just to re-read them once for
+    // the adjacency build wrote ~20 GB of checkpoint plus a full extra
+    // repartition+sort — at sf100 that transient disk mass (on top of
+    // the join/distinct/window shuffles) was the difference between
+    // finishing and ENOSPC. The CSR adjacency IS the edge set in a
+    // node-count-sized shape; everything downstream (degrees, node
+    // table, the driver-path edge list, nDirected itself) derives from
+    // it with narrow reads, so the edge relation is shuffled exactly
+    // once (the repartition below — the message-passing floor) and
+    // stored exactly once (the adjacency checkpoint).
+    val edgeStream = pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .sortWithinPartitions(col("src")))
+      // pre-sorted on (src, dst): the chunking window below needs exactly
+      // this order, so it runs with no exchange and no extra sort
+      .sortWithinPartitions(col("src"), col("dst"))
     // HYBRID, same stance as Dedup.connectedComponents: the iteration's
     // arithmetic is 64-bit integer fixed point — truncating division per
     // source, long sums per destination — which is ORDER-INDEPENDENT, so
@@ -112,19 +172,6 @@ object QueriesGraph {
     // customer—supplier pairs, bounded by the dim cross product, not the
     // fact table) fits the driver at fixture scale. Above the cap the
     // Pregel loop below takes over unchanged.
-    val nDirected = edges.count()
-    val driverCap = sys.props.get("graft.pagerank.driverEdgeThreshold")
-      .map(_.toLong).getOrElse(2500000L)
-    val integralKeys = edges.schema("src").dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
-      case _ => false
-    }
-    // count cap bounds driver CPU; the bytes gate (fraction of free
-    // driver heap, key-width aware) bounds driver memory — see
-    // core.DriverBudget scaladoc for the estimation model
-    if (nDirected <= driverCap && integralKeys &&
-        graft.core.DriverBudget.fitsDriver(edges, nDirected))
-      return driverPagerank(s, edges, iters)
     // CSR-style adjacency: one row per (src, 64k-chunk of neighbors)
     // instead of one row per edge. The per-round contribution join then
     // touches node-count-sized inputs (the 12M-edge merge join was the
@@ -133,14 +180,49 @@ object QueriesGraph {
     // celebrity node cannot materialize its whole adjacency in one
     // buffer at 100 TB; sum is order-independent so the chunk split
     // cannot perturb the fixed-point arithmetic.
+    //
+    // Plan shape of this one materialization: edgeStream exits the
+    // repartition hash(src)-partitioned and (src, dst)-sorted, so the
+    // window is exchange-free AND sort-free, and the (src, chunk)
+    // aggregation satisfies its ClusteredDistribution via the subset
+    // rule (hash(src) clusters (src, chunk)) — no second shuffle of the
+    // edge relation. The final sortWithinPartitions orders the
+    // node-count-sized RESULT rows only.
     val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val adj = trunc(edges
+    // adjacent-duplicate drop on the sorted stream (see the pairs comment)
+    // — both window passes run exchange-free and sort-free over the
+    // (src, dst)-sorted repartition output; the filter preserves that
+    // order, so row_number's chunking sees exactly the distinct dsts
+    val dedupEdges = edgeStream
+      .withColumn("_prev", lag(col("dst"), 1).over(wSrc))
+      .filter(col("_prev").isNull || col("_prev") =!= col("dst"))
+      .drop("_prev")
+    val adj = truncBulk(dedupEdges
       .withColumn("chunk", ((row_number().over(wSrc) - 1) / 65536).cast("int"))
       .groupBy(col("src"), col("chunk"))
       .agg(collect_list(col("dst")).as("dsts"))
-      .repartition(col("src"))
       .sortWithinPartitions(col("src")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree from the ADJACENCY, not a second pass over the edge relation:
+    // size(dsts) summed per src touches node-count-sized rows (already
+    // hash(src)-partitioned — exchange-free)
+    val deg = adj.groupBy(col("src"))
+      .agg(sum(size(col("dsts"))).cast("long").as("deg"))
+    val nDirected = deg.agg(sum(col("deg"))).head().getLong(0)
+    val driverCap = sys.props.get("graft.pagerank.driverEdgeThreshold")
+      .map(_.toLong).getOrElse(2500000L)
+    val integralKeys = adj.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    // count cap bounds driver CPU; the bytes gate (fraction of free
+    // driver heap, key-width aware) bounds driver memory — see
+    // core.DriverBudget scaladoc for the estimation model. The driver
+    // path re-derives its edge list from the adjacency checkpoint (a
+    // narrow explode — the join is never recomputed).
+    lazy val edgesFromAdj = adj.select(col("src"), explode(col("dsts")).as("dst"))
+    if (nDirected <= driverCap && integralKeys &&
+        graft.core.DriverBudget.fitsDriver(edgesFromAdj, nDirected))
+      return driverPagerank(s, edgesFromAdj, iters)
     val nTotal = deg.agg(count(lit(1)).as("cnt"))
     val nodes = deg.crossJoin(broadcast(nTotal))
       .select(col("src").as("node"), col("deg"),

@@ -316,9 +316,19 @@ object Dedup {
     * compress the remaining chain geometrically — O(log diameter)
     * rounds from there on. The jump join is on the (node, label) set
     * itself, strictly smaller than the edge relation the same round
-    * already shuffles. `maxIter` bounds pathological chains. The
-    * driver-side loop only checks a per-round changed-count (an
-    * aggregate scalar, no data collect).
+    * already shuffles. The driver-side loop only checks a per-round
+    * changed-count (an aggregate scalar, no data collect).
+    *
+    * Round bound: `maxIter` is a FLOOR, not the bound — the loop runs up
+    * to max(maxIter, 12 + 2·ceil(log2(directed edges))) rounds, because
+    * HashMin + single-level jumping needs ~log2(n) rounds in the worst
+    * case and a CONSTANT cap is a scale cliff: the r17 sf100 probe hit
+    * exactly this (3.3M directed candidate edges, largest component 8.0k
+    * nodes at diameter ≥40; the replayed algorithm converges in 22
+    * rounds — one more than log2(n) — while the old cap was 20). At
+    * 10^10 nodes the adaptive bound is ~80 rounds of one keyed shuffle
+    * each, which is this algorithm family's floor anyway; genuine
+    * pathology still fails loud at the bound.
     *
     * Returns (doc_id, component) for every doc that appears in `pairs`.
     */
@@ -332,6 +342,13 @@ object Dedup {
     * loop (false).
     */
   @volatile private[graft] var lastPathDriver: Boolean = false
+
+  /** Adaptive CC round bound: max(caller floor, 12 + 2·ceil-ish log2 of
+    * the directed edge count). Exposed for the bound's own spec — the
+    * integration evidence is the sf100 probe (BASELINE.md r17). */
+  private[graft] def ccRoundBound(maxIter: Int, nDirected: Long): Int =
+    math.max(maxIter,
+      12 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nDirected))))
 
   private def connectedComponentsBody(pairs: DataFrame, maxIter: Int): DataFrame = {
     // Undirected edge list, both directions, in ONE pass over `pairs`: a
@@ -391,7 +408,11 @@ object Dedup {
     var converged = false
     // rounds of plain propagation before pointer jumping kicks in
     val jumpAfter = 3
-    while (iter < maxIter && !converged) {
+    // adaptive bound (see scaladoc): HashMin + single jump needs ~log2(n)
+    // worst-case rounds; a constant cap broke at the sf100 probe (22
+    // rounds needed, cap 20). maxIter stays a caller-raisable floor.
+    val roundBound = ccRoundBound(maxIter, nDirected)
+    while (iter < roundBound && !converged) {
       // Propagate: label = min(own, neighbors' labels). One join (edges ⋈
       // labels on src, shipping each node's label to its neighbors) + one
       // groupBy — the union carries each node's OWN label tagged `own`, so
@@ -455,7 +476,9 @@ object Dedup {
     // a silent partial result would be WRONG labels (one cluster split in
     // several) — fail loud instead; callers raise maxIter for deep graphs
     require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds the bound; raise maxIter")
+      s"connectedComponents did not converge in $roundBound rounds " +
+        s"(floor $maxIter, adaptive for $nDirected directed edges) — " +
+        "graph diameter exceeds the bound; raise maxIter")
     // truncate lineage (distributed, no driver collect) so the round
     // caches can be released before the caller's downstream runs. With a
     // checkpoint dir configured, use the RELIABLE checkpoint: eager

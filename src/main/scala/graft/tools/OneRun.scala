@@ -13,13 +13,27 @@ object OneRun {
     // shrink with the data (partitions-per-heap sizing, SCALE.md
     // "Memory & spill") — the knob proves that rule without changing
     // the recorded 32-wide methodology of smaller-SF probes
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").appName("graft-onerun")
+    // SPARK_GRAFT_CPUS mirrors Bench: a third-decade probe on the 8 GB
+    // default heap sometimes needs fewer concurrent tasks (heap/core on
+    // local[32] is 250 MB — UNDER any real executor shape; 16 threads ≈
+    // 500 MB/core, still below a production 1-4 GB/core). The shape used
+    // is part of the recorded methodology for each probe row.
+    // SPARK_GRAFT_CONF="k=v;k=v" passes arbitrary session confs so a
+    // probe's knobs are explicit in the command line that BASELINE.md
+    // records, not baked invisibly into the tool.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]").appName("graft-onerun")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     try {

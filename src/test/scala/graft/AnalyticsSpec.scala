@@ -93,6 +93,20 @@ class DedupSpec extends SparkSuite {
     assert((1L to 60L).forall(comp(_) == 1L), "one component rooted at the min id")
   }
 
+  test("CC round bound scales with edge count — the r17 sf100 cliff") {
+    // sf100's candidate graph (3.32M directed edges, largest component
+    // 8.0k nodes / diameter >=40) needs 22 HashMin+jump rounds, one more
+    // than log2(n); the old constant cap of 20 failed loud there. The
+    // bound must cover ~log2(n) with margin while keeping the caller
+    // floor authoritative on small graphs.
+    assert(Dedup.ccRoundBound(20, 3315300L) >= 22)
+    assert(Dedup.ccRoundBound(20, 3315300L) <= 80, "bound stays a bound")
+    assert(Dedup.ccRoundBound(40, 10L) == 40, "explicit floor wins when larger")
+    assert(Dedup.ccRoundBound(20, 1L) == 20 + 0 || Dedup.ccRoundBound(20, 1L) >= 20)
+    // 10^10-node scale: ~80 rounds, not unbounded
+    assert(Dedup.ccRoundBound(20, 20000000000L) <= 100)
+  }
+
   private def forceDistributed[T](body: => T): T = {
     System.setProperty("graft.cc.driverEdgeThreshold", "0")
     try body finally System.clearProperty("graft.cc.driverEdgeThreshold")
