@@ -37,4 +37,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // OOMs with most of the heap free (observed: sf100 scans,
   // "Retried waiting for GCLocker too often allocating 1048576 words").
   "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
+  // r17 pagerank sf100 probe knobs, promoted to defaults (r17 verdict
+  // task 4) so a first-time scale run needs no hand-set shape. Both are
+  // SparkConf-level (read at context/shuffle-registration time, not
+  // settable via spark.conf.set), hence system properties here:
+  // - bypassMergeThreshold 200→300: auto-sized graph widths land at 256
+  //   for billion-edge graphs; the Unsafe shuffle writer at that width
+  //   thrashed 64 MB pages on an 8 GB heap, while the streaming bypass
+  //   writer (what width-32 always used) is flat. ≤300 open files/map
+  //   task stays modest.
+  // - parquet vectored IO off: VectorIoBridge allocates every
+  //   column-chunk range as a heap ByteBuffer up front; 32 concurrent
+  //   scan tasks over 168 MB row groups blew the 8 GB heap at sf100.
+  //   Local-disk scans lose nothing measurable (the win is for
+  //   high-latency object stores).
+  "-Dspark.shuffle.sort.bypassMergeThreshold=300",
+  "-Dspark.hadoop.parquet.hadoop.vectored.io.enabled=false",
 )

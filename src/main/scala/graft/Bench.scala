@@ -135,7 +135,16 @@ object Bench {
     // artifact — replaying that commit as an adjudication control would be
     // a silently wrong control. Stamp git_head:null plus git_dirty:true so
     // tools/bench_adjudicate.py refuses the replay instead of trusting it.
-    val gitDirty = gitLine("git", "status", "--porcelain").exists(_.nonEmpty)
+    // Scoped to the paths that shape the measurement (source, build
+    // definition, the adjudication tooling itself): round artifacts at the
+    // repo root (BENCH_r*.json, VERDICT.md, BENCH_FULL.json) are the NORMAL
+    // post-round working-tree state and do not change what a control replay
+    // of HEAD would execute — a whole-tree check nulled git_head on every
+    // routine run and silently disabled the auto-control. Untracked files
+    // under these paths still count as dirty (a new source file compiles
+    // into the measured build), so no -uno.
+    val gitDirty = gitLine("git", "status", "--porcelain", "--",
+      "src", "project", "build.sbt", "tools").exists(_.nonEmpty)
     val gitHead: Option[String] =
       gitLine("git", "rev-parse", "HEAD")
         .filter(_.matches("[0-9a-f]{40}")).filterNot(_ => gitDirty)
@@ -324,16 +333,37 @@ object Bench {
         val scale = if (calibAtRetry > 0) math.max(0.4, math.min(1.0, calibRef / calibAtRetry)) else 1.0
         n -> ((sec, rps, calibAtRetry, floors(n) * scale))
       }.toMap
-    val floorVerdicts = floorFirst.map { case (n, firstOk) =>
-      val ok = firstOk || floorRetry.get(n).exists { case (_, rps, _, adjFloor) =>
-        rps >= floors(n) || rps >= adjFloor
-      }
-      if (!ok) System.err.println(
-        s"FLOOR VIOLATION: $n at ${math.round(throughput.toMap.apply(n))} rows/s, floor ${floors(n).toLong} (retry did not recover)")
-      else if (!firstOk) {
-        val (_, rps, calib, adj) = floorRetry(n)
-        System.err.println(
-          f"FLOOR RETRY GREEN: $n first pass ${math.round(throughput.toMap.apply(n))} rows/s < ${floors(n).toLong}, retry ${math.round(rps)} rows/s vs load-adjusted floor ${adj}%.0f (calib $calib%.2f s)")
+    // Tri-state verdict (r17 ADVICE): a retry that clears only the
+    // LOAD-ADJUSTED floor (down to ×0.4) is evidence of a hot window, not
+    // proof of health — flipping the boolean to plain true made a real
+    // ~50% source regression on a loaded machine indistinguishable from
+    // green for any consumer reading only rows_per_sec_floor_ok. The
+    // boolean now stays false unless the FULL floor was met (first pass or
+    // retry); "retry_conditional" in floor_status plus the embedded retry
+    // numbers let adjudication tooling — not the artifact — decide whether
+    // the ambient load excuses it.
+    val floorStatus: Seq[(String, String)] = floorFirst.map { case (n, firstOk) =>
+      n -> (if (firstOk) "green"
+      else floorRetry.get(n) match {
+        case Some((_, rps, _, _)) if rps >= floors(n) => "retry_green"
+        case Some((_, rps, _, adjFloor)) if rps >= adjFloor => "retry_conditional"
+        case _ => "red"
+      })
+    }
+    val floorVerdicts = floorStatus.map { case (n, st) =>
+      val ok = st == "green" || st == "retry_green"
+      st match {
+        case "red" => System.err.println(
+          s"FLOOR VIOLATION: $n at ${math.round(throughput.toMap.apply(n))} rows/s, floor ${floors(n).toLong} (retry did not recover)")
+        case "retry_green" =>
+          val (_, rps, calib, _) = floorRetry(n)
+          System.err.println(
+            f"FLOOR RETRY GREEN: $n first pass ${math.round(throughput.toMap.apply(n))} rows/s < ${floors(n).toLong}, retry ${math.round(rps)} rows/s meets the full floor (calib $calib%.2f s)")
+        case "retry_conditional" =>
+          val (_, rps, calib, adj) = floorRetry(n)
+          System.err.println(
+            f"FLOOR RETRY CONDITIONAL: $n retry ${math.round(rps)} rows/s clears only the load-adjusted floor ${adj}%.0f (full floor ${floors(n).toLong}, calib $calib%.2f s) — verdict stays false; adjudicate from floor_retry")
+        case _ => ()
       }
       n -> ok
     }
@@ -396,6 +426,10 @@ object Bench {
       .map(k => "\"" + k + "\":" + j(resMap(k))).mkString("{", ",", "}")
     val tp = throughput.map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
     val fv = floorVerdicts.map { case (k, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+    // non-green statuses only: normally empty, so the compact line stays
+    // inside the driver's ~2000-char tail window
+    val fs = floorStatus.filter(_._2 != "green")
+      .map { case (k, st) => "\"" + k + "\":\"" + st + "\"" }.mkString("{", ",", "}")
     // embedded re-measure evidence for every floor row that was red on the
     // first pass — a floor verdict is either green outright or carries its
     // own retry numbers (sec, rows/s, bracketing calib, load-adjusted floor)
@@ -428,7 +462,7 @@ object Bench {
         ",\"ratio\":" + j(ratio) + ",\"suspect\":" + sus + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"spread":$spreadJson,"spread_suspects":[${spreadSuspects.map("\"" + _ + "\"").mkString(",")}],"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_retry":$floorRetryJson,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":$fullQs,"spread":$spreadJson,"spread_suspects":[${spreadSuspects.map("\"" + _ + "\"").mkString(",")}],"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_status":$fs,"floor_retry":$floorRetryJson,"ceiling_ok":$cv,$loadJson,"repeats":$repeats,"interleaved":$interleave,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY dev loop must not clobber the committed full-run
     // record with a partial map
     val fullName = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
@@ -439,7 +473,7 @@ object Bench {
     // few names); per-query min/max/ratio live in the full artifact
     val susHead = spreadSuspects.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_retry":$floorRetryJson,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"spread_suspect_n":${spreadSuspects.size},"spread_suspects_head":$susHead,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"rows_per_sec":$tp,"rows_per_sec_floor_ok":$fv,"floor_status":$fs,"floor_retry":$floorRetryJson,"load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"spread_suspect_n":${spreadSuspects.size},"spread_suspects_head":$susHead,"repeats":$repeats,"interleaved":$interleave,"nq":${results.size},"full":"$fullName","sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"WARNING: bench summary line is ${line.length} chars; driver tail window is ~2000")
     println(line)

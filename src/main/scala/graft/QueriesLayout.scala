@@ -163,24 +163,66 @@ object QueriesLayout {
   def bloomPrune(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val registry = s.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs.head, (1L << 17): Long), "built-in")
-    registry.createOrReplaceTempFunction("graft_might_contain",
-      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(array_distinct(QueriesTraining.wordNgrams(col("ws"), 3))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 17 === 0)
       .select(col("gram")).distinct()
-    val sketch = evalGrams
-      .agg(call_function("graft_bloom_agg", xxhash64(col("gram"))).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // SIZE THE SKETCH FROM THE DATA (r17 verdict task 3): the previous
+    // fixed 2^17-item sketch was right for fixture-scale eval sets but
+    // saturates on a corpus-proportional one (8.9M eval grams at sf100
+    // would drive the FPP toward 1 and the pre-prune would pass
+    // everything — silently degrading to the unpruned join). One count of
+    // the eval side (the SMALL side by design) sizes the bloom at ~10
+    // bits/item ≈ 1% FPP; Spark's conf caps (4M items / 64M bits) exist
+    // for OPTIMIZER-INJECTED runtime filters and are raised scoped to
+    // this explicit build. The sketch stays metadata-sized relative to
+    // the hash relation it replaces: 8.9M grams ≈ 11 MB of bits vs
+    // ~0.7 GB broadcast — the ratio that keeps the pattern alive when
+    // the eval side grows.
+    val evalCount = math.max(1L, evalGrams.count())
+    val numBits = math.max(1L << 20, evalCount * 10)
+    val sketch = {
+      val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val (prevI, prevB) = (s.conf.get(items), s.conf.get(bits))
+      s.conf.set(items, math.max(prevI.toLong, evalCount).toString)
+      s.conf.set(bits, math.max(prevB.toLong, numBits).toString)
+      try {
+        val registry = s.sessionState.functionRegistry
+        registry.createOrReplaceTempFunction("graft_bloom_agg",
+          exprs => new BloomFilterAggregate(exprs.head,
+            org.apache.spark.sql.catalyst.expressions.Literal(evalCount),
+            org.apache.spark.sql.catalyst.expressions.Literal(numBits)), "built-in")
+        registry.createOrReplaceTempFunction("graft_might_contain",
+          exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+        evalGrams
+          .agg(call_function("graft_bloom_agg", xxhash64(col("gram"))).as("bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally { s.conf.set(items, prevI); s.conf.set(bits, prevB) }
+    }
+    // BROADCAST→SHUFFLE SWITCH for the exact verify: the survivors of the
+    // bloom pre-prune are hits + ~1% false positives — small — but the
+    // BUILD side (the eval grams) is what outgrows a broadcast. Below the
+    // cap (default 50M grams ≈ a few GB of hash relation, safely under
+    // Spark's 8 GB broadcast ceiling) the verify is a broadcast-hash join
+    // with zero shuffle of the pruned stream; above it, a SHUFFLE_HASH
+    // join keyed on the gram — the pruned stream is already a tiny
+    // fraction of the corpus, so the shuffle it pays is survivor-sized,
+    // not corpus-sized. The sysprop exists so the scale probe can force
+    // the handoff and prove both paths at the same mass
+    // (tools/DecontScaleProbe); results are bit-identical either way —
+    // the switch picks a physical plan, never semantics.
+    val bcastCap = sys.props.get("graft.decontaminate.broadcastMaxGrams")
+      .map(_.toLong).getOrElse(50000000L)
+    val verifySide =
+      if (evalCount <= bcastCap) broadcast(evalGrams)
+      else evalGrams.hint("SHUFFLE_HASH")
     grams.filter(col("doc_id") % 17 =!= 0)
       // sketch pre-prune (false positives possible), codegen'd bit probe
       .filter(call_function("graft_might_contain", lit(sketch), xxhash64(col("gram"))))
-      .join(broadcast(evalGrams), "gram") // exact verify: false positives die here
+      .join(verifySide, "gram") // exact verify: false positives die here
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
   }

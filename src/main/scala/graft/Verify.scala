@@ -33,12 +33,30 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val target = Paths.get(s"$outDir/$name")
-      if (Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
-      try {
+      // Stale-artifact deletion failures fail THIS query, not the whole
+      // run (r17 ADVICE: an unguarded walk here aborted every later query
+      // on one held file handle) — but they must fail it LOUDLY through
+      // the lint channel: a query recorded as merely "failed" while its
+      // old parquet survives would let the stale result reach the driver
+      // gate posing as fresh. The walk stream is closed explicitly.
+      val staleDeleted =
+        try {
+          if (Files.exists(target)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(target)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+          true
+        } catch {
+          case e: Throwable =>
+            lintFailures += name
+            System.err.println(
+              s"[verify] $name STALE OUTPUT NOT DELETABLE (${e.getMessage}) — query skipped, run will exit nonzero")
+            false
+        }
+      if (staleDeleted) try {
         val df = fn(spark, sfDir)
         // reject unproven gated-output types BEFORE the parquet lands —
         // the one class of defect (r15: raw DECIMAL) that passes every

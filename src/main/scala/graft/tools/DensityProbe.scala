@@ -28,6 +28,35 @@ import graft.analytics.Dedup
   * maxBucket=1000) so the numbers gate what the pipeline actually sees.
   */
 object DensityProbe {
+  // the catalog pipeline's LSH config — the gate must measure what the
+  // pipeline actually sees (Dedup.scala call sites use these values)
+  val ShingleK = 8
+  val NumHashes = 8
+  val RowsPerBand = 4
+
+  /** (docs, LSH candidate pairs) for a fixture dir — the cheap half of
+    * the density row (no verify pass), shared by this probe's main and
+    * ScaleUp's generation-time gate so the two can never measure
+    * different configs.
+    */
+  def candidateDensity(spark: SparkSession, dir: String): (Long, Long) = {
+    val d = graft.core.Tables.documents(spark, dir)
+    val docs = d.count()
+    val bandKeys = Dedup.lshBandKeys(d, "doc_id", col("text"), k = ShingleK,
+      numHashes = NumHashes, rowsPerBand = RowsPerBand)
+    (docs, Dedup.lshCandidatePairs(bandKeys, "doc_id").count())
+  }
+
+  /** Fail-loud bound check, shared verbatim by main and ScaleUp. */
+  def checkBound(dir: String, candPerDoc: Double, bound: Double): Boolean = {
+    val ok = candPerDoc <= bound
+    if (!ok) System.err.println(
+      f"DENSITY BOUND EXCEEDED: $candPerDoc%.4f candidates/doc > pinned " +
+        f"$bound%.4f for $dir — the fixture's candidate mass drifted; " +
+        "re-derive the FIXTURES.md ladder before trusting scale claims on it")
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val maxCandPerDoc: Option[Double] =
@@ -41,13 +70,13 @@ object DensityProbe {
     spark.sparkContext.setLogLevel("WARN")
     val d = graft.core.Tables.documents(spark, dir)
     val docs = d.count()
-    val bandKeys = Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8,
-      numHashes = 8, rowsPerBand = 4)
+    val bandKeys = Dedup.lshBandKeys(d, "doc_id", col("text"), k = ShingleK,
+      numHashes = NumHashes, rowsPerBand = RowsPerBand)
     // band keys are consumed twice (candidates + verify) — same hint the
     // pipeline itself uses, sized at tens of bytes per doc-band
     val bk = bandKeys.persist()
     val candidates = Dedup.lshCandidatePairs(bk, "doc_id").count()
-    val verified = Dedup.lshVerifiedPairs(bk, d, "doc_id", col("text"), 8)
+    val verified = Dedup.lshVerifiedPairs(bk, d, "doc_id", col("text"), ShingleK)
     val verifiedCount = out match {
       case Some(p) =>
         verified.write.mode("overwrite").parquet(p)
@@ -64,12 +93,7 @@ object DensityProbe {
       s""""bound":${maxCandPerDoc.map(f).getOrElse("null")},""" +
       s""""bound_ok":${maxCandPerDoc.forall(candPerDoc <= _)}}""")
     spark.stop()
-    if (!maxCandPerDoc.forall(candPerDoc <= _)) {
-      System.err.println(s"DENSITY BOUND EXCEEDED: ${f(candPerDoc)} " +
-        s"candidates/doc > pinned ${f(maxCandPerDoc.get)} for $dir — the " +
-        "fixture's candidate mass drifted; re-derive the FIXTURES.md " +
-        "ladder before trusting scale claims on it")
+    if (!maxCandPerDoc.forall(checkBound(dir, candPerDoc, _)))
       sys.exit(1)
-    }
   }
 }

@@ -83,6 +83,15 @@ object ScaleUp {
     val shiftScale = if (args.length > 2) args(2).toLong else 1L
     val outParts = if (args.length > 3) args(3).toInt else 8
     val saltBase = if (args.length > 4) args(4).toLong else 0L
+    // GENERATION-TIME DENSITY GATE (r17 verdict task 2): candidate
+    // density is the dedup pipeline's binding cost, and it is a property
+    // of the FIXTURE — a regenerated decade whose candidates/doc drifts
+    // above the pinned FIXTURES.md curve would quietly inflate every
+    // scale claim made on it. Pass the decade's pinned bound as arg 6
+    // (see the FIXTURES.md ladder) and the regeneration fails loud at
+    // the source instead of poisoning downstream probes.
+    val maxCandPerDoc: Option[Double] =
+      if (args.length > 5) Some(args(5).toDouble) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scaleup")
@@ -142,6 +151,14 @@ object ScaleUp {
       (col("vec_id") + col("rep") * lit(100000000L * shiftScale)).as("vec_id"),
       noisy.as("embedding"), col("label")), "embeddings")
 
+    val densityOk = maxCandPerDoc.forall { bound =>
+      val (docsN, cand) = DensityProbe.candidateDensity(spark, dst)
+      val candPerDoc = cand.toDouble / docsN
+      println(f"density gate: $cand candidates / $docsN docs = $candPerDoc%.4f per doc (bound $bound%.4f)")
+      DensityProbe.checkBound(dst, candPerDoc, bound)
+    }
+
     spark.stop()
+    if (!densityOk) sys.exit(1)
   }
 }

@@ -125,7 +125,9 @@ def run_control(commit, sf_dir, repo_root, knobs=None):
         if not os.path.isfile(full):
             tail = (r.stdout or "")[-500:]
             return None, f"control bench produced no BENCH_FULL.json: {tail}"
-        if os.path.getmtime(full) < t_launch:
+        # tolerate 1s filesystem mtime granularity: a write landing in the
+        # same second as the launch timestamp must not read as stale
+        if os.path.getmtime(full) < t_launch - 1:
             return None, "control BENCH_FULL.json predates the replay launch (stale artifact)"
         d = json.load(open(full))
         return d.get("queries", {}) or {}, d
