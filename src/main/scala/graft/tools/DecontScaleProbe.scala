@@ -100,9 +100,11 @@ object DecontScaleProbe {
     println(f"MODEL survivors=$survivors (${100.0 * survivors / math.max(1L, trainGramRows)}%.2f%% of train grams reach the exact verify)")
 
     def runPath(tag: String): (Long, Long) = t(tag) {
+      // bit_xor, not sum: a sum of 64-bit hashes overflows LongType under
+      // ANSI; xor is overflow-free and order-independent
       val r = graft.QueriesLayout.bloomPrune(spark, dir)
         .agg(count(lit(1)),
-          coalesce(sum(xxhash64(col("doc_id"), col("n_hit_grams"))), lit(0L))).head()
+          coalesce(expr("bit_xor(xxhash64(doc_id, n_hit_grams))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     val (rowsB, hashB) = runPath("e2e_broadcast_verify")

@@ -18,6 +18,10 @@ run() { # run <tag> <sbt-args...>
   log "END $tag rc=$rc wall=$((SECONDS-t0))s"
 }
 
+# --- early sanity on the round's NEW code paths (cheap, fail fast) ------
+run decont_sf1   "runMain graft.tools.DecontScaleProbe /tmp/graft_sf1"
+run q_pagerank_sf1_sanity "runMain graft.tools.OneRun q_pagerank /tmp/graft_sf1"
+
 # --- task 1: ANN build/probe split ladder -------------------------------
 run ivfpq_sf0.1 "runMain graft.tools.IvfpqProf /root/testdata/sf0.1"
 run ivfpq_sf1   "runMain graft.tools.IvfpqProf /tmp/graft_sf1"
@@ -36,8 +40,7 @@ for q in q_dedup_clusters q_epoch_shuffle q_shard_append q_substring_dedup q_cur
   run "${q}_sf10" "runMain graft.tools.OneRun $q /tmp/graft_sf10"
 done
 
-# --- task 3: gate-bypassed decontamination mass (sf1 sanity, then sf100)
-run decont_sf1   "runMain graft.tools.DecontScaleProbe /tmp/graft_sf1"
+# --- task 3: gate-bypassed decontamination mass at third decade ---------
 run decont_sf100 "runMain graft.tools.DecontScaleProbe /tmp/graft_sf100"
 
 # --- task 4: pagerank sf100, DEFAULTS-ONLY command ----------------------
