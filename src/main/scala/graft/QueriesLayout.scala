@@ -204,21 +204,15 @@ object QueriesLayout {
     }
     // BROADCAST→SHUFFLE SWITCH for the exact verify: the survivors of the
     // bloom pre-prune are hits + ~1% false positives — small — but the
-    // BUILD side (the eval grams) is what outgrows a broadcast. Below the
-    // cap (default 50M grams ≈ a few GB of hash relation, safely under
-    // Spark's 8 GB broadcast ceiling) the verify is a broadcast-hash join
-    // with zero shuffle of the pruned stream; above it, a SHUFFLE_HASH
-    // join keyed on the gram — the pruned stream is already a tiny
-    // fraction of the corpus, so the shuffle it pays is survivor-sized,
-    // not corpus-sized. The sysprop exists so the scale probe can force
-    // the handoff and prove both paths at the same mass
-    // (tools/DecontScaleProbe); results are bit-identical either way —
-    // the switch picks a physical plan, never semantics.
-    val bcastCap = sys.props.get("graft.decontaminate.broadcastMaxGrams")
-      .map(_.toLong).getOrElse(50000000L)
-    val verifySide =
-      if (evalCount <= bcastCap) broadcast(evalGrams)
-      else evalGrams.hint("SHUFFLE_HASH")
+    // BUILD side (the eval grams) is what outgrows a broadcast. The
+    // shared QueriesTraining.evalVerifySide picks the join strategy
+    // (broadcast-hash below the 50M-gram cap, SHUFFLE_HASH keyed on the
+    // gram above it — the pruned stream's shuffle is survivor-sized, not
+    // corpus-sized); this call site has the EXACT eval count in hand
+    // (paid for sketch sizing), so no estimate is involved. Results are
+    // bit-identical either way — DecontScaleProbe proves both paths at
+    // 258M grams.
+    val verifySide = QueriesTraining.evalVerifySide(evalGrams, evalCount)
     grams.filter(col("doc_id") % 17 =!= 0)
       // sketch pre-prune (false positives possible), codegen'd bit probe
       .filter(call_function("graft_might_contain", lit(sketch), xxhash64(col("gram"))))

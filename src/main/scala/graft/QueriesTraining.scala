@@ -42,6 +42,23 @@ object QueriesTraining {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Physical-plan choice for an eval-gram verify join — NEVER semantics
+    * (both sides produce bit-identical output; DecontScaleProbe proves it
+    * at 258M grams): broadcast the eval side below the cap (default 50M
+    * grams ≈ a few GB of hash relation, under Spark's 8 GB ceiling),
+    * SHUFFLE_HASH above it. `estGrams` may be an exact count (bloomPrune
+    * already pays one for sketch sizing) or a deliberately-HIGH docs-based
+    * estimate (~100 distinct grams/doc on this fixture's ~60-token docs)
+    * so callers without a count in hand pay one pushed-filter doc count,
+    * not a gram enumeration, to pick a join strategy. Overridable for
+    * scale probes via -Dgraft.decontaminate.broadcastMaxGrams.
+    */
+  private[graft] def evalVerifySide(evalGrams: DataFrame, estGrams: Long): DataFrame = {
+    val cap = sys.props.get("graft.decontaminate.broadcastMaxGrams")
+      .map(_.toLong).getOrElse(50000000L)
+    if (estGrams <= cap) broadcast(evalGrams) else evalGrams.hint("SHUFFLE_HASH")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * 4-token gram with the held-out eval set (here: doc_id % 29 == 0, the
     * stand-in for a benchmark suite). Output = contaminated doc ids with
@@ -53,16 +70,23 @@ object QueriesTraining {
     * only keyed shuffle is the per-doc count of the (rare) matches.
     * Per-doc grams are deduped narrowly (`array_distinct`) before the
     * explode, so duplicate grams inside one doc never inflate the join.
+    * On a fixture whose eval set is corpus-proportional (ours is
+    * corpus/29 by construction) the broadcast side would cross the 8 GB
+    * ceiling ~sf1000 — [[evalVerifySide]] flips the verify to a
+    * SHUFFLE_HASH join there, so the documented "switch one decade up"
+    * is engine behavior, not a manual migration.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    val d = docs(s, dir)
+    val grams = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(array_distinct(wordNgrams(col("ws"), 4))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 29 === 0)
       .select(col("gram")).distinct()
+    val evalDocs = d.filter(col("doc_id") % 29 === 0).count()
     grams.filter(col("doc_id") % 29 =!= 0)
-      .join(broadcast(evalGrams), "gram")
+      .join(evalVerifySide(evalGrams, evalDocs * 100L), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
   }
@@ -467,8 +491,12 @@ object QueriesTraining {
         explode(array_distinct(wordNgrams(col("ws"), 4))).as("gram"))
     val evalGrams = grams(d.filter(col("doc_id") % 29 === 0))
       .select(col("gram")).distinct()
+    // same broadcast→shuffle plan switch as decontaminate (never
+    // semantics); the doc count's pushed single-column scan is noise next
+    // to the gram stages it sizes
+    val evalDocs = d.filter(col("doc_id") % 29 === 0).count()
     val contaminated = grams(deduped.filter(col("doc_id") % 29 =!= 0))
-      .join(broadcast(evalGrams), "gram")
+      .join(evalVerifySide(evalGrams, evalDocs * 100L), "gram")
       .select(col("doc_id")).distinct()
     val clean = deduped.filter(col("doc_id") % 29 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -65,6 +65,28 @@ class TrainingSpec extends SparkSuite {
       s"expected docs 1,2 with one distinct overlapping gram each, got $out")
   }
 
+  test("decontaminate: forced SHUFFLE_HASH verify path is plan-only — identical output") {
+    // the broadcast→shuffle switch (evalVerifySide) must pick a physical
+    // plan, never change semantics; force the above-cap branch that no
+    // fixture-scale gate reaches and prove both claims
+    val dir = docDir(Seq(
+      0L -> "w1 w2 w3 w4 w5",
+      1L -> "x w1 w2 w3 w4 y",
+      2L -> "w2 w3 w4 w5 w2 w3 w4 w5",
+      3L -> "a b c d e f"))
+    val expected = QueriesTraining.decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.decontaminate.broadcastMaxGrams") = "1"
+    try {
+      val forced = QueriesTraining.decontaminate(spark, dir)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin") && !plan.contains("BroadcastHashJoin"),
+        "above the cap the verify must plan as a shuffled hash join:\n" + plan.take(3000))
+      val out = forced.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"switch changed results: $out vs $expected")
+    } finally sys.props.remove("graft.decontaminate.broadcastMaxGrams")
+  }
+
   test("bm25: score matches the formula computed by hand") {
     // 3 docs, query terms {spark, join, window}; doc 10 has spark x2 + join.
     val dir = docDir(Seq(
