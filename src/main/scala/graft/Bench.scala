@@ -142,9 +142,14 @@ object Bench {
     // of HEAD would execute — a whole-tree check nulled git_head on every
     // routine run and silently disabled the auto-control. Untracked files
     // under these paths still count as dirty (a new source file compiles
-    // into the measured build), so no -uno.
+    // into the measured build), so no -uno. Root-level sbt JVM config
+    // (.jvmopts/.sbtopts) is in scope too (r18 ADVICE item 2): sbt reads
+    // both and they shape the measured JVM (heap, GC), so an untracked
+    // .jvmopts would otherwise stamp a git_head whose control replay runs
+    // a different heap configuration. Pathspecs for absent files are
+    // legal and match nothing.
     val gitDirty = gitLine("git", "status", "--porcelain", "--",
-      "src", "project", "build.sbt", "tools").exists(_.nonEmpty)
+      "src", "project", "build.sbt", "tools", ".jvmopts", ".sbtopts").exists(_.nonEmpty)
     val gitHead: Option[String] =
       gitLine("git", "rev-parse", "HEAD")
         .filter(_.matches("[0-9a-f]{40}")).filterNot(_ => gitDirty)
@@ -238,19 +243,62 @@ object Bench {
     // on one build to attribute a drift to scheduling (warm page/fixture
     // caches between back-to-back samples) vs the plan itself.
     val interleave = sys.env.get("SPARK_GRAFT_INTERLEAVE").forall(_ != "0")
-    def sampleCalib(): Unit =
-      try calibSamples += calibOnce() catch { case _: Throwable => () }
-    val passes: Seq[Map[String, Double]] =
-      if (interleave) (1 to repeats).map { _ =>
-        val pass = names.map(n => n -> onceClean(n)).toMap
-        sampleCalib() // one probe per pass boundary brackets load windows
-        pass
+    // INTRA-PASS CALIB TRACK (r18 verdict task 2): one calib sample per
+    // pass boundary cannot see a load window that opens and closes WITHIN
+    // a pass (~80 s of queries at sf0.1) — r18 shipped 19 false
+    // "regressed" rows that three consecutive rounds of manual A/B/A had
+    // to excuse. The probe now also fires every `calibEvery` queries
+    // inside each pass, and every query sample is stamped with the MEAN
+    // of its two bracketing probes (the "calib" array in the spread
+    // block: pass order, parallel to "runs"), so bench_adjudicate.py can
+    // normalize each sample by its own window's heat before classifying
+    // instead of needing a manual A/B/A. Probe cost (~0.65 s idle, ~10
+    // probes per 169-query pass) is wall-clock only — it is never added
+    // to any query's measured time.
+    val calibEvery = math.max(1,
+      sys.env.get("SPARK_GRAFT_CALIB_EVERY").map(_.trim.toInt).getOrElse(20))
+    def bracketCtx(marks: Seq[(Int, Double)]): Map[String, Double] =
+      names.zipWithIndex.map { case (n, i) =>
+        val before = marks.filter(_._1 <= i).lastOption.map(_._2)
+        val after = marks.find(_._1 > i).map(_._2)
+        val cs = before.toSeq ++ after.toSeq
+        n -> (if (cs.isEmpty) -1.0 else cs.sum / cs.size)
+      }.toMap
+    def runPass(): (Map[String, Double], Map[String, Double]) = {
+      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val marks = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      def mark(i: Int): Unit =
+        try { val c = calibOnce(); calibSamples += c; marks += ((i, c)) }
+        catch { case _: Throwable => () }
+      mark(0)
+      names.zipWithIndex.foreach { case (n, i) =>
+        times(n) = onceClean(n)
+        if ((i + 1) % calibEvery == 0 && i + 1 < names.size) mark(i + 1)
       }
+      mark(names.size)
+      (times.toMap, bracketCtx(marks.toSeq))
+    }
+    val passPairs: Seq[(Map[String, Double], Map[String, Double])] =
+      if (interleave) (1 to repeats).map(_ => runPass())
       else {
-        val runs = names.map(n => n -> Seq.fill(repeats)(onceClean(n)))
-        sampleCalib()
-        (0 until repeats).map(i => runs.map { case (n, rs) => n -> rs(i) }.toMap)
+        // methodology control (consecutive repeats): one calib track over
+        // the whole sweep; a query's repeats share one bracketed context
+        val marks = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+        def mark(i: Int): Unit =
+          try { val c = calibOnce(); calibSamples += c; marks += ((i, c)) }
+          catch { case _: Throwable => () }
+        mark(0)
+        val runs = names.zipWithIndex.map { case (n, i) =>
+          val rs = Seq.fill(repeats)(onceClean(n))
+          if ((i + 1) % calibEvery == 0 && i + 1 < names.size) mark(i + 1)
+          n -> rs
+        }
+        mark(names.size)
+        val ctx = bracketCtx(marks.toSeq)
+        (0 until repeats).map(i =>
+          (runs.map { case (n, rs) => n -> rs(i) }.toMap, ctx))
       }
+    val passes: Seq[Map[String, Double]] = passPairs.map(_._1)
     val results = names.map { n =>
       val runs = passes.map(_(n))
       n -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
@@ -456,8 +504,14 @@ object Bench {
       s""""load_suspect":$loadSuspect,"calib_median_s":${j(calibMedian)},"calib_idle_ref_s":${j(calibRef)},"loadavg_start":[${loadStart.map(j).mkString(",")}],"loadavg_end":[${loadEnd.map(j).mkString(",")}],$machineJson"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // "calib": the per-pass bracketed CPU-probe context for this query's
+    // samples, parallel to "runs" — what bench_adjudicate.py divides by
+    // (relative to calib_idle_ref_s) to strip window heat per sample
+    val calibCtx: Map[String, Seq[Double]] =
+      names.map(n => n -> passPairs.map(_._2.getOrElse(n, -1.0))).toMap
     val spreadJson = spread.map { case (k, (inOrder, mn, mx, ratio, sus)) =>
       "\"" + k + "\":{\"runs\":[" + inOrder.map(j).mkString(",") +
+        "],\"calib\":[" + calibCtx(k).map(j).mkString(",") +
         "],\"min\":" + j(mn) + ",\"max\":" + j(mx) +
         ",\"ratio\":" + j(ratio) + ",\"suspect\":" + sus + "}"
     }.mkString("{", ",", "}")

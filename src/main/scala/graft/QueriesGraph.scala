@@ -78,7 +78,13 @@ object QueriesGraph {
     // materialization happen inside this body, and the per-round
     // exchange-free join requires the rank state and adjacency to share
     // one width, so the session conf (not a per-repartition constant) is
-    // the correct carrier.
+    // the correct carrier. SINGLE-CALLER ASSUMPTION (r18 ADVICE item 4):
+    // the mutation is visible to any concurrent query on the same
+    // SparkSession for the duration of this body — the catalog harnesses
+    // (Verify/Bench/OneRun) run queries strictly sequentially, so this is
+    // latent only; a caller that shares a session across threads must
+    // hand this body an isolated `s.newSession()` (same SparkContext,
+    // cloned conf) so the graph-sized width never leaks to its peers.
     val estDirected = 2L * Tables.lineitem(s, dir).count()
     val widthKey = "spark.sql.shuffle.partitions"
     val prevWidth = s.conf.get(widthKey)

@@ -47,17 +47,58 @@ object QueriesTraining {
     * at 258M grams): broadcast the eval side below the cap (default 50M
     * grams ≈ a few GB of hash relation, under Spark's 8 GB ceiling),
     * SHUFFLE_HASH above it. `estGrams` may be an exact count (bloomPrune
-    * already pays one for sketch sizing) or a deliberately-HIGH docs-based
-    * estimate (~100 distinct grams/doc on this fixture's ~60-token docs)
-    * so callers without a count in hand pay one pushed-filter doc count,
-    * not a gram enumeration, to pick a join strategy. Overridable for
-    * scale probes via -Dgraft.decontaminate.broadcastMaxGrams.
+    * already pays one for sketch sizing) or the memoized sampled estimate
+    * from [[estEvalGrams]], so callers without a count in hand pay two
+    * bounded jobs ONCE per (dataset, predicate), not a gram enumeration,
+    * to pick a join strategy. Overridable for scale probes via
+    * -Dgraft.decontaminate.broadcastMaxGrams.
     */
   private[graft] def evalVerifySide(evalGrams: DataFrame, estGrams: Long): DataFrame = {
     val cap = sys.props.get("graft.decontaminate.broadcastMaxGrams")
       .map(_.toLong).getOrElse(50000000L)
     if (estGrams <= cap) broadcast(evalGrams) else evalGrams.hint("SHUFFLE_HASH")
   }
+
+  /** Eval-side gram-mass estimate for [[evalVerifySide]], memoized by
+    * (dataset content key, predicate tag) the way [[graft.analytics.Pq
+    * .trainCached]] keys codebooks: the answer is a property of the
+    * eval-set DEFINITION on a dataset, not of the calling query, so a warm
+    * catalog run (Bench/Verify: one long-lived session, many invocations)
+    * pays the estimation jobs once per (dataset, predicate) instead of a
+    * full corpus column scan per decontaminate call (r18 verdict item 4).
+    *
+    * Estimate = eval doc count × sampled avg tokens/doc × 1.25. Tokens/doc
+    * bounds distinct n-grams/doc from above (grams = tokens−n+1), and the
+    * sample replaces the former fixed 100-grams/doc constant that was
+    * calibrated to THIS fixture's ~60-token docs — a longer-doc corpus
+    * under that constant under-estimated the gram mass and could pick a
+    * broadcast exceeding the driver heap / 8 GB relation ceiling (r18
+    * ADVICE item 1). Two bounded jobs on a miss: a pushed single-column
+    * doc count, and a LocalLimit-capped 2048-row token-count sample (the
+    * limit stops the text scan after a few partitions — never a full-text
+    * corpus read). The margin keeps the estimate deliberately HIGH: an
+    * over-estimate flips to SHUFFLE_HASH early (proven bit-identical and
+    * faster at 258M grams — DecontScaleProbe); an under-estimate risks the
+    * broadcast ceiling.
+    */
+  private val evalGramEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def estEvalGrams(d: DataFrame, pred: Column,
+                                  dir: String, predTag: String): Long =
+    evalGramEstCache.computeIfAbsent(
+      s"${graft.core.DatasetKey.of(dir)}#$predTag",
+      { _ =>
+        val evalDocs = d.filter(pred).count()
+        val avgTok = d.filter(pred)
+          .select(size(split(col("text"), " ")).cast("long").as("t"))
+          .limit(2048)
+          .agg(avg(col("t"))).head() match {
+            case r if r.isNullAt(0) => 0.0
+            case r => r.getDouble(0)
+          }
+        Long.box(math.ceil(evalDocs * avgTok * 1.25).toLong)
+      }).longValue()
 
   /** Benchmark decontamination: flag training documents sharing any
     * 4-token gram with the held-out eval set (here: doc_id % 29 == 0, the
@@ -84,9 +125,9 @@ object QueriesTraining {
         explode(array_distinct(wordNgrams(col("ws"), 4))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 29 === 0)
       .select(col("gram")).distinct()
-    val evalDocs = d.filter(col("doc_id") % 29 === 0).count()
+    val est = estEvalGrams(d, col("doc_id") % 29 === 0, dir, "mod29")
     grams.filter(col("doc_id") % 29 =!= 0)
-      .join(evalVerifySide(evalGrams, evalDocs * 100L), "gram")
+      .join(evalVerifySide(evalGrams, est), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
   }
@@ -492,11 +533,11 @@ object QueriesTraining {
     val evalGrams = grams(d.filter(col("doc_id") % 29 === 0))
       .select(col("gram")).distinct()
     // same broadcast→shuffle plan switch as decontaminate (never
-    // semantics); the doc count's pushed single-column scan is noise next
-    // to the gram stages it sizes
-    val evalDocs = d.filter(col("doc_id") % 29 === 0).count()
+    // semantics); the memoized estimate shares decontaminate's cache key,
+    // so a catalog run pays the estimation jobs once for both queries
+    val est = estEvalGrams(d, col("doc_id") % 29 === 0, dir, "mod29")
     val contaminated = grams(deduped.filter(col("doc_id") % 29 =!= 0))
-      .join(evalVerifySide(evalGrams, evalDocs * 100L), "gram")
+      .join(evalVerifySide(evalGrams, est), "gram")
       .select(col("doc_id")).distinct()
     val clean = deduped.filter(col("doc_id") % 29 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")

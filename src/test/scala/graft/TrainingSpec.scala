@@ -87,6 +87,36 @@ class TrainingSpec extends SparkSuite {
     } finally sys.props.remove("graft.decontaminate.broadcastMaxGrams")
   }
 
+  test("estEvalGrams: bounds the eval gram mass from above and memoizes per (dataset, predicate)") {
+    import org.apache.spark.sql.functions._
+    val dir = docDir(Seq(
+      0L -> "w1 w2 w3 w4 w5 w6",     // eval doc (id % 29 == 0): 3 distinct 4-grams, 6 tokens
+      1L -> "x w1 w2 w3 w4 y",
+      29L -> "a b c d e",            // eval doc: 2 distinct 4-grams, 5 tokens
+      3L -> "p q r s t"))
+    val d = graft.core.Tables.documents(spark, dir)
+    val pred = col("doc_id") % 29 === 0
+    val est = QueriesTraining.estEvalGrams(d, pred, dir, "spec-mod29")
+    // the estimate must DOMINATE the true distinct-gram mass (an
+    // under-estimate risks an over-ceiling broadcast); true mass = 5
+    val actual = d.filter(pred)
+      .select(explode(array_distinct(
+        QueriesTraining.wordNgrams(split(col("text"), " "), 4))))
+      .distinct().count()
+    assert(est >= actual, s"estimate $est under the true gram mass $actual")
+    // ...but stays a per-doc TOKEN bound, not a wild constant: 2 docs x
+    // avg 5.5 tokens x 1.25 margin ≈ 14
+    assert(est <= 20, s"estimate $est not token-derived")
+    // memoization: the same (dataset, predicate) key must not re-run the
+    // estimation jobs — hand the cached path a frame that THROWS if it is
+    // ever evaluated
+    val poison = spark.range(1)
+      .select(col("id").as("doc_id"),
+        expr("raise_error('estEvalGrams cache miss: estimation re-ran')").as("text"))
+    val cached = QueriesTraining.estEvalGrams(poison, pred, dir, "spec-mod29")
+    assert(cached == est, "cache returned a different estimate")
+  }
+
   test("bm25: score matches the formula computed by hand") {
     // 3 docs, query terms {spark, join, window}; doc 10 has spark x2 + join.
     val dir = docDir(Seq(

@@ -17,6 +17,28 @@ query:
                 MINIMUM never reaches the prior median — every sample is
                 slower; this is a finding to investigate, not noise
 
+Drift normalization (r18 verdict task 2 — three consecutive rounds needed
+manual A/B/A to excuse false "regressed" rows) happens BEFORE the rules
+above, in two layers:
+
+  1. per-sample calib: when the artifact's spread rows carry a "calib"
+     array (Bench emits one per run since r19 — the bracketed intra-pass
+     CPU-probe context), every sample is scaled by idle_ref/calib before
+     the median/min are taken, so a sample measured inside a hot window
+     is compared at its cooled-down equivalent. Artifacts without the
+     array fall back to the artifact-level calib_median_s.
+  2. ambient scale: the calib probe is itself a noisy point sample (r18:
+     current 0.697 vs control 0.714 while the real window drift was
+     x1.16), so after calib normalization the tool takes the MEDIAN of
+     per-query ratios across the common set — a code change touches few
+     queries, so the catalog-wide median ratio is a robust estimator of
+     residual machine drift — and classifies each row on its RESIDUAL
+     ratio (ratio / ambient_scale). Applied only when the common set has
+     >= 25 rows (a dev-subset comparison has no untouched majority to
+     estimate from) and capped to [1/1.5, 1.5] (drift beyond x1.5 is not
+     plausible window heat and must not mask a broad real regression).
+     Raw and residual ratios are both recorded per row.
+
 Also prints the machine-evidence block when present (load calib, page
 cache, fixture warmth), since "ambient" claims should be read against it.
 
@@ -56,9 +78,48 @@ def load(path):
     return d, qs, spread
 
 
-def classify(cur_q, cur_s, prior_q, thr):
-    """Per-query verdicts {q: (verdict, cur, prior, min, suspect)}."""
-    verdicts = {}
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if xs else None
+
+
+def _norm_query(q, meta, spread, ref):
+    """(normalized_median, normalized_min) for one query, or None.
+
+    Per-sample calib scaling when the spread row has a parallel "calib"
+    array; artifact-level calib_median_s fallback per sample otherwise.
+    """
+    fallback = meta.get("calib_median_s") or -1.0
+    sp = spread.get(q, {})
+    runs = sp.get("runs") or []
+    calibs = sp.get("calib") or []
+    normed = []
+    for i, r in enumerate(runs):
+        if r is None or r < 0:
+            continue
+        c = calibs[i] if i < len(calibs) else -1.0
+        if not c or c <= 0:
+            c = fallback
+        normed.append(r * ref / c if c and c > 0 else r)
+    if not normed:
+        return None
+    return _median(normed), min(normed)
+
+
+def classify(cur_q, cur_s, prior_q, thr,
+             cur_meta=None, prior_meta=None, prior_s=None):
+    """Per-query verdicts {q: (verdict, cur, prior, min, suspect, resid)}.
+
+    cur/prior/min in the result stay RAW seconds (what a reader checks
+    against the artifacts); the verdict is decided on calib-normalized,
+    ambient-scale-residual ratios (module docstring). resid is the
+    residual ratio the thresholds were applied to.
+    """
+    cur_meta, prior_meta = cur_meta or {}, prior_meta or {}
+    prior_s = prior_s or {}
+    ref = cur_meta.get("calib_idle_ref_s") \
+        or prior_meta.get("calib_idle_ref_s") or 0.65
+    rows = {}
     for q in sorted(set(cur_q) & set(prior_q)):
         c, p = cur_q[q], prior_q[q]
         if c is None or p is None or c < 0 or p <= 0:
@@ -66,16 +127,36 @@ def classify(cur_q, cur_s, prior_q, thr):
         sp = cur_s.get(q, {})
         mn = sp.get("min", c)
         suspect = bool(sp.get("suspect"))
-        if c <= p / thr:
+        f_cur = (ref / cur_meta["calib_median_s"]
+                 if cur_meta.get("calib_median_s", 0) > 0 else 1.0)
+        cn = _norm_query(q, cur_meta, cur_s, ref)
+        c_n, mn_n = cn if cn else (c * f_cur, (mn if mn >= 0 else c) * f_cur)
+        f_pri = (ref / prior_meta["calib_median_s"]
+                 if prior_meta.get("calib_median_s", 0) > 0 else 1.0)
+        pn = _norm_query(q, prior_meta, prior_s, ref)
+        p_n = pn[0] if pn else p * f_pri
+        rows[q] = (c, p, mn, suspect, c_n, mn_n, p_n)
+    # layer 2: catalog-wide median of normalized ratios as residual drift
+    ratios = [r[4] / r[6] for r in rows.values() if r[6] > 0]
+    scale = 1.0
+    if len(ratios) >= 25:
+        med = _median(ratios)
+        if med and med > 0:
+            scale = min(1.5, max(1 / 1.5, med))
+    verdicts = {}
+    for q, (c, p, mn, suspect, c_n, mn_n, p_n) in rows.items():
+        resid = (c_n / p_n) / scale if p_n > 0 else -1.0
+        min_resid = (mn_n / p_n) / scale if p_n > 0 else -1.0
+        if resid <= 1 / thr:
             v = "faster"
-        elif c <= p * thr:
+        elif resid <= thr:
             v = "steady"
-        elif suspect or (mn >= 0 and mn <= p * 1.1):
+        elif suspect or (0 <= min_resid <= 1.1):
             v = "ambient"
         else:
             v = "regressed"
-        verdicts[q] = (v, c, p, mn, suspect)
-    return verdicts
+        verdicts[q] = (v, c, p, mn, suspect, resid)
+    return verdicts, scale
 
 
 def run_control(commit, sf_dir, repo_root, knobs=None):
@@ -92,9 +173,10 @@ def run_control(commit, sf_dir, repo_root, knobs=None):
     sbt replay then fails (old-commit compile error, OOM, missing sbt),
     silently parsing that file would present numbers from a different
     environment window as a fresh same-window control — defeating the
-    control's purpose. So: delete the file before launching, fail on a
-    nonzero sbt exit, and require the artifact's mtime to postdate the
-    launch.
+    control's purpose. So: delete the file before launching (verified
+    absent — deletion IS the staleness gate) and fail on a nonzero sbt
+    exit; a file that exists after the replay was necessarily written by
+    it.
 
     `knobs` (the current artifact's machine.env stamp) reconstructs the
     SPARK_GRAFT_* configuration that shaped the current run, so the
@@ -107,15 +189,22 @@ def run_control(commit, sf_dir, repo_root, knobs=None):
             subprocess.run(["git", "worktree", "add", "--detach", wt, commit],
                            cwd=repo_root, check=True, capture_output=True)
         full = os.path.join(wt, "BENCH_FULL.json")
+        # committed/stale artifact must never pose as a fresh control:
+        # os.remove raises on failure, and the existence re-check below
+        # makes deletion itself the staleness gate — any file present
+        # after the replay was necessarily written after this point
+        # (r18 ADVICE item 3: the former 1 s mtime tolerance admitted a
+        # genuinely stale artifact written just before the launch).
         if os.path.exists(full):
-            os.remove(full)  # committed/stale artifact must never pose as a fresh control
+            os.remove(full)
+        if os.path.exists(full):
+            return None, "stale BENCH_FULL.json could not be deleted pre-launch"
         env = {k: v for k, v in os.environ.items()
                if not k.startswith("SPARK_GRAFT_")}
         for k, v in (knobs or {}).items():
             if k.startswith("SPARK_GRAFT_"):
                 env[k] = v
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
-        t_launch = __import__("time").time()
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            cwd=wt, env=env, capture_output=True, text=True,
                            timeout=3600)
@@ -125,10 +214,8 @@ def run_control(commit, sf_dir, repo_root, knobs=None):
         if not os.path.isfile(full):
             tail = (r.stdout or "")[-500:]
             return None, f"control bench produced no BENCH_FULL.json: {tail}"
-        # tolerate 1s filesystem mtime granularity: a write landing in the
-        # same second as the launch timestamp must not read as stale
-        if os.path.getmtime(full) < t_launch - 1:
-            return None, "control BENCH_FULL.json predates the replay launch (stale artifact)"
+        # no mtime check needed: the file was verifiably absent at launch,
+        # so existing now means the replay wrote it
         d = json.load(open(full))
         return d.get("queries", {}) or {}, d
     except Exception as e:
@@ -156,7 +243,7 @@ def main():
     cur_path, prior_path = args[0], args[1]
     thr = float(args[2]) if len(args) > 2 else 1.3
     cur, cur_q, cur_s = load(cur_path)
-    prior, prior_q, _ = load(prior_path)
+    prior, prior_q, prior_s = load(prior_path)
 
     mach = cur.get("machine")
     if mach:
@@ -168,22 +255,24 @@ def main():
               f"page_cached_start={mach.get('page_cached_start_kb', 0) // 1024}MB, "
               f"tmp_free={mach.get('tmp_free_start_mb')}MB")
 
-    verdicts = classify(cur_q, cur_s, prior_q, thr)
+    verdicts, ambient_scale = classify(
+        cur_q, cur_s, prior_q, thr, cur, prior, prior_s)
 
     order = {"regressed": 0, "ambient": 1, "faster": 2, "steady": 3}
     counts = {}
-    for q, (v, c, p, mn, sus) in sorted(
+    for q, (v, c, p, mn, sus, resid) in sorted(
             verdicts.items(), key=lambda kv: (order[kv[1][0]], kv[0])):
         counts[v] = counts.get(v, 0) + 1
         if v != "steady":
             flag = " spread-suspect" if sus else ""
             print(f"{v:9s} {q}: {c:.2f}s vs prior {p:.2f}s "
-                  f"(x{c / p:.2f}, min {mn:.2f}){flag}")
-    tot_c = sum(c for _, c, _, _, _ in verdicts.values())
-    tot_p = sum(p for _, _, p, _, _ in verdicts.values())
+                  f"(x{c / p:.2f} raw, x{resid:.2f} residual, "
+                  f"min {mn:.2f}){flag}")
+    tot_c = sum(c for _, c, _, _, _, _ in verdicts.values())
+    tot_p = sum(p for _, _, p, _, _, _ in verdicts.values())
     ratio = f"x{tot_c / tot_p:.2f}" if tot_p > 0 else "n/a"
     print(f"\ncommon queries: {len(verdicts)}; totals {tot_c:.1f}s vs "
-          f"{tot_p:.1f}s ({ratio}); "
+          f"{tot_p:.1f}s ({ratio}); ambient_scale=x{ambient_scale:.3f}; "
           + ", ".join(f"{k}={v}" for k, v in sorted(counts.items())))
 
     # ---- control replay: machine-adjudicate ambient inflation ----
@@ -215,9 +304,11 @@ def main():
                 control_block = {"skipped": ctrl_meta}
                 print(f"control: {ctrl_meta}")
             else:
-                cv = classify(cur_q, cur_s, ctrl_q, thr)
-                c_tot = sum(c for _, c, _, _, _ in cv.values())
-                c_ctl = sum(p for _, _, p, _, _ in cv.values())
+                ctrl_spread = ctrl_meta.get("spread", {}) or {}
+                cv, c_scale = classify(cur_q, cur_s, ctrl_q, thr,
+                                       cur, ctrl_meta, ctrl_spread)
+                c_tot = sum(c for _, c, _, _, _, _ in cv.values())
+                c_ctl = sum(p for _, _, p, _, _, _ in cv.values())
                 c_counts = {}
                 for v, *_ in cv.values():
                     c_counts[v] = c_counts.get(v, 0) + 1
@@ -232,6 +323,7 @@ def main():
                         round(c_tot / c_ctl, 4) if c_ctl > 0 else None,
                     "control_calib_median_s":
                         ctrl_meta.get("calib_median_s"),
+                    "ambient_scale_vs_control": round(c_scale, 4),
                     "counts_vs_control": c_counts,
                     "regressed_vs_control": sorted(
                         q for q, (v, *_) in cv.items() if v == "regressed"),
@@ -251,11 +343,14 @@ def main():
             "total_current_s": round(tot_c, 3),
             "total_prior_s": round(tot_p, 3),
             "ratio": round(tot_c / tot_p, 4) if tot_p > 0 else None,
+            "ambient_scale": round(ambient_scale, 4),
             "counts": counts,
             "rows": {q: {"verdict": v, "current_s": c, "prior_s": p,
                          "min_s": mn, "spread_suspect": sus,
-                         "ratio": round(c / p, 4)}
-                     for q, (v, c, p, mn, sus) in sorted(verdicts.items())},
+                         "ratio": round(c / p, 4),
+                         "residual_ratio": round(resid, 4)}
+                     for q, (v, c, p, mn, sus, resid)
+                     in sorted(verdicts.items())},
             "control": control_block,
         }
         with open(json_out, "w") as f:
