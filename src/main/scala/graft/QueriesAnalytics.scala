@@ -362,14 +362,25 @@ object QueriesAnalytics {
     */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val cand = Dedup.lshCandidatePairs(
+    // MATERIALIZED once (r19): `cand` is referenced by universe AND the
+    // final flagged join, and `universe` three times (ngramJaccard's
+    // candIds + its pair join, plus flagged) — unpinned, the whole
+    // MinHash candidate pipeline re-executed per reference (plan audit:
+    // 14 minhashsignature nodes / 56 parquet scans in this one query
+    // before the r19 pins here + in cappedPairs/ngramJaccard). Both are
+    // id-pair lists (bounded by planted + capped LSH candidates), so
+    // MEMORY_AND_DISK is safe at any SF.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cand = graft.core.CacheRegistry.register(Dedup.lshCandidatePairs(
       Dedup.lshBandKeys(d, "doc_id", col("text"), k = 8,
         numHashes = 8, rowsPerBand = 4), "doc_id")
       .select(col("doc_a"), col("doc_b")).distinct()
+      .persist(lvl))
     val planted = d.select(col("doc_id").as("doc_a"))
       .join(d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b")), "doc_a")
       .select(col("doc_a"), col("doc_b"))
-    val universe = planted.unionByName(cand).distinct()
+    val universe = graft.core.CacheRegistry.register(
+      planted.unionByName(cand).distinct().persist(lvl))
     val jac = Dedup.ngramJaccard(universe, d, "doc_id", col("text"), k = 8)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
     val flagged = universe

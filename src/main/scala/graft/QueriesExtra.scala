@@ -103,8 +103,18 @@ object QueriesExtra {
     val terms = Spread.byKey(docs(s, dir), col("doc_id"))
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    hittersReport(cmsCells(terms), terms.groupBy(col("term"))
-      .agg(count(lit(1)).as("exact_n")))
+    // ONE tokenization pass (r19): the sketch cells and the exact counts
+    // previously each exploded the corpus (2 full scan+split passes);
+    // both are now derived from the vocabulary-bounded term-count table
+    // — cells as count-weighted sums ([[cmsCellsFromCounts]]: identical
+    // per-cell values, since a cell's instance count IS the sum of its
+    // terms' counts) — which is materialized once and reused (it feeds
+    // the cells, the probe top-20, and the report join). Guide §2.3
+    // "aggregate before you shuffle" applied to the whole kernel.
+    val termCounts = graft.core.CacheRegistry.register(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    hittersReport(cmsCellsFromCounts(termCounts), termCounts)
   }
 
   // CMS kernel shared by the batch and streaming heavy hitters. Both the
@@ -125,6 +135,22 @@ object QueriesExtra {
       .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[cmsCells]] computed from an already-aggregated (term, exact_n)
+    * table instead of raw term instances: a cell's instance count is
+    * exactly the sum of the counts of the terms hashing into it, so the
+    * values are IDENTICAL — but the explode runs over the vocabulary,
+    * not the corpus (r19: lets the batch and streaming heavy hitters
+    * tokenize each input exactly once).
+    */
+  private[graft] def cmsCellsFromCounts(termCounts: DataFrame): DataFrame =
+    termCounts
+      .select(col("exact_n"), explode(array((0 until CmsD).map(sd =>
+        struct(lit(sd).as("seed"), cmsBucket(sd))): _*)).as("sb"))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"),
+        col("exact_n"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("exact_n")).as("c"))
 
   /** Anchored report: exact top-20 probes scored against the sketch. */
   private def hittersReport(cells: DataFrame, termCounts: DataFrame): DataFrame = {
@@ -181,9 +207,17 @@ object QueriesExtra {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val terms = batch.select(explode(split(col("text"), " ")).as("term"))
             .filter(col("term") =!= "")
-          cmsCells(terms).write.mode("overwrite").parquet(s"$out/cells/b$batchId")
+          // one tokenization pass per batch (r19, same restructure as the
+          // batch twin): the term-count delta is written FIRST, and the
+          // cell delta is derived count-weighted from the just-written
+          // parquet — per-cell values identical, the batch text is split
+          // exactly once, and the written delta doubles as the
+          // materialization (no cache machinery inside the micro-batch:
+          // a per-batch persist measured +0.7 s across the 3 batches).
           terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
             .write.mode("overwrite").parquet(s"$out/terms/b$batchId")
+          cmsCellsFromCounts(batch.sparkSession.read.parquet(s"$out/terms/b$batchId"))
+            .write.mode("overwrite").parquet(s"$out/cells/b$batchId")
           ()
         }
         .option("checkpointLocation", ckpt.toString)
@@ -375,8 +409,13 @@ object QueriesExtra {
     val base = events(s, dir).filter(col("user_id").isNotNull)
       .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
     val med = countingBoundaries(base, "event_type", "cents", Seq("med_cents" -> 0.5))
-    val dev = base.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    // pinned (r19): `dev` feeds the MAD histogram AND the final outlier
+    // aggregate — unpinned, the events scan + median attach ran twice.
+    // Narrow corpus-proportional rows → executor disk.
+    val dev = graft.core.CacheRegistry.register(
+      base.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val mad = countingBoundaries(dev.select(col("event_type"), col("adev")),
       "event_type", "adev", Seq("mad_cents" -> 0.5))
     val out = col("adev") > lit(3L) * col("mad_cents")

@@ -268,8 +268,18 @@ object QueriesTraining {
         transform(sequence(lit(0), ((size(ws) - 1) / 8).cast("int")),
           i => struct(i.as("idx"),
             concat_ws(" ", slice(ws, i * 8 + 1, lit(8))).as("chunk"))).as("chunks"))
-    val exploded = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    // MATERIALIZED once (r19): `exploded` feeds the boilerplate count,
+    // the survivor reassembly AND (via `chunked`) the per-doc chunk
+    // count — unpinned, the docs scan + chunking transform executed 3x
+    // (plan audit: 6 parquet scans before). One DISK_ONLY pin (chunk
+    // bytes = text bytes, corpus-proportional → executor disk, the
+    // dsirSelect discipline); n_chunks comes off the same pinned rows
+    // (count per doc ≡ size(chunks): every chunk is exploded, every doc
+    // has ≥ 1 chunk — value and the right-join row set are unchanged).
+    val exploded = graft.core.CacheRegistry.register(
+      chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val boiler = exploded.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 5)
@@ -279,7 +289,8 @@ object QueriesTraining {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
           x => x.getField("chunk")), " ").as("clean_text"))
-      .join(chunked.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks")),
+      .join(exploded.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks")),
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -367,9 +378,12 @@ object QueriesTraining {
     * that are mostly boilerplate copied from elsewhere in the corpus.
     *
     * Scale shape: windows shuffle as (md5, doc_id, pos) — a fixed 32-char
-    * key, never the w-token text — keyed by the hash for the
-    * document-frequency count; the hit join reuses the same key (exchange
-    * reuse). The interval-union coverage is a NARROW sorted fold
+    * key, never the w-token text — keyed by the hash, over which the
+    * duplicate mark is computed IN PLACE by min/max window functions
+    * (r19: the former agg-then-join form executed the window-hash pass
+    * twice, since its two h-keyed exchanges differ below the boundary
+    * and exchange reuse never fired; the window form is one pass, one
+    * exchange, no join). The interval-union coverage is a NARROW sorted fold
     * (`aggregate` over the per-doc position list): positions are bounded
     * by document length, so no explode-by-w amplification and no second
     * wide op. md5 (not a 64-bit hash) keys the shuffle so the oracle can
@@ -391,14 +405,19 @@ object QueriesTraining {
         explode(graft.functions.TokenWindowHashes.column(col("text"), w)).as("wp"))
       .select(col("doc_id"), col("wp.pos").as("pos"), col("wp.h").as("h"))
     // "appears in >= 2 distinct documents" needs only min != max over
-    // doc_id — ONE h-keyed shuffle with 16-byte map-side partials. A
-    // countDistinct here expands to two exchanges ((h, doc_id) dedup then
-    // h count) that haul the whole window stream across the wire twice.
-    val dup = windows.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select(col("h"))
-    val hits = windows.join(dup, "h")
+    // doc_id per hash. r19 RESHAPE (same hit rows, oracle-proven): the
+    // former agg-then-join form referenced `windows` twice, and the two
+    // h-keyed exchanges differ below the boundary (partial min/max vs
+    // plain rows), so exchange reuse never fired — the TokenWindowHashes
+    // pass ran twice per invocation. min/max as WINDOW functions over
+    // the same h partition mark each window row in place: ONE window
+    // pass, ONE h-keyed exchange, no join, no cache.
+    val wH = Window.partitionBy(col("h"))
+    val hits = windows
+      .withColumn("_d0", min(col("doc_id")).over(wH))
+      .withColumn("_d1", max(col("doc_id")).over(wH))
+      .filter(col("_d0") =!= col("_d1"))
+      .select(col("doc_id"), col("pos"), col("h"))
     // interval-union coverage: sorted positions folded left to right;
     // each window [p, p+w-1] contributes only tokens past the furthest
     // end seen so far, so overlaps never double-count
@@ -504,9 +523,11 @@ object QueriesTraining {
     * with per-doc token counts and running totals.
     *
     * Composition is the point: every stage is the already-oracle-gated
-    * operator, chained through semi/anti joins on doc_id — Catalyst sees
-    * one plan, so scans fuse (the gate and the hash run off one read)
-    * and each stage's shuffle feeds the next without materialization.
+    * operator, chained through semi/anti joins on doc_id. The one
+    * materialization (r19) is deliberate: the deduped corpus is consumed
+    * by BOTH the gram explosion and the final anti-join, and pinning it
+    * runs the Gopher gate + dedup exactly once instead of once per
+    * consumer (Catalyst replays unpinned shared subtrees — guide §7.2).
     * Stage ORDER is the scale lesson: the narrow gate runs first (cheap,
     * biggest volume cut), content-hash dedup before gram explosion
     * (fewer docs pay the 4-gram cost), the budget window last (smallest
@@ -518,11 +539,21 @@ object QueriesTraining {
     val gated = d.join(
       gopherRulesOn(d).filter(col("pass")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    // 2. exact dedup: keep the lowest id per content hash
-    val deduped = gated.join(
-      gated.groupBy(md5(col("text")).as("_h"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // 2. exact dedup: keep the lowest id per content hash. r19 RESHAPE
+    // (same kept rows, proven by the unchanged oracle): the former
+    // agg+semi-join form referenced `gated` twice — and with `deduped`
+    // itself consumed twice below (decontamination grams + the clean
+    // anti-join), Catalyst executed the Gopher-gate HOF pipeline 4x per
+    // invocation (plan audit: 18 parquet scans before). Keep-first is
+    // now a row_number window over the content hash — single reference,
+    // one exchange carrying the text instead of two, and it plans as
+    // WindowGroupLimit (map-side partial top-1 per hash group) — and the
+    // deduped corpus is pinned DISK_ONLY for its two consumers.
+    val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = graft.core.CacheRegistry.register(
+      gated.withColumn("_rn", row_number().over(keepW))
+        .filter(col("_rn") === 1).drop("_rn")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     // 3. decontamination: eval set = doc_id % 29 == 0 over the FULL
     // corpus (the benchmark exists independently of what the gate kept);
     // eval docs leave the corpus, contaminated docs are dropped
@@ -717,8 +748,14 @@ object QueriesTraining {
         struct(d2(qCol, c.getField("_2")).as("d2"), c.getField("_1").as("cid"))))
     val e = eRaw.select(col("vec_id"),
       graft.analytics.Similarity.quantize(col("embedding")).as("q"))
-    val assigned = e.withColumn("cell",
-      element_at(rankedCells(col("q")), 1).getField("cid"))
+    // pinned (r19): `assigned` feeds both the anchor side and the
+    // candidate side — unpinned, the quantize + centroid-ranking
+    // transform ran over the corpus twice. Quantized vectors are
+    // corpus-proportional → executor disk (dsirSelect discipline).
+    val assigned = graft.core.CacheRegistry.register(
+      e.withColumn("cell",
+        element_at(rankedCells(col("q")), 1).getField("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val anchors = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("anchor_id"), col("q").as("qa"),
         slice(transform(rankedCells(col("q")), x => x.getField("cid")), 1, 4)
@@ -745,10 +782,17 @@ object QueriesTraining {
         col("neg.cand_id").as("neg_id"), col("neg.dot").as("neg_dot"))
     val brute = contrastivePairs(s, dir)
       .select(col("anchor_id"), col("pos_dot").as("brute_dot"))
-    val hits = pairs.join(brute, "anchor_id")
-      .select(col("anchor_id"), col("pos_id"), col("pos_dot"),
-        col("neg_id"), col("neg_dot"), col("brute_dot"),
-        when(col("pos_dot") === col("brute_dot"), 1L).otherwise(0L).as("hit"))
+    // pinned (r19): `hits` is consumed by the recall aggregate AND the
+    // final report join — unpinned, the entire upstream (brute
+    // contrastive scan + IVF-probed scan + both argmin aggregates)
+    // executed twice (plan audit: 16 parquet scans before). Anchor-
+    // bounded rows, so heap-first storage is safe at any SF.
+    val hits = graft.core.CacheRegistry.register(
+      pairs.join(brute, "anchor_id")
+        .select(col("anchor_id"), col("pos_id"), col("pos_dot"),
+          col("neg_id"), col("neg_dot"), col("brute_dot"),
+          when(col("pos_dot") === col("brute_dot"), 1L).otherwise(0L).as("hit"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stats = hits.groupBy()
       .agg(expr("(sum(hit) * 1000) div count(1)").as("mean_mills"))
     hits.crossJoin(broadcast(stats))

@@ -158,11 +158,19 @@ object Dedup {
     */
   def lshVerifiedPairs(bandKeys: DataFrame, docs: DataFrame, idCol: String,
                        text: Column, k: Int, maxBucket: Int = 1000): DataFrame = {
-    val shareable = bandKeys
+    // MATERIALIZED once (r19): `shareable` is referenced by candIds AND
+    // banded, and `banded` twice more by the bucket self-join — unpinned,
+    // Catalyst executed the MinHash band-key pipeline up to 4x and the
+    // shingle-set aggregation 2x per invocation (guide §7.2 duplicated
+    // subtrees). Both pins are DISK_ONLY: band rows and set arrays are
+    // corpus-proportional (the r15 sf100 sizing story is unchanged — the
+    // cache holds exactly the rows the join already shipped).
+    val shareable = graft.core.CacheRegistry.register(bandKeys
       .withColumn("_n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("band_key"))))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
       .drop("_n")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     implicit val spark = docs.sparkSession
     val candIds = shareable.select(col(idCol)).distinct()
     // sets built SORTED (an O(n log n) once per doc) so the per-pair
@@ -173,7 +181,9 @@ object Dedup {
         docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("ss"))
-    val banded = shareable.join(sets, Seq(idCol))
+    val banded = graft.core.CacheRegistry.register(
+      shareable.join(sets, Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     def side(outId: String, outSs: String) =
       banded.select(col("band"), col("band_key"),
         col(idCol).as(outId), col("ss").as(outSs))
@@ -248,10 +258,19 @@ object Dedup {
     val candIds = pairs.select(col("doc_a").as(idCol))
       .unionByName(pairs.select(col("doc_b").as(idCol)))
       .distinct()
-    val docSets = shingles(
+    // MATERIALIZED once (r19): the pair join below consumes `docSets`
+    // twice (ss_a and ss_b sides) and Catalyst planned them as two
+    // independent copies of the whole shingle explode + collect_set
+    // aggregation (plan audit: 8 collect_set nodes = 2 aggregates x
+    // partial/final x 2 sides in q_ngram_jaccard/q_containment before
+    // this). One DISK_ONLY materialization halves the shingle work at
+    // any scale; set arrays are candidate-doc-proportional, so they go
+    // to executor disk, not the heap (dsirSelect discipline).
+    val docSets = graft.core.CacheRegistry.register(shingles(
         docs.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, text, k)
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val inter = pairs
       .join(docSets.select(col(idCol).as("doc_a"), col("ss").as("ss_a")), "doc_a")
       .join(docSets.select(col(idCol).as("doc_b"), col("ss").as("ss_b")), "doc_b")

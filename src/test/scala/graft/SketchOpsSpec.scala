@@ -81,4 +81,21 @@ class SketchOpsSpec extends SparkSuite {
     val stream = QueriesExtra.streamHitters(spark, sf0001).collect().toSeq
     assert(stream == batch)
   }
+
+  test("CMS cells from term counts equal cells from raw term instances") {
+    // r19: the heavy-hitters kernel derives the d*w cell grid from the
+    // aggregated (term, exact_n) table instead of re-exploding instances
+    // — a cell's instance count must be EXACTLY the count-weighted sum
+    // of its terms. Gate the identity on the real fixture corpus.
+    val terms = graft.core.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    def image(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long)] =
+      df.collect().map(r => (r.getAs[Int]("seed"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("c"))).toSeq.sorted
+    val fromInstances = image(QueriesExtra.cmsCells(terms))
+    val fromCounts = image(QueriesExtra.cmsCellsFromCounts(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))))
+    assert(fromCounts == fromInstances)
+  }
 }

@@ -107,11 +107,15 @@ class SortedIntersectSpec extends SparkSuite {
     assert(plan.contains(SortedIntersectCount.name), plan.take(4000))
     assert(!plan.contains("array_intersect"), plan.take(4000))
     // the sets the kernel consumes are built sorted at the aggregation —
-    // pinned on the OPTIMIZED plan: the physical ObjectHashAggregate
-    // prints keys/functions/output attrs but not its result expressions,
-    // which is where sort_array lives after projection collapse
-    val opt = verified.queryExecution.optimizedPlan.toString
-    assert(opt.contains("sort_array"), opt.take(4000))
+    // pinned on the ANALYZED plan since r19: the set aggregation now
+    // materializes behind lshVerifiedPairs' banded persist, so the
+    // optimized plan shows an InMemoryRelation leaf where the aggregate
+    // (and its sort_array result expression) used to print; the analyzed
+    // plan is the same tree BEFORE cache substitution and still carries
+    // it. (The physical ObjectHashAggregate never printed result
+    // expressions, which is why this was never an executedPlan check.)
+    val analyzed = verified.queryExecution.analyzed.toString
+    assert(analyzed.contains("sort_array"), analyzed.take(4000))
   }
 
   test("fused verify statistics are unchanged by the kernel swap (array_intersect replay)") {
