@@ -74,7 +74,19 @@ object QueriesCdc {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
       "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "512",
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+      // r20: commit = changelog delta upload instead of a full snapshot
+      // zip per store per batch. The r20 micro-batch phase profile
+      // (tools.R20StreamProf, OPTIMIZATION_r20.md) attributed the bulk
+      // of addBatch's non-compute cost to state commits — summed across
+      // instances q_stream_neardup paid 29.8 s of snapshot commits in
+      // one replay, 4.9 s with changelog commits. Snapshot construction
+      // moves to background maintenance, which a bounded replay never
+      // pays. This is the production setting for commit-latency-bound
+      // streams; checkpoint format changes, but every checkpoint here is
+      // per-run scratch (Tmp.scratchDir) so nothing persisted crosses a
+      // version boundary.
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
     val old = set.map { case (k, _) => k -> s.conf.getOption(k) }
     set.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally old.foreach {
@@ -1288,10 +1300,25 @@ object QueriesCdc {
     // RocksDB since r13: join state is the store that outgrows the heap
     // first at scale; bounded shared memory tames the per-instance init
     // cost that kept this family on the default provider in r12.
-    withStatePartitions(s, joinStateWidth(src)) {
+    // r20: skip the trailing ZERO-ROW micro-batch. An INNER interval
+    // join emits each match in the batch that processes it; the no-data
+    // batch AvailableNow otherwise appends exists only to advance the
+    // watermark and evict state — it produces no output rows, yet the
+    // r20 phase profile measured it at 1.3-1.9 s (a full state sweep
+    // across all four stores per partition). Output rows are identical
+    // with it off for an inner join (oracle + stream≡batch spec gate
+    // this); an OUTER stream-stream join would need it (null-extended
+    // rows emit at eviction) and must not copy this setting.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try withStatePartitions(s, joinStateWidth(src)) {
       withRocksDbState(s) {
         drainToParquet(s, joined, "sjoin_out", dir, "graft-sjoin-ckpt")
       }
+    } finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
     }
   }
 

@@ -25,6 +25,34 @@ object QueriesTraining {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** SIZE-AWARE pin for a vocabulary-bounded model table whose build is
+    * a full corpus pass and which is consumed by 2+ downstream stages
+    * (nbClassify's token-count model, heldoutLm's bigram model). The
+    * trade is the r19 crossover (verdict task 3): unpinned, Catalyst
+    * executes the corpus pass once per consumer — but the two passes run
+    * as PARALLEL stages of one job, while a pin serializes (cache build
+    * job, then consumers) and pays the round-trip. Measured at sf0.1
+    * (docs parquet 0.58 MiB): pin = +0.35 s on q_nb_classify; the saved
+    * pass only dominates once the corpus dwarfs the constant — the same
+    * size-from-the-source decision as [[evalVerifySide]]'s
+    * broadcast→shuffle switch and streamJoin's state width. Threshold
+    * overridable for probes via -Dgraft.pin.corpusMinBytes (default
+    * 2 MiB of documents parquet ≈ sf0.3; at sf1 the pin wins — the sf1
+    * A/B in OPTIMIZATION_r20.md carries the crossover numbers).
+    */
+  private def pinModelIfCorpusLarge(df: DataFrame, dir: String): DataFrame = {
+    val minBytes = sys.props.get("graft.pin.corpusMinBytes")
+      .map(_.toLong).getOrElse(2L << 20)
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(size).sum
+      else f.length()
+    val corpusBytes = size(new java.io.File(s"$dir/documents.parquet"))
+    if (corpusBytes >= minBytes)
+      graft.core.CacheRegistry.register(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else df
+  }
+
   /** Word n-grams from a token array, built narrowly (index arithmetic
     * over the array, no shuffle). Empty array below n tokens.
     *
@@ -412,6 +440,19 @@ object QueriesTraining {
     // pass ran twice per invocation. min/max as WINDOW functions over
     // the same h partition mark each window row in place: ONE window
     // pass, ONE h-keyed exchange, no join, no cache.
+    // SKEW NOTE (r20 hot-key probe, plans/r20/skew_probe.txt): a
+    // boilerplate SEGMENT spreads over w distinct window hashes (each
+    // position shifts the content), so the single-key funnel needs many
+    // docs sharing an IDENTICAL aligned w-token window. Probed at one
+    // hash = 200k rows (50% of a 400k-doc corpus): the window form ties
+    // the salted two-phase + skew-splittable-join alternative (4.41 vs
+    // 4.46 s) and beats it at moderate skew (3.51 vs 5.01 s at 10%
+    // boilerplate), because AQE cannot split window partitions but the
+    // hot group sort is O(n log n) in one task only past ~10M identical
+    // windows. If a target corpus carries a single w-token window at
+    // that multiplicity, switch to the probe's salted form (partial
+    // min/max per (h, salt), combine per h, join back onto pinned
+    // windows — proven row-identical on the probe corpus).
     val wH = Window.partitionBy(col("h"))
     val hits = windows
       .withColumn("_d0", min(col("doc_id")).over(wH))
@@ -908,7 +949,18 @@ object QueriesTraining {
           .as("is_train"))
     val trainGrams = base.filter(col("is_train"))
       .select(explode(wordNgrams(col("ws"), 2)).as("gram"))
-    val model = trainGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    // PINNED size-aware (r20): the bigram model is consumed twice — the
+    // prefix-count derivation and the scoring join — and unpinned,
+    // Catalyst plans two independent copies of the train-corpus bigram
+    // explode + aggregation (guide §7.2). The pinned table is
+    // vocabulary-bounded (one row per distinct bigram) so the round-trip
+    // is tiny, but the build serializes the plan — see
+    // [[pinModelIfCorpusLarge]] for the measured crossover. (The vocab
+    // scalar below still pays its own unigram pass: a one-word train doc
+    // contributes a token but no bigram, so V is NOT derivable from the
+    // bigram table.)
+    val model = pinModelIfCorpusLarge(
+      trainGrams.groupBy(col("gram")).agg(count(lit(1)).as("c2")), dir)
     val prefix = model
       .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
@@ -975,10 +1027,21 @@ object QueriesTraining {
       (f(langs.head), langs.tail.map(f))
     val (c0, cRest) = perLang(l =>
       sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
-    val model = trainTok.groupBy(col("tok")).agg(c0, cRest: _*)
-    val scalars = trainTok.agg(
-      countDistinct(col("tok")).as("v"),
-      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"tot_$l")): _*)
+    // The scalars are DERIVED from the model table instead of
+    // re-exploding the train corpus: V = countDistinct(tok) over the
+    // token stream ≡ the model's row count (one row per distinct token),
+    // and tot_l = Σ (lang=l) over the stream ≡ Σ c_l over the model
+    // (c_l sums to exactly the lang-l token count, 0-filled where
+    // absent). Identical values (the cmsCellsFromCounts precedent —
+    // guide §2.3). The model is then PINNED size-aware: vocabulary-
+    // bounded rows, but the cache build serializes what were two
+    // parallel corpus stages — see [[pinModelIfCorpusLarge]] for the
+    // measured sf0.1 regression and the sf1 crossover.
+    val model = pinModelIfCorpusLarge(
+      trainTok.groupBy(col("tok")).agg(c0, cRest: _*), dir)
+    val scalars = model.agg(
+      count(lit(1)).as("v"),
+      langs.map(l => sum(col(s"c_$l")).as(s"tot_$l")): _*)
     val priors = base.filter(col("is_train")).agg(
       count(lit(1)).as("n_train"),
       langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"p_$l")): _*)
@@ -1101,6 +1164,18 @@ object QueriesTraining {
         merges += ((x, y))
         vocab = vocab.withColumn("seq",
           expr(s"replace(replace(seq, '|$x|$y|', '|$x$y|'), '|$x|$y|', '|$x$y|')"))
+        // r20: re-materialize the vocab every few merges. Round r's plan
+        // otherwise stacks r replace-pairs over the checkpointed base, so
+        // every round re-analyzes and re-compiles a linearly growing
+        // expression chain — the r20 trainer profile (tools.R20TrainerProf)
+        // measured the per-round executor jobs at ~0.1 s (1 near-empty
+        // task) while wall-minus-jobs driver time was ~0.5 s/round and
+        // growing. The checkpoint is one ~50 ms job over the
+        // vocabulary-bounded table and resets the plan to a leaf — total
+        // driver work drops from O(rounds²) to O(rounds). Values are
+        // unchanged (a checkpoint is a materialization barrier, not a
+        // transformation); the BPE oracle + specs pin the trained merges.
+        if (merges.size % 4 == 0) vocab = vocab.localCheckpoint()
       }
     }
     BpeOracle.stash(dir, merges.toList)

@@ -43,6 +43,14 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** Documents fixture. INVARIANT (relied on by the text operators):
+    * `text` is never NULL — the generator always emits a string (possibly
+    * empty). Several reshaped plans (e.g. lineDedup's n_chunks sourced
+    * from the exploded chunk rows) are row-set-equivalent to their
+    * original forms only under this invariant: a NULL text would yield
+    * NULL chunks, the explode would drop the doc, and it would vanish
+    * from the output instead of carrying NULL stats (r19 ADVICE item 1).
+    */
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

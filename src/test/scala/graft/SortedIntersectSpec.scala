@@ -107,15 +107,31 @@ class SortedIntersectSpec extends SparkSuite {
     assert(plan.contains(SortedIntersectCount.name), plan.take(4000))
     assert(!plan.contains("array_intersect"), plan.take(4000))
     // the sets the kernel consumes are built sorted at the aggregation —
-    // pinned on the ANALYZED plan since r19: the set aggregation now
-    // materializes behind lshVerifiedPairs' banded persist, so the
-    // optimized plan shows an InMemoryRelation leaf where the aggregate
-    // (and its sort_array result expression) used to print; the analyzed
-    // plan is the same tree BEFORE cache substitution and still carries
-    // it. (The physical ObjectHashAggregate never printed result
-    // expressions, which is why this was never an executedPlan check.)
-    val analyzed = verified.queryExecution.analyzed.toString
-    assert(analyzed.contains("sort_array"), analyzed.take(4000))
+    // the r19 pin moved the set aggregate behind an InMemoryRelation
+    // leaf, and asserting on the analyzed plan was near-tautological (the
+    // analyzed tree always carries the expression the query was written
+    // with — r19 ADVICE item 3). Check the CACHED plans instead: walk
+    // every InMemoryTableScan's cachedPlan (unwrapping AQE wrappers,
+    // which are leaf nodes) and require a physical aggregate whose result
+    // expressions still contain SortArray — i.e. sorted-set construction
+    // survives to the plan that actually executes.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p.collect { case q => q }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case s: InMemoryTableScanExec => s +: expand(s.relation.cachedPlan)
+      case q => Seq(q)
+    }
+    val cachedAggSorted = expand(verified.queryExecution.executedPlan).exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.resultExpressions.exists(_.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortArray]).isDefined)
+      case _ => false
+    }
+    assert(cachedAggSorted,
+      "no cached aggregate carries sort_array in its result expressions:\n" +
+        expand(verified.queryExecution.executedPlan).mkString("\n").take(4000))
   }
 
   test("fused verify statistics are unchanged by the kernel swap (array_intersect replay)") {

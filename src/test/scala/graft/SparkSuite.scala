@@ -18,7 +18,17 @@ object SharedSpark {
   }
 }
 
-abstract class SparkSuite extends AnyFunSuite {
+abstract class SparkSuite extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SharedSpark.spark
   val sf0001 = "/root/testdata/sf0.001"
+
+  // Library-level pins (cappedPairs, lshVerifiedPairs, ngramJaccard, …)
+  // register persisted handles at plan-construction time and rely on the
+  // harness calling releaseAll after each query; test sessions get the
+  // same hygiene here so a long suite run doesn't accumulate dead cached
+  // handles until JVM exit (r19 ADVICE item 4).
+  override def afterAll(): Unit = {
+    try graft.core.CacheRegistry.releaseAll() finally super.afterAll()
+  }
 }
